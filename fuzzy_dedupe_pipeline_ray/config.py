@@ -1,0 +1,100 @@
+"""Pipeline configuration.
+
+The reference exposes its knobs as constructor defaults + env/config files
+(``dedupe_logic/processor.py:29-32``, ``config/ai_config.json:1-27``,
+``.env.template:55-60``). The north rule requires matching cluster
+assignments "at the same shingle/signature config", so the config here is an
+explicit, hashable dataclass that is serialized into every run manifest —
+two runs with the same config hash over the same input must produce
+byte-identical assignments.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs of the dedupe pipeline.
+
+    Signature-scheme analogs of the reference
+    (``dedupe_logic/processor.py:29-32``):
+
+    * ``jaccard_threshold`` ← ``semantic_threshold=0.8`` (primary signal)
+    * ``simhash_threshold`` ← ``address_threshold=0.85`` (second signal)
+    * ``hybrid_primary_relax`` ← the hybrid path's relaxed primary cutoff
+      (``processor.py:161-164`` uses 0.70 when both signals agree)
+    * ``confidence_cap`` ← ``min(0.95, ...)`` (``processor.py:163,166``)
+    """
+
+    # --- shingling -------------------------------------------------------
+    shingle_mode: str = "char"  # "char" | "token"
+    shingle_k: int = 7          # chars (or tokens) per shingle
+    lowercase: bool = False     # code is case-sensitive by default
+    collapse_whitespace: bool = True
+
+    # --- MinHash / LSH ---------------------------------------------------
+    num_perms: int = 128        # P
+    num_bands: int = 32         # b   (b * r must equal P)
+    rows_per_band: int = 4      # r
+    minhash_seed: int = 0x5EED_CAFE
+
+    # --- thresholds (reference analogs) ----------------------------------
+    jaccard_threshold: float = 0.80
+    simhash_threshold: float = 0.85      # 1 - hamming/64
+    hybrid_primary_relax: float = 0.70   # primary cutoff when second signal agrees
+    confidence_cap: float = 0.95
+
+    # --- skew / scale ----------------------------------------------------
+    band_group_pair_cap: int = 64   # all-pairs below, star-pairing above
+    max_shingles_per_doc: int = 1 << 17  # cap per-doc shingle-set size
+
+    # --- substring (suffix-anchor) pass ----------------------------------
+    substring_enabled: bool = True
+    anchor_k: int = 48              # chars per anchor window
+    anchors_per_doc: int = 16       # bottom-k anchor sketch size
+    min_substring_span: int = 96    # minimum exact common span to count
+    substring_cluster: bool = True  # substring edges join components
+
+    # --- connected components -------------------------------------------
+    cc_strategy: str = "auto"       # "auto" | "labelprop" | "unionfind"
+    cc_unionfind_max_edges: int = 5_000_000
+    cc_max_rounds: int = 64
+
+    # --- execution -------------------------------------------------------
+    fingerprint_batch_size: int = 256
+    fingerprint_concurrency: int = 4   # actor-pool size
+    num_partitions: int = 32           # hash-join / shuffle partition count
+
+    extra: dict = field(default_factory=dict, compare=False, hash=False)
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"num_bands*rows_per_band ({self.num_bands}*{self.rows_per_band}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+        if self.shingle_mode not in ("char", "token"):
+            raise ValueError(f"bad shingle_mode {self.shingle_mode!r}")
+        if self.cc_strategy not in ("auto", "labelprop", "unionfind"):
+            raise ValueError(f"bad cc_strategy {self.cc_strategy!r}")
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        d.pop("extra", None)
+        return json.dumps(d, sort_keys=True)
+
+    @property
+    def config_hash(self) -> str:
+        """Stable hex digest of every semantics-affecting knob."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        return cls(**json.loads(s))
+
+
+DEFAULT_CONFIG = PipelineConfig()

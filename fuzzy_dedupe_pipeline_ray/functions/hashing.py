@@ -1,0 +1,239 @@
+"""Vectorized hashing kernels: sha256, char/token shingles, MinHash,
+SimHash, band keys, rolling document fingerprints.
+
+These replace the reference's dense-embedding signature scheme
+(``dedupe_logic/processor.py:88-108`` — two SentenceTransformer encodes per
+record) with the scalable equivalents named by the north rule: MinHash over
+shingles (primary signal, analog of the semantic embedding), SimHash
+(second bit-level signal, analog of the address embedding), and sha256
+(exact-match signal, analog of normalized-phone equality,
+``processor.py:47-51,155-158``).
+
+All kernels are numpy-vectorized over uint64 with wraparound arithmetic
+(multiply-shift universal hashing); no Python loops over characters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# FNV-1a style constants for polynomial rolling hashes.
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+_OLD_ERR = np.seterr(over="ignore")  # uint64 wraparound is intentional
+np.seterr(**_OLD_ERR)
+
+
+def _wrap_errstate(fn):
+    def inner(*a, **kw):
+        with np.errstate(over="ignore"):
+            return fn(*a, **kw)
+
+    return inner
+
+
+def sha256_hex(values: "list[str] | np.ndarray") -> list[str]:
+    """Hex sha256 per string. hashlib releases the GIL and runs at C speed;
+    per-row loop here is not the hot path (one call per content string)."""
+    return [hashlib.sha256(v.encode("utf-8", "surrogatepass")).hexdigest() for v in values]
+
+
+def hash64_str(values) -> np.ndarray:
+    """Deterministic 64-bit id per string (first 8 bytes of sha256).
+
+    Used for ``doc_id`` derivation from the (repo, path, commit) key. At
+    10^12 rows a 64-bit id has non-trivial birthday collision mass; the
+    documented scale path is a 128-bit id split across two uint64 columns
+    (first 16 sha bytes) — the pipeline only relies on ids being unique,
+    not dense.
+    """
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.sha256(v.encode("utf-8", "surrogatepass")).digest()[:8], "big"
+        )
+    return out
+
+
+@_wrap_errstate
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — cheap, well-mixed uint64→uint64."""
+    x = x.astype(np.uint64, copy=True)
+    x += _GOLDEN
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+@_wrap_errstate
+def char_shingle_hashes(text: str, k: int, unique: bool = True) -> np.ndarray:
+    """uint64 polynomial hash of every k-char window of ``text``.
+
+    Vectorized: utf-8 bytes → sliding windows (stride tricks, zero copy)
+    → dot with FNV-prime powers under uint64 wraparound → splitmix mix.
+    Returns the *set* (np.unique) when ``unique`` — MinHash operates on
+    shingle sets.
+    """
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(b) < k:
+        # whole-text single shingle
+        win = b[None, :].astype(np.uint64)
+        powers = _FNV_PRIME ** np.arange(len(b) - 1, -1, -1, dtype=np.uint64)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        powers = _FNV_PRIME ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    h = splitmix64(win @ powers)
+    return np.unique(h) if unique else h
+
+
+@_wrap_errstate
+def token_shingle_hashes(tokens: np.ndarray, n: int, unique: bool = True) -> np.ndarray:
+    """uint64 hash of every n-token window given per-token uint64 hashes."""
+    t = np.asarray(tokens, dtype=np.uint64)
+    if len(t) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(t) < n:
+        win = t[None, :]
+        powers = _FNV_PRIME ** np.arange(len(t) - 1, -1, -1, dtype=np.uint64)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(t, n)
+        powers = _FNV_PRIME ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+    h = splitmix64((win * powers).sum(axis=1, dtype=np.uint64))
+    return np.unique(h) if unique else h
+
+
+def hash_tokens(tokens: "list[str]") -> np.ndarray:
+    """uint64 hash per token string (FNV-1a, C-speed via bytes→poly)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(tokens):
+            b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+            h = _FNV_OFFSET
+            if len(b):
+                powers = _FNV_PRIME ** np.arange(len(b) - 1, -1, -1, dtype=np.uint64)
+                h = np.uint64((b.astype(np.uint64) * powers).sum(dtype=np.uint64))
+            out[i] = h
+    return splitmix64(out)
+
+
+class MinHasher:
+    """P-permutation MinHash bank.
+
+    The permutation bank (2·P uint64 parameters) is the analog of the
+    reference's model weights loaded once per worker
+    (``dedupe_logic/processor.py:34-45``): build one ``MinHasher`` in an
+    actor's ``__init__`` and reuse it per batch. Permutations are
+    multiply-xor universal hashes ``h_i(x) = ((x ^ b_i) * a_i)`` over
+    uint64 with wraparound (a_i odd).
+
+    ``signature`` chunks the shingle axis so the P×n scratch matrix stays
+    under ~16M elements regardless of document size.
+    """
+
+    _CHUNK = 1 << 17  # shingles per chunk
+
+    def __init__(self, num_perms: int, seed: int):
+        rng = np.random.RandomState(seed & 0x7FFFFFFF)
+        # odd multipliers, arbitrary xor offsets
+        self.a = (rng.randint(0, 2**63, size=num_perms, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.randint(0, 2**63, size=num_perms, dtype=np.uint64)
+        self.num_perms = num_perms
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """uint64[P] signature of one shingle set; all-max for empty sets."""
+        P = self.num_perms
+        if len(shingle_hashes) == 0:
+            return np.full(P, np.iinfo(np.uint64).max, dtype=np.uint64)
+        sig = np.full(P, np.iinfo(np.uint64).max, dtype=np.uint64)
+        chunk = max(1, self._CHUNK // P * 8)
+        with np.errstate(over="ignore"):
+            for i in range(0, len(shingle_hashes), chunk):
+                s = shingle_hashes[i : i + chunk]
+                m = ((s[None, :] ^ self.b[:, None]) * self.a[:, None]).min(axis=1)
+                np.minimum(sig, m, out=sig)
+        return sig
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(sig_a == sig_b))
+
+    @staticmethod
+    def estimate_jaccard_matrix(sigs_a: np.ndarray, sigs_b: np.ndarray) -> np.ndarray:
+        """Row-wise estimate for aligned (m, P) signature matrices."""
+        return (sigs_a == sigs_b).mean(axis=1)
+
+
+@_wrap_errstate
+def simhash64(hashes: np.ndarray, weights: "np.ndarray | None" = None) -> np.uint64:
+    """64-bit SimHash of a set of feature hashes (optionally weighted).
+
+    Second, bit-level signal — the analog of the reference's address
+    embedding (``dedupe_logic/processor.py:98-103,155-160``).
+    """
+    if len(hashes) == 0:
+        return np.uint64(0)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    if weights is None:
+        counts = bits.sum(axis=0)
+        n = len(hashes)
+    else:
+        counts = (bits * weights[:, None]).sum(axis=0)
+        n = weights.sum()
+    vote = (2 * counts) > n  # bit set where ones outnumber zeros
+    return np.uint64(np.bitwise_or.reduce(vote.astype(np.uint64) << shifts))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-element popcount(a ^ b) for uint64 arrays (vectorized)."""
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)).view(np.uint8)
+    x = x.reshape(-1, 8)
+    return np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+
+
+@_wrap_errstate
+def band_keys(sig: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
+    """uint64 LSH band key per band: mix the r row values of each band
+    together with the band index (so identical row values in different
+    bands never collide into one group). ``sig`` is uint64[P]."""
+    bands = sig.reshape(num_bands, rows_per_band)
+    h = np.full(num_bands, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(rows_per_band):
+        h = (h ^ bands[:, j]) * _FNV_PRIME
+    h = (h ^ np.arange(num_bands, dtype=np.uint64)) * _FNV_PRIME
+    return splitmix64(h)
+
+
+@_wrap_errstate
+def band_keys_batch(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
+    """(m, P) signatures → (m, num_bands) uint64 band keys, vectorized."""
+    m = sigs.shape[0]
+    bands = sigs.reshape(m, num_bands, rows_per_band)
+    h = np.full((m, num_bands), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(rows_per_band):
+        h = (h ^ bands[:, :, j]) * _FNV_PRIME
+    h = (h ^ np.arange(num_bands, dtype=np.uint64)[None, :]) * _FNV_PRIME
+    return splitmix64(h.ravel()).reshape(m, num_bands)
+
+
+@_wrap_errstate
+def bottom_k(hashes: np.ndarray, k: int) -> np.ndarray:
+    """Bottom-k sketch (k smallest distinct hash values) — used for the
+    suffix-anchor substring pass and as a mergeable set sketch."""
+    u = np.unique(hashes)
+    return u[:k] if len(u) > k else u
+
+
+@_wrap_errstate
+def rolling_fingerprint(text: str, window: int = 64, keep: int = 8) -> np.ndarray:
+    """Document fingerprint: bottom-``keep`` of the rolling ``window``-gram
+    hashes (a winnowing-style sketch). Deterministic; mergeable by min."""
+    h = char_shingle_hashes(text, window, unique=True)
+    return bottom_k(h, keep)

@@ -1,0 +1,147 @@
+"""Text normalization + analysis kernels (vectorized, Arrow-first).
+
+Analogs of the reference's normalizers (``dedupe_logic/processor.py:47-60``
+``normalize_phone`` / ``normalize_text`` and the sentinel cleanup at
+``processor.py:416-424`` / ``sheets_sync/sync.py:126-131``), plus the text
+analysis operators a large-scale training-data pipeline needs: token
+counting, quality scoring, language-ID.
+
+Everything operates on a ``pyarrow.Table`` / ``ChunkedArray`` through
+``pyarrow.compute`` kernels; regexes are RE2-syntax (pyarrow) and kept
+consistent with the DuckDB oracle SQL (both engines use RE2-compatible
+`regexp_replace` with 'g').
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Sentinel strings the reference repeatedly maps to null/empty
+# (``sheets_sync/sync.py:127``, ``dedupe_logic/processor.py:49-50,417-424``).
+SENTINELS = ["", "nan", "none", "null", "#ERROR!"]
+
+# Oracle-parity note: the patterns below use explicit character classes
+# (not \s or \w shorthands) so pyarrow RE2 and DuckDB RE2 agree exactly.
+_WS = "[ \\t\\n\\r\\f\\v]+"
+_PUNCT = "[^a-zA-Z0-9 \\t\\n\\r\\f\\v]"
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from"
+).split()
+
+
+def normalize_text_array(arr: pa.ChunkedArray, *, lowercase: bool = True,
+                         strip_punct: bool = True) -> pa.ChunkedArray:
+    """lower → strip punctuation → collapse whitespace → trim.
+
+    Mirrors ``normalize_text`` (``dedupe_logic/processor.py:53-60``): the
+    reference lowercases, removes ``[^\\w\\s]`` and collapses whitespace.
+    """
+    out = arr
+    if lowercase:
+        out = pc.utf8_lower(out)
+    if strip_punct:
+        out = pc.replace_substring_regex(out, pattern=_PUNCT, replacement=" ")
+    out = pc.replace_substring_regex(out, pattern=_WS, replacement=" ")
+    return pc.utf8_trim_whitespace(out)
+
+
+def collapse_ws_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Whitespace-collapse only (shingling pre-normalizer for code, where
+    case and punctuation are significant)."""
+    out = pc.replace_substring_regex(arr, pattern=_WS, replacement=" ")
+    return pc.utf8_trim_whitespace(out)
+
+
+def sentinels_to_null(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Map sentinel strings ('', 'nan', 'none', 'null', '#ERROR!') to null —
+    the engine-level version of the reference's repeated cleanup
+    (``processor.py:416-424``), done ONCE at ingest."""
+    lowered = pc.utf8_lower(pc.utf8_trim_whitespace(arr))
+    is_sentinel = pc.is_in(lowered, value_set=pa.array([s.lower() for s in SENTINELS]))
+    return pc.if_else(is_sentinel, pa.scalar(None, pa.string()), arr)
+
+
+def token_count_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Whitespace-token count per string (0 for empty/blank)."""
+    trimmed = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(arr, pattern=_WS, replacement=" ")
+    )
+    n_sep = pc.count_substring(trimmed, " ")
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    return pc.if_else(empty, pa.scalar(0, pa.int64()),
+                      pc.add(pc.cast(n_sep, pa.int64()), 1))
+
+
+def punct_ratio_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Fraction of characters that are not [a-zA-Z0-9] or whitespace.
+
+    SQL-parity form: (len(s) - len(regexp_replace(s, punct, '', 'g'))) /
+    nullif(len(s), 0).
+    """
+    total = pc.cast(pc.utf8_length(arr), pa.float64())
+    stripped = pc.replace_substring_regex(arr, pattern=_PUNCT, replacement="")
+    kept = pc.cast(pc.utf8_length(stripped), pa.float64())
+    ratio = pc.divide(pc.subtract(total, kept), total)  # null where total==0
+    return ratio
+
+
+def stopword_ratio_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(arr)), pattern=_WS
+    )
+    flat_parent = toks
+    is_stop = pc.is_in(pc.list_flatten(flat_parent),
+                       value_set=pa.array(STOPWORDS))
+    # rebuild per-row sums via list offsets
+    import numpy as np
+
+    out_chunks = []
+    flat_idx = 0
+    chunks = toks.chunks if isinstance(toks, pa.ChunkedArray) else [toks]
+    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.float64)
+    for ch in chunks:
+        lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
+        n = int(lengths.sum())
+        flat = stop_np[flat_idx: flat_idx + n]
+        flat_idx += n
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        sums = np.add.reduceat(flat, starts, dtype=np.float64) if n else np.zeros(len(lengths))
+        sums = np.where(lengths > 0, sums, 0.0)
+        # reduceat quirk: empty slices copy the element at start — mask them
+        ratio = np.where(lengths > 0, sums / np.maximum(lengths, 1), np.nan)
+        out_chunks.append(pa.array(ratio, pa.float64()))
+    return pa.chunked_array(out_chunks) if len(out_chunks) > 1 else out_chunks[0]
+
+
+# ---------------------------------------------------------------------------
+# Language ID — tiny n-gram/stopword heuristic (no external models in the
+# container; deterministic). Covers the langs the synthetic corpora use.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "por", "que"},
+}
+
+
+def lang_id(texts: "list[str]") -> "list[str]":
+    """Pick the language whose marker-word hit count is highest; ties and
+    zero-hit rows fall back to 'unknown'. Deterministic tie-break by
+    language code order."""
+    out = []
+    for t in texts:
+        toks = set(t.lower().split())
+        best, best_n = "unknown", 0
+        for code in sorted(_LANG_MARKERS):
+            n = len(toks & _LANG_MARKERS[code])
+            if n > best_n:
+                best, best_n = code, n
+        out.append(best)
+    return out

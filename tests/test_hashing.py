@@ -1,0 +1,151 @@
+"""Unit tests for the hashing kernels (SURVEY.md §5: shingler, MinHash
+estimator error bound, band-key derivation, SimHash hamming)."""
+
+import numpy as np
+import pytest
+
+from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+    MinHasher,
+    band_keys,
+    band_keys_batch,
+    bottom_k,
+    char_shingle_hashes,
+    hamming64,
+    hash64_str,
+    hash_tokens,
+    rolling_fingerprint,
+    simhash64,
+    splitmix64,
+    token_shingle_hashes,
+)
+
+
+def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = len(np.intersect1d(a, b))
+    union = len(np.union1d(a, b))
+    return inter / union if union else 1.0
+
+
+def test_char_shingles_deterministic_and_set_semantics():
+    t = "the quick brown fox jumps over the lazy dog"
+    h1 = char_shingle_hashes(t, 5)
+    h2 = char_shingle_hashes(t, 5)
+    assert np.array_equal(h1, h2)
+    assert len(h1) <= len(t) - 4
+    assert h1.dtype == np.uint64
+    # short text → one whole-text shingle
+    assert len(char_shingle_hashes("ab", 5)) == 1
+    assert len(char_shingle_hashes("", 5)) == 0
+
+
+def test_char_shingles_distinguish_strings():
+    a = char_shingle_hashes("hello world one", 5)
+    b = char_shingle_hashes("completely different text", 5)
+    assert exact_jaccard(a, b) < 0.1
+
+
+def test_minhash_estimator_accuracy():
+    """Estimator error vs exact Jaccard within ~4σ for P=128 (σ≈sqrt(J(1-J)/P))."""
+    rng = np.random.RandomState(7)
+    mh = MinHasher(128, seed=123)
+    universe = splitmix64(rng.randint(0, 2**63, 4000, dtype=np.uint64))
+    a = universe[:3000]
+    for overlap in (0.9, 0.7, 0.5, 0.2):
+        n_common = int(3000 * overlap)
+        b = np.concatenate([a[:n_common], universe[3000: 3000 + (3000 - n_common)]])
+        jt = exact_jaccard(a, b)
+        est = MinHasher.estimate_jaccard(mh.signature(a), mh.signature(b))
+        sigma = np.sqrt(jt * (1 - jt) / 128) + 1e-9
+        assert abs(est - jt) < 4 * sigma + 0.02, (overlap, jt, est)
+
+
+def test_minhash_identical_and_empty():
+    mh = MinHasher(64, seed=1)
+    s = char_shingle_hashes("some text to hash here", 4)
+    assert MinHasher.estimate_jaccard(mh.signature(s), mh.signature(s)) == 1.0
+    empty = mh.signature(np.empty(0, dtype=np.uint64))
+    assert (empty == np.iinfo(np.uint64).max).all()
+
+
+def test_minhash_chunking_invariant():
+    """Signature must not depend on the internal chunk size."""
+    mh = MinHasher(32, seed=5)
+    big = splitmix64(np.arange(300_000, dtype=np.uint64))
+    sig1 = mh.signature(big)
+    old = MinHasher._CHUNK
+    try:
+        MinHasher._CHUNK = 1 << 8
+        sig2 = mh.signature(big)
+    finally:
+        MinHasher._CHUNK = old
+    assert np.array_equal(sig1, sig2)
+
+
+def test_band_keys_match_iff_band_rows_match():
+    rng = np.random.RandomState(3)
+    sig_a = rng.randint(0, 2**63, 128, dtype=np.uint64)
+    sig_b = sig_a.copy()
+    sig_b[4:8] = rng.randint(0, 2**63, 4, dtype=np.uint64)  # corrupt band 1 (r=4)
+    ka, kb = band_keys(sig_a, 32, 4), band_keys(sig_b, 32, 4)
+    assert ka[0] == kb[0] and (ka[2:] == kb[2:]).all()
+    assert ka[1] != kb[1]
+    # same row values in different band positions must not collide
+    assert len(np.unique(ka)) == 32
+
+
+def test_band_keys_batch_matches_single():
+    rng = np.random.RandomState(9)
+    sigs = rng.randint(0, 2**63, (10, 128), dtype=np.uint64)
+    batch = band_keys_batch(sigs, 32, 4)
+    for i in range(10):
+        assert np.array_equal(batch[i], band_keys(sigs[i], 32, 4))
+
+
+def test_simhash_similar_vs_different():
+    a = char_shingle_hashes("def f(x):\n    return x + 1\n" * 20, 7)
+    b = char_shingle_hashes("def f(x):\n    return x + 2\n" * 20, 7)
+    c = char_shingle_hashes("class Totally(Different):\n    pass\n" * 20, 7)
+    ha = simhash64(a)
+    d_ab = hamming64(np.array([ha]), np.array([simhash64(b)]))[0]
+    d_ac = hamming64(np.array([ha]), np.array([simhash64(c)]))[0]
+    assert d_ab < d_ac
+    assert hamming64(np.array([ha]), np.array([ha]))[0] == 0
+
+
+def test_hamming64_known_values():
+    assert hamming64(np.array([0], np.uint64), np.array([0b1011], np.uint64))[0] == 3
+    assert hamming64(np.array([2**64 - 1], np.uint64),
+                     np.array([0], np.uint64))[0] == 64
+
+
+def test_hash64_str_stable_and_distinct():
+    a = hash64_str(["x", "y", "x"])
+    assert a[0] == a[2] and a[0] != a[1]
+    assert a.dtype == np.uint64
+
+
+def test_token_shingles_and_hash_tokens():
+    toks = hash_tokens("a b c d e".split())
+    tri = token_shingle_hashes(toks, 3)
+    assert len(tri) == 3
+    toks2 = hash_tokens("a b c d e".split())
+    assert np.array_equal(toks, toks2)
+
+
+def test_bottom_k_and_rolling_fingerprint():
+    h = np.array([9, 3, 7, 3, 1], dtype=np.uint64)
+    assert np.array_equal(bottom_k(h, 2), np.array([1, 3], dtype=np.uint64))
+    fp1 = rolling_fingerprint("x" * 10 + "some longer document body " * 10)
+    fp2 = rolling_fingerprint("x" * 10 + "some longer document body " * 10)
+    assert np.array_equal(fp1, fp2)
+    assert len(fp1) <= 8
+
+
+@pytest.mark.parametrize("p,b,r", [(128, 32, 4), (64, 16, 4), (128, 16, 8)])
+def test_lsh_catch_probability_shape(p, b, r):
+    """1-(1-s^r)^b must be ≈1 well above threshold and small well below."""
+    s_hi, s_lo = 0.9, 0.2
+    hi = 1 - (1 - s_hi**r) ** b
+    lo = 1 - (1 - s_lo**r) ** b
+    assert hi > 0.999
+    assert lo < 0.25
