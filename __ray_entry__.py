@@ -1,44 +1,239 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
+source-code corpus. ``queries()`` exposes one callable per implemented
+operator/pipeline (SURVEY.md §2 + the training-data ops); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Oracle-parity rules used throughout (see pipelines/relational.py and
+pipelines/textops.py):
+* all compared aggregate/derived columns are INTEGER (counts, ranks,
+  cent/1e-4-scaled sums) — float-summation-order noise can't flip them;
+* regex character classes are written explicitly so pyarrow RE2 and
+  DuckDB RE2 agree byte-for-byte;
+* ordering ties are broken by explicit integer keys on both sides.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
+from fuzzy_dedupe_pipeline_ray.functions.textnorm import STOPWORDS
+from fuzzy_dedupe_pipeline_ray.pipelines import ann, relational, textops
+from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# RE2 character classes shared with functions/textnorm.py
+_WS = "[ \\t\\n\\r\\f\\v]+"
+_PUNCT = "[^a-zA-Z0-9 \\t\\n\\r\\f\\v]"
+
+
+def _corpus_size_for(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": "tiny", "sf0.01": "small", "sf0.1": "bench"}.get(
+        base, "small")
+
+
+def files_dedupe(sf_dir: str):
+    """Flagship: full checkpointed dedupe over the synthetic source-code
+    corpus sized to match the sf tier (rows-only check — MinHash/LSH is
+    not SQL-expressible)."""
+    size = _corpus_size_for(sf_dir)
+    d = corpus_dir(size)
+    run_dir = f"/tmp/fdpr_runs/query_{size}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    p = DedupePipeline(f"{d}/files.parquet", run_dir)
+    p.run()
+    return p.assignments().select_columns(
+        ["doc_id", "cluster_id", "duplicate_count", "confidence",
+         "is_representative"]).sort("doc_id")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the tiny corpus; returns the assignments."""
+    return files_dedupe("/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+def queries() -> "dict[str, Callable[[str], Any]]":
+    return {
+        # flagship + near-dup family (engine kernels)
+        "files_dedupe": files_dedupe,
+        "doc_minhash_lsh_dedupe": textops.doc_minhash_lsh_dedupe,
+        "doc_simhash_dedupe": textops.doc_simhash_dedupe,
+        "doc_exact_dedupe": textops.doc_exact_dedupe,
+        "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
+        # text analysis
+        "doc_normalize": textops.doc_normalize,
+        "doc_token_stats": textops.doc_token_stats,
+        "doc_quality": textops.doc_quality,
+        "doc_langid": textops.doc_langid,
+        "doc_fingerprint": textops.doc_fingerprint,
+        # similarity search
+        "ann_topk": ann.ann_topk,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        # relational operator demos
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "top_customers": relational.top_customers,
+        "nation_order_stats": relational.nation_order_stats,
+        "part_type_distinct": relational.part_type_distinct,
+        "events_hourly_window": relational.events_hourly_window,
+        "events_sessionize": relational.events_sessionize,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+def oracle_sql() -> "dict[str, str]":
+    collapsed = f"trim(regexp_replace(text, '{_WS}', ' ', 'g'))"
+    n_tokens = (f"CASE WHEN {collapsed} = '' THEN 0 ELSE "
+                f"length({collapsed}) - length(replace({collapsed}, ' ', '')) + 1 END")
+    return {
+        "doc_exact_dedupe": f"""
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS rep_id,
+                   count(*)    OVER (PARTITION BY sha256(text)) AS dup_count
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_normalize": f"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '{_PUNCT}', ' ', 'g'), '{_WS}', ' ', 'g')) AS norm_text,
+                   sha256(text) AS text_sha256
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   {n_tokens} AS n_tokens,
+                   length(text) AS text_len
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_total,
+                   length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g'))
+                       AS punct_chars,
+                   {n_tokens} AS n_tokens,
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '{_WS}'),
+                       x -> x IN ({_STOP_LIST}))) AS stopword_count,
+                   ({n_tokens}) >= 5 AND
+                   (length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g'))) * 10
+                       < length(text) AS quality_ok
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_ngram_jaccard_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array({collapsed}, ' ') AS t
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(i AS BIGINT) AS inter,
+                   CAST(sa.sz + sb.sz - i AS BIGINT) AS union_sz
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE 2 * i >= sa.sz + sb.sz - i
+            ORDER BY id_a, id_b
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            s AS (SELECT q.qid, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qe) AS sim
+                  FROM embeddings e CROSS JOIN q)
+            SELECT qid, vec_id, rank FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, vec_id ASC) AS rank
+                FROM s)
+            WHERE rank <= 10 ORDER BY qid, rank
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ORDER BY id_a, id_b
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+                       AS sum_base_price_e2,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+                       AS BIGINT) AS sum_disc_price_e4,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_e2,
+                   count(*) AS order_count
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY revenue_e2 DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "nation_order_stats": """
+            SELECT n.n_name,
+                   count(*) AS n_orders,
+                   CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS total_e2
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        "part_type_distinct": """
+            SELECT p_brand, p_type, count(*) AS n
+            FROM part GROUP BY p_brand, p_type
+            ORDER BY p_brand, p_type
+        """,
+        "events_hourly_window": """
+            SELECT user_id, event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
+            FROM events
+            GROUP BY user_id, event_type, date_trunc('hour', ts)
+            ORDER BY user_id, event_type, window_start
+        """,
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o)
+            SELECT user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+    }

@@ -67,7 +67,12 @@ class PipelineConfig:
     # --- execution -------------------------------------------------------
     fingerprint_batch_size: int = 256
     fingerprint_concurrency: int = 4   # actor-pool size
-    num_partitions: int = 32           # hash-join / shuffle partition count
+    # Hash-join partition count. Each Dataset.join spins up num_partitions
+    # aggregator actors; with the fractional num_cpus below a single join
+    # fits comfortably inside even an 8-CPU allotment. Scale this with the
+    # cluster (≈ 2-4 × total cores) — the sandbox default is small.
+    num_partitions: int = 8
+    join_aggregator_num_cpus: float = 0.25
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 

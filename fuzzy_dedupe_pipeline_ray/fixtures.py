@@ -235,8 +235,8 @@ def generate_corpus(size: str = "tiny", seed: int = 42) -> "tuple[pa.Table, pa.T
     })
     idx, cluster, kind, recallable = (list(c) for c in zip(*truth))
     truth_t = pa.table({
-        "doc_id": pa.array(doc_ids[np.asarray(idx)], pa.uint64()),
-        "truth_cluster_id": pa.array(cluster, pa.uint64()),
+        "doc_id": pa.array(doc_ids[np.asarray(idx)], pa.int64()),
+        "truth_cluster_id": pa.array(cluster, pa.int64()),
         "family_kind": pa.array(kind, pa.string()),
         "expected_pair_recallable": pa.array(recallable, pa.bool_()),
     })

@@ -42,12 +42,26 @@ def sha256_hex(values: "list[str] | np.ndarray") -> list[str]:
     return [hashlib.sha256(v.encode("utf-8", "surrogatepass")).hexdigest() for v in values]
 
 
+#: Shuffle keys (doc_id, band_key, anchors, CC labels) are 63-bit NON-NEGATIVE
+#: int64: Ray Data's hash aggregates coerce key columns through int64, so a
+#: uint64 with the top bit set either overflows or degrades the block to a
+#: pickled-object column. One bit of entropy is the price of staying on the
+#: fast Arrow path.
+KEY_MASK = np.int64(0x7FFF_FFFF_FFFF_FFFF)
+
+
+def mask_keys(x: np.ndarray) -> np.ndarray:
+    """uint64 hash values → non-negative int64 shuffle keys."""
+    return (x & np.uint64(KEY_MASK)).astype(np.int64)
+
+
 def hash64_str(values) -> np.ndarray:
-    """Deterministic 64-bit id per string (first 8 bytes of sha256).
+    """Deterministic 63-bit id per string (first 8 bytes of sha256, top bit
+    cleared — see KEY_MASK).
 
     Used for ``doc_id`` derivation from the (repo, path, commit) key. At
-    10^12 rows a 64-bit id has non-trivial birthday collision mass; the
-    documented scale path is a 128-bit id split across two uint64 columns
+    10^12 rows a 63-bit id has non-trivial birthday collision mass; the
+    documented scale path is a 128-bit id split across two int64 columns
     (first 16 sha bytes) — the pipeline only relies on ids being unique,
     not dense.
     """
@@ -56,7 +70,7 @@ def hash64_str(values) -> np.ndarray:
         out[i] = int.from_bytes(
             hashlib.sha256(v.encode("utf-8", "surrogatepass")).digest()[:8], "big"
         )
-    return out
+    return mask_keys(out)
 
 
 @_wrap_errstate
@@ -170,6 +184,44 @@ class MinHasher:
         return (sigs_a == sigs_b).mean(axis=1)
 
 
+def pack_signatures(sigs: np.ndarray) -> "pa.Array":
+    """(m, P) uint64 signature matrix → Arrow binary column (8·P bytes per
+    row). Binary (not fixed_size_list) so the column survives Acero hash
+    joins as a payload field."""
+    import pyarrow as pa
+
+    m, p = sigs.shape
+    flat = np.ascontiguousarray(sigs, dtype="<u8").tobytes()
+    return pa.Array.from_buffers(
+        pa.binary(),
+        m,
+        [None,
+         pa.py_buffer(np.arange(0, (m + 1) * 8 * p, 8 * p, dtype=np.int32).tobytes()),
+         pa.py_buffer(flat)],
+    )
+
+
+def unpack_signatures(col, p: int) -> np.ndarray:
+    """Arrow binary column of packed signatures → (m, P) uint64 matrix.
+
+    Zero-copy when the binary values are contiguous (the common case);
+    falls back to a per-row copy otherwise."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    m = len(arr)
+    if m == 0:
+        return np.empty((0, p), dtype=np.uint64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                            count=m + 1, offset=arr.offset * 4)
+    widths = np.diff(offsets)
+    if (widths == 8 * p).all():
+        data = np.frombuffer(arr.buffers()[2], dtype="<u8",
+                             count=m * p, offset=int(offsets[0]))
+        return data.reshape(m, p)
+    return np.stack([np.frombuffer(v.as_py(), dtype="<u8") for v in arr])
+
+
 @_wrap_errstate
 def simhash64(hashes: np.ndarray, weights: "np.ndarray | None" = None) -> np.uint64:
     """64-bit SimHash of a set of feature hashes (optionally weighted).
@@ -208,7 +260,7 @@ def band_keys(sig: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray
     for j in range(rows_per_band):
         h = (h ^ bands[:, j]) * _FNV_PRIME
     h = (h ^ np.arange(num_bands, dtype=np.uint64)) * _FNV_PRIME
-    return splitmix64(h)
+    return mask_keys(splitmix64(h))
 
 
 @_wrap_errstate
@@ -220,7 +272,7 @@ def band_keys_batch(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.
     for j in range(rows_per_band):
         h = (h ^ bands[:, :, j]) * _FNV_PRIME
     h = (h ^ np.arange(num_bands, dtype=np.uint64)[None, :]) * _FNV_PRIME
-    return splitmix64(h.ravel()).reshape(m, num_bands)
+    return mask_keys(splitmix64(h.ravel())).reshape(m, num_bands)
 
 
 @_wrap_errstate

@@ -1,0 +1,208 @@
+"""Similarity search over an embedding column (``embeddings.parquet``:
+vec_id, embedding list<float>, label).
+
+Two paths, per the training-data-ops requirement:
+
+* ``ann_topk`` — brute-force cosine top-k: the query matrix is broadcast
+  ONCE via ``ray.put`` and every ``map_batches`` task does one numpy
+  matmul per batch, emitting per-batch partial top-k; a final
+  groupby(query) merge produces exact global top-k. No full
+  materialization of the corpus; scales as one pass over the table.
+
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH bucketing
+  (signature prefix as bucket key) restricts the exact cosine scoring to
+  the query's bucket neighborhood. Approximate (recall < 1 by design) →
+  rows-only correctness check.
+
+* ``embedding_near_dup_pairs`` — all pairs with cosine ≥ threshold
+  (brute force blocked matmul against the broadcast matrix; the
+  embedding-cosine near-dup operator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def read_embeddings(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def _to_matrix(batch: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+    ids = batch.column("vec_id").to_numpy()
+    emb = batch.column("embedding")
+    arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return ids, flat.reshape(len(ids), -1).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+def _query_matrix(sf_dir: str, n_queries: int):
+    """First n_queries rows by vec_id — deterministic query set."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    idx = pa.compute.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+    t = t.take(idx).slice(0, n_queries)
+    ids, m = _to_matrix(t)
+    return ids, _normalize(m)
+
+
+def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Exact cosine top-k per query: (qid, vec_id, rank), rank 1..k by
+    (similarity DESC, vec_id ASC) — integer-only output so the DuckDB
+    oracle (list_cosine_similarity + row_number) hashes identically."""
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, q))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids, m = _to_matrix(batch)
+        sims = _normalize(m) @ qm.T          # (batch, nq)
+        out = {"qid": [], "vec_id": [], "sim": []}
+        kk = min(k, len(ids))
+        for j, qid in enumerate(qi):
+            s = sims[:, j]
+            # partial top-k inside the batch (keeps the shuffle tiny)
+            part = np.argpartition(-s, kk - 1)[:kk]
+            order = part[np.lexsort((ids[part], -s[part]))]
+            out["qid"].extend([qid] * len(order))
+            out["vec_id"].extend(ids[order].tolist())
+            out["sim"].extend(s[order].tolist())
+        return pa.table({"qid": pa.array(out["qid"], pa.int64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "sim": pa.array(out["sim"], pa.float64())})
+
+    partials = read_embeddings(sf_dir).map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        qid = g.column("qid")[0].as_py()
+        ids = g.column("vec_id").to_numpy()
+        sims = g.column("sim").to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            "qid": pa.array([qid] * len(order), pa.int64()),
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return partials.groupby("qid").map_groups(
+        merge_topk, batch_format="pyarrow").sort(["qid", "rank"])
+
+
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """All (id_a < id_b) pairs with cosine ≥ threshold — embedding-cosine
+    near-dup detection. The full normalized matrix is broadcast once
+    (ray.put) and each batch does one blocked matmul against it; at 100 TB
+    the same shape runs per LSH bucket instead of against the full matrix
+    (see ann_lsh_topk)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    all_ids, all_m = _to_matrix(t)
+    ref = ray.put((all_ids, _normalize(all_m)))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_full, m_full = ray.get(ref)
+        ids, m = _to_matrix(batch)
+        sims = _normalize(m) @ m_full.T
+        ii, jj = np.where(sims >= threshold)
+        a = ids[ii]
+        b = ids_full[jj]
+        keep = a < b
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+    return read_embeddings(sf_dir).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["id_a", "id_b"])
+
+
+class _HyperplaneHasher:
+    """Actor-pool state: the random hyperplane bank, drawn once per actor
+    from a fixed seed (deterministic across the pool)."""
+
+    def __init__(self, dim: int, n_planes: int, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, n_planes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        bits = (_normalize(m) @ self.planes) > 0
+        key = np.zeros(len(ids), dtype=np.int64)
+        for j in range(bits.shape[1]):
+            key |= bits[:, j].astype(np.int64) << j
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(key, pa.int64()),
+                         "embedding": batch.column("embedding")})
+
+
+def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 n_planes: int = 6):
+    """Approximate top-k: score only vectors whose hyperplane bucket
+    matches the query's bucket. Same output schema as ann_topk."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    dim = len(t.column("embedding")[0])
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    hasher = _HyperplaneHasher(dim, n_planes)
+    q_bits = (q @ hasher.planes) > 0
+    q_keys = np.zeros(len(q_ids), dtype=np.int64)
+    for j in range(q_bits.shape[1]):
+        q_keys |= q_bits[:, j].astype(np.int64) << j
+    q_ref = ray.put((q_ids, q, q_keys))
+
+    bucketed = read_embeddings(sf_dir).map_batches(
+        _HyperplaneHasher, fn_constructor_args=(dim, n_planes),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qm, qk = ray.get(q_ref)
+        ids, m = _to_matrix(batch.select(["vec_id", "embedding"]))
+        buckets = batch.column("bucket").to_numpy()
+        out_q, out_v, out_s = [], [], []
+        mn = _normalize(m)
+        for j, (qid, key) in enumerate(zip(qi, qk)):
+            mask = buckets == key
+            if not mask.any():
+                continue
+            s = mn[mask] @ qm[j]
+            sel_ids = ids[mask]
+            kk = min(k, len(sel_ids))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            order = part[np.lexsort((sel_ids[part], -s[part]))]
+            out_q.extend([qid] * len(order))
+            out_v.extend(sel_ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = bucketed.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        qid = g.column("qid")[0].as_py()
+        ids = g.column("vec_id").to_numpy()
+        sims = g.column("sim").to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            "qid": pa.array([qid] * len(order), pa.int64()),
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return partials.groupby("qid").map_groups(
+        merge, batch_format="pyarrow").sort(["qid", "rank"])

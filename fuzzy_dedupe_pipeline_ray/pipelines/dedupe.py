@@ -1,0 +1,193 @@
+"""End-to-end near-duplicate detection pipeline (the flagship).
+
+The Ray-Data re-expression of the reference's 3-stage run
+(``main.py:94-211``): ingest → fingerprint → candidate gen → verify →
+cluster → finalize, with every materialized boundary checkpointed
+atomically (RunManifest) and per-stage metrics logged (RunLog — the
+``dedupe_log`` analog, ``main.py:119-142``). A re-run with ``resume=True``
+and the same config hash skips completed stages by reading their
+checkpoints — the upgrade of the reference's truncate-and-load idempotency
+(``sheets_sync/sync.py:39``).
+
+Stage graph (shuffle boundaries marked ×):
+
+    files.parquet ──┬─ docs        (ingest_meta: map_batches, no shuffle)
+                    └─ signatures  (FingerprintActor pool, no shuffle)
+    docs       ─× groupby(sha)     → edges_exact  (star edges)
+    signatures ─ explode bands ─× groupby(band) ─× distinct → pairs
+    pairs ⋈× signatures ⋈× signatures → map_batches verify → edges_fuzzy
+    signatures ─ explode anchors ─× groupby ─ verify spans → edges_substring
+    all edges ─× distinct(id_a,id_b; max conf) → edges
+    edges → connected components (driver DSU | × label prop) → labels
+    docs ⋈× labels ⋈× per-doc-conf ─× groupby(label) → assignments
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import ray.data
+
+from fuzzy_dedupe_pipeline_ray.config import DEFAULT_CONFIG, PipelineConfig
+from fuzzy_dedupe_pipeline_ray.stages.cc import connected_components
+from fuzzy_dedupe_pipeline_ray.stages.exact import EDGE_SCHEMA, exact_edges
+from fuzzy_dedupe_pipeline_ray.stages.finalize import finalize
+from fuzzy_dedupe_pipeline_ray.stages.fingerprint import fingerprint
+from fuzzy_dedupe_pipeline_ray.stages.ingest import ingest_meta, ingest_meta_batch
+from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
+from fuzzy_dedupe_pipeline_ray.stages.substring import substring_edges
+from fuzzy_dedupe_pipeline_ray.stages.verify import verify_pairs
+from fuzzy_dedupe_pipeline_ray.state.manifest import RunManifest, checkpoint_write
+from fuzzy_dedupe_pipeline_ray.state.runlog import RunLog
+
+
+def _dedup_edges_group(group: pa.Table) -> pa.Table:
+    """One edge per (id_a, id_b): keep the highest-confidence scoring
+    (deterministic tie-break by match_type)."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(group, sort_keys=[
+        ("confidence", "descending"), ("match_type", "ascending")])
+    return group.take(order).slice(0, 1)
+
+
+def _substring_to_edges(sub_ds, cfg: PipelineConfig):
+    def conv(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        frac = b.column("span_frac").to_numpy()
+        n = b.num_rows
+        conf = np.minimum(cfg.confidence_cap, frac)
+        return pa.table({
+            "id_a": b.column("id_a"),
+            "id_b": b.column("id_b"),
+            "sig_sim": pa.array(frac, pa.float64()),
+            "second_sim": pa.array(np.zeros(n), pa.float64()),
+            "exact_match": pa.array(np.zeros(n, dtype=bool), pa.bool_()),
+            "match_type": pa.array(["substring"] * n, pa.string()),
+            "confidence": pa.array(conf, pa.float64()),
+        }, schema=EDGE_SCHEMA)
+
+    return sub_ds.map_batches(conv, batch_format="pyarrow")
+
+
+class DedupePipeline:
+    """Checkpointed flagship pipeline over a run directory."""
+
+    def __init__(self, input_path: "str | None", run_dir: str,
+                 cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                 files_ds=None, resume: bool = True):
+        self.input_path = input_path
+        self.run_dir = run_dir
+        self.cfg = cfg
+        self.resume = resume
+        self._files_ds = files_ds
+        self.manifest = RunManifest(run_dir, cfg.config_hash)
+        self.runlog = RunLog()
+
+    # -- helpers ----------------------------------------------------------
+
+    def files(self):
+        if self._files_ds is not None:
+            return self._files_ds
+        return ray.data.read_parquet(
+            self.input_path,
+            columns=["repo", "path", "commit", "lang", "content"])
+
+    def _stage(self, name: str, build):
+        """Build-or-resume one checkpointed stage; returns a Dataset that
+        reads from the checkpoint (so downstream stages never recompute)."""
+        t0 = time.time()
+        ckpt = self.manifest.stage_dir(name)
+        if self.resume and self.manifest.is_complete(name):
+            st = self.manifest.data["stages"][name]
+            self.runlog.log_stage(name, "resumed", t0, time.time(), st["rows"])
+            return ray.data.read_parquet(ckpt)
+        try:
+            ds = build()
+            lineage = checkpoint_write(ds, ckpt)
+            rows = sum(p["rows"] for p in lineage)
+            self.manifest.mark_complete(
+                name, rows=rows, duration_ms=int((time.time() - t0) * 1000),
+                partitions=lineage)
+            self.runlog.log_stage(name, "success", t0, time.time(), rows,
+                                  partitions=lineage)
+            return ray.data.read_parquet(ckpt)
+        except Exception as e:  # noqa: BLE001 — recorded, then re-raised
+            self.manifest.mark_failed(name, repr(e))
+            self.runlog.log_stage(name, "failed", t0, time.time(), 0,
+                                  error=repr(e))
+            self.runlog.write(os.path.join(self.run_dir, "dedupe_log.parquet"))
+            raise
+
+    # -- run --------------------------------------------------------------
+
+    def run(self) -> "dict[str, str]":
+        cfg = self.cfg
+        docs = self._stage("docs", lambda: ingest_meta(self.files()))
+        sigs = self._stage("signatures", lambda: fingerprint(self.files(), cfg))
+        ex = self._stage("edges_exact", lambda: exact_edges(docs, cfg))
+        fuzzy = self._stage("edges_fuzzy", lambda: verify_pairs(
+            candidate_pairs(sigs, cfg), sigs, cfg))
+
+        edge_sets = [ex, fuzzy]
+        if cfg.substring_enabled:
+            sub = self._stage("edges_substring", lambda: substring_edges(
+                self.files(), sigs, cfg))
+            if cfg.substring_cluster:
+                edge_sets.append(_substring_to_edges(sub, cfg))
+
+        def build_edges():
+            u = edge_sets[0]
+            for e in edge_sets[1:]:
+                u = u.union(e)
+            return u.groupby(["id_a", "id_b"]).map_groups(
+                _dedup_edges_group, batch_format="pyarrow")
+
+        edges = self._stage("edges", build_edges)
+        labels = self._stage("labels", lambda: connected_components(edges, cfg))
+        assignments = self._stage(
+            "assignments", lambda: finalize(docs, labels, edges, cfg))
+
+        self.runlog.write(os.path.join(self.run_dir, "dedupe_log.parquet"))
+        return {name: self.manifest.stage_dir(name)
+                for name in ("docs", "signatures", "edges", "labels",
+                             "assignments")}
+
+    # -- outputs ----------------------------------------------------------
+
+    def assignments(self):
+        return ray.data.read_parquet(self.manifest.stage_dir("assignments"))
+
+    def write_cleaned(self, out_dir: str):
+        """The reference's stage-3 output (``sheets_sync/sync.py:159-188``):
+        one row per cluster — the representative — with content and cluster
+        stats; content flows through unchanged (sha-equality invariant)."""
+        cfg = self.cfg
+
+        def add_ids(b: pa.Table) -> pa.Table:
+            return b.append_column("doc_id", ingest_meta_batch(b).column("doc_id"))
+
+        files_with_ids = self.files().map_batches(add_ids, batch_format="pyarrow",
+                                                  zero_copy_batch=True)
+        import pyarrow.compute as pc
+
+        from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
+
+        reps = self.assignments().map_batches(
+            lambda b: b.filter(pc.equal(b.column("is_representative"), True)),
+            batch_format="pyarrow").select_columns(
+            ["doc_id", "cluster_id", "duplicate_count", "confidence",
+             "content_sha256"])
+        joined = hash_join(files_with_ids, reps, on="doc_id", cfg=cfg)
+        joined.write_parquet(out_dir)
+        return out_dir
+
+
+def run_dedupe(input_path: str, run_dir: str,
+               cfg: PipelineConfig = DEFAULT_CONFIG, *,
+               resume: bool = True, files_ds=None) -> "dict[str, str]":
+    return DedupePipeline(input_path, run_dir, cfg, resume=resume,
+                          files_ds=files_ds).run()

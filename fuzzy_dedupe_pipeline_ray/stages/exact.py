@@ -1,0 +1,60 @@
+"""Exact-duplicate pre-pass: narrow ``groupby(content_sha256)`` star edges.
+
+Analog of the reference's implicit exact dedup (identical texts get cosine
+1.0 ≥ threshold, a consequence of ``dedupe_logic/processor.py:149``) made
+explicit and cheap: only ``(content_sha256, doc_id)`` is shuffled — never
+``content``. Each sha group emits star edges (min doc_id ↔ member), which
+is enough for connectivity; all-pairs inside a 10k-copy license group
+would be quadratic (the FIXTURES.md kind-6 skew case).
+
+Edge scoring mirrors the reference's scoring of an identical pair:
+score=1.0, second signal=1.0, exact key matches → the hybrid path
+(``processor.py:160-163``) → confidence = min(cap, (1+1)/2) = cap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+
+EDGE_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("sig_sim", pa.float64()),
+    ("second_sim", pa.float64()),
+    ("exact_match", pa.bool_()),
+    ("match_type", pa.string()),
+    ("confidence", pa.float64()),
+])
+
+
+def _star_edges_batch(group: pa.Table, confidence: float) -> pa.Table:
+    ids = np.sort(group.column("doc_id").to_numpy())
+    if len(ids) < 2:
+        return EDGE_SCHEMA.empty_table()
+    rep = ids[0]
+    others = ids[1:]
+    n = len(others)
+    return pa.table({
+        "id_a": pa.array(np.full(n, rep, dtype=np.int64), pa.int64()),
+        "id_b": pa.array(others, pa.int64()),
+        "sig_sim": pa.array(np.ones(n), pa.float64()),
+        "second_sim": pa.array(np.ones(n), pa.float64()),
+        "exact_match": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+        "match_type": pa.array(["exact"] * n, pa.string()),
+        "confidence": pa.array(np.full(n, confidence), pa.float64()),
+    }, schema=EDGE_SCHEMA)
+
+
+def exact_edges(docs_ds, cfg: PipelineConfig):
+    """docs-meta Dataset → exact-duplicate star-edge Dataset.
+
+    One narrow shuffle keyed by sha256 (uniform — hash keys don't skew
+    even when values do, SURVEY.md §7.3).
+    """
+    conf = min(cfg.confidence_cap, 1.0)
+    narrow = docs_ds.select_columns(["content_sha256", "doc_id"])
+    return narrow.groupby("content_sha256").map_groups(
+        lambda g: _star_edges_batch(g, conf), batch_format="pyarrow")

@@ -1,0 +1,137 @@
+"""Fingerprint stage: shingle → MinHash + SimHash + substring anchors.
+
+The direct analog of the reference's embedding stage
+(``dedupe_logic/processor.py:29-45,88-108``): the SentenceTransformer
+weights loaded once per process become a MinHash permutation bank built
+once per **actor** (``__init__``), and the per-record encode becomes a
+vectorized per-batch signature computation. Run as an actor-pool
+``map_batches(FingerprintActor, concurrency=N, batch_format="pyarrow",
+zero_copy_batch=True)``.
+
+Batch-local exact dedup: within a batch, identical ``content_sha256``
+values are fingerprinted ONCE and only one signature row (the batch-local
+min doc_id) is emitted. Cross-batch copies of the same content produce
+identical signatures → identical band keys in every band → the LSH stage
+links them (est. Jaccard 1.0), and the narrow sha-groupby exact pre-pass
+(``stages/exact.py``) supplies the remaining exact star edges. This removes
+the skew blob mass (licenses, vendored files — FIXTURES.md kind 6) from
+the fingerprint CPU bill without ever shuffling the wide ``content``
+column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+    MinHasher,
+    band_keys_batch,
+    bottom_k,
+    char_shingle_hashes,
+    hash64_str,
+    hash_tokens,
+    mask_keys,
+    pack_signatures,
+    sha256_hex,
+    simhash64,
+    token_shingle_hashes,
+)
+from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_keys
+
+
+def normalize_for_shingles(text: str, cfg: PipelineConfig) -> str:
+    if cfg.lowercase:
+        text = text.lower()
+    if cfg.collapse_whitespace:
+        text = " ".join(text.split())
+    return text
+
+
+def shingle_set(text: str, cfg: PipelineConfig) -> np.ndarray:
+    norm = normalize_for_shingles(text, cfg)
+    if cfg.shingle_mode == "char":
+        h = char_shingle_hashes(norm, cfg.shingle_k)
+    else:
+        h = token_shingle_hashes(hash_tokens(norm.split()), cfg.shingle_k)
+    if len(h) > cfg.max_shingles_per_doc:
+        h = h[: cfg.max_shingles_per_doc]  # np.unique output is sorted → deterministic cap
+    return h
+
+
+class FingerprintActor:
+    """Stateful per-batch fingerprinter (actor pool).
+
+    Holds: the MinHash permutation bank, the shingler config, and the
+    anchor sketch config — all built once in ``__init__`` (the "load the
+    model once" rule, SURVEY.md §2.3 ST1).
+    """
+
+    def __init__(self, cfg_json: str):
+        self.cfg = PipelineConfig.from_json(cfg_json)
+        self.mh = MinHasher(self.cfg.num_perms, self.cfg.minhash_seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        content = batch.column("content").to_pylist()
+        if "doc_id" in batch.schema.names:  # caller-supplied ids (e.g. documents table)
+            doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        else:
+            doc_ids = hash64_str(_doc_keys(batch))
+        shas = sha256_hex(content)
+
+        # batch-local exact dedup: fingerprint each distinct sha once,
+        # emit the signature under the batch-local min doc_id
+        first_idx: dict[str, int] = {}
+        for i, s in enumerate(shas):
+            j = first_idx.get(s)
+            if j is None or doc_ids[i] < doc_ids[j]:
+                first_idx[s] = i
+        reps = sorted(first_idx.values(), key=lambda i: doc_ids[i])
+
+        m = len(reps)
+        sigs = np.empty((m, cfg.num_perms), dtype=np.uint64)
+        simhashes = np.empty(m, dtype=np.uint64)
+        n_shingles = np.empty(m, dtype=np.uint32)
+        anchors: list[np.ndarray] = []
+        for out_i, i in enumerate(reps):
+            sh = shingle_set(content[i], cfg)
+            sigs[out_i] = self.mh.signature(sh)
+            simhashes[out_i] = simhash64(sh)
+            n_shingles[out_i] = len(sh)
+            if cfg.substring_enabled:
+                big = char_shingle_hashes(
+                    normalize_for_shingles(content[i], cfg), cfg.anchor_k)
+                # masked to 63-bit int64: anchors become groupby keys
+                anchors.append(mask_keys(bottom_k(big, cfg.anchors_per_doc)))
+            else:
+                anchors.append(np.empty(0, dtype=np.int64))
+
+        rep_idx = np.asarray(reps, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[rep_idx], pa.int64()),
+            "content_sha256": pa.array([shas[i] for i in reps], pa.string()),
+            "minhash": pack_signatures(sigs),
+            "simhash": pa.array(simhashes, pa.uint64()),
+            "n_shingles": pa.array(n_shingles, pa.uint32()),
+            "anchors": pa.array([a.tolist() for a in anchors],
+                                pa.list_(pa.int64())),
+        })
+
+
+def fingerprint(files_ds, cfg: PipelineConfig):
+    """files Dataset → signatures Dataset (one row per batch-local distinct
+    content). Actor pool sized by ``cfg.fingerprint_concurrency``."""
+    return files_ds.map_batches(
+        FingerprintActor,
+        fn_constructor_args=(cfg.to_json(),),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.fingerprint_batch_size,
+        # autoscaling (1, N) pool: a fixed pool of N×1 CPU can reserve the
+        # whole allotment and starve the upstream read task (observed
+        # deadlock at num_cpus=4); min=1 keeps the pipeline draining.
+        concurrency=(1, cfg.fingerprint_concurrency),
+        num_cpus=1,
+    )

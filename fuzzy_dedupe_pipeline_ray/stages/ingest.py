@@ -1,0 +1,48 @@
+"""Ingest: derive ``doc_id`` + ``content_sha256`` + ``n_chars`` per file.
+
+Analog of the reference's ingest projection + normalization
+(``sheets_sync/sync.py:74-138``): the reference coerces every value to TEXT
+and derives nothing; here the derived identity columns are the exact-match
+key (sha256 ← normalized-phone equality, ``dedupe_logic/processor.py:47-51``)
+and the stable 64-bit ``doc_id`` (← the sheet row ``id``).
+
+Stateless ``map_batches`` over zero-copy Arrow batches; no shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str, sha256_hex
+
+
+def _doc_keys(batch: pa.Table) -> "list[str]":
+    repo = batch.column("repo").to_pylist()
+    path = batch.column("path").to_pylist()
+    commit = batch.column("commit").to_pylist()
+    return [f"{r}\x00{p}\x00{c}" for r, p, c in zip(repo, path, commit)]
+
+
+def ingest_meta_batch(batch: pa.Table) -> pa.Table:
+    """(repo,path,commit,lang,content) → narrow per-doc metadata row.
+
+    ``content`` is *dropped* here — it only flows through the fingerprint
+    stage (SURVEY.md §7.4: carry ids + signatures, not the wide column).
+    """
+    content = batch.column("content").to_pylist()
+    out = pa.table({
+        "doc_id": pa.array(hash64_str(_doc_keys(batch)), pa.int64()),
+        "repo": batch.column("repo"),
+        "path": batch.column("path"),
+        "commit": batch.column("commit"),
+        "lang": batch.column("lang"),
+        "content_sha256": pa.array(sha256_hex(content), pa.string()),
+        "n_chars": pa.array([len(c) for c in content], pa.int64()),
+    })
+    return out
+
+
+def ingest_meta(files_ds):
+    """Dataset of input files → narrow docs-metadata Dataset."""
+    return files_ds.map_batches(ingest_meta_batch, batch_format="pyarrow",
+                                zero_copy_batch=True)

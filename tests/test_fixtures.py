@@ -24,7 +24,7 @@ def test_schema_and_ids():
     assert files.schema.names == ["repo", "path", "commit", "lang", "content"]
     assert truth.schema.names == ["doc_id", "truth_cluster_id", "family_kind",
                                   "expected_pair_recallable"]
-    assert truth.schema.field("doc_id").type == pa.uint64()
+    assert truth.schema.field("doc_id").type == pa.int64()
     assert files.num_rows == truth.num_rows
     ids = truth.column("doc_id").to_numpy()
     assert len(np.unique(ids)) == len(ids)  # no doc_id collisions

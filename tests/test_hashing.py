@@ -121,7 +121,7 @@ def test_hamming64_known_values():
 def test_hash64_str_stable_and_distinct():
     a = hash64_str(["x", "y", "x"])
     assert a[0] == a[2] and a[0] != a[1]
-    assert a.dtype == np.uint64
+    assert a.dtype == np.int64 and (a >= 0).all()
 
 
 def test_token_shingles_and_hash_tokens():

@@ -1,0 +1,219 @@
+"""End-to-end pipeline tests against the planted ground truth
+(SURVEY.md §5): dup-pair recall ≥ 0.99, precision guard on negatives,
+sha256 per-row invariant, determinism across batch sizes, CC strategy
+equivalence, resume-from-checkpoint."""
+
+import collections
+import os
+import shutil
+
+import numpy as np
+import pyarrow.dataset as pds
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
+from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
+
+CORPUS_ROOT = "/tmp/fdpr_test_fixtures"
+
+
+@pytest.fixture(scope="module")
+def tiny_run(ray_session, tmp_path_factory):
+    d = corpus_dir("tiny", root=CORPUS_ROOT)
+    run_dir = str(tmp_path_factory.mktemp("run_tiny"))
+    p = DedupePipeline(f"{d}/files.parquet", run_dir)
+    paths = p.run()
+    return d, run_dir, p, paths
+
+
+def _load(paths, name):
+    return pds.dataset(paths[name]).to_table()
+
+
+def _truth(d):
+    return pq.read_table(f"{d}/truth_clusters.parquet")
+
+
+def test_assignment_schema_and_coverage(tiny_run):
+    d, _, _, paths = tiny_run
+    a = _load(paths, "assignments")
+    truth = _truth(d)
+    assert a.num_rows == truth.num_rows  # every input doc assigned exactly once
+    ids = a.column("doc_id").to_numpy()
+    assert len(np.unique(ids)) == len(ids)
+    for col in ("doc_id", "cluster_id", "duplicate_count", "confidence",
+                "is_representative"):
+        assert col in a.schema.names
+    # cluster_id is the representative's doc_id (processor.py:248 analog)
+    reps = {r["cluster_id"] for r in a.to_pylist()}
+    rep_rows = {r["doc_id"] for r in a.to_pylist() if r["is_representative"]}
+    assert reps == rep_rows
+    # duplicate_count consistent with actual cluster sizes
+    sizes = collections.Counter(a.column("cluster_id").to_pylist())
+    for r in a.to_pylist():
+        assert r["duplicate_count"] == sizes[r["cluster_id"]]
+
+
+def test_dup_pair_recall(tiny_run):
+    """All recallable intra-family pairs must land in one predicted cluster
+    with recall ≥ 0.99 (BASELINE.md target)."""
+    d, _, _, paths = tiny_run
+    a = _load(paths, "assignments")
+    truth = _truth(d)
+    pred = dict(zip(a.column("doc_id").to_pylist(),
+                    a.column("cluster_id").to_pylist()))
+    fam = collections.defaultdict(list)
+    for r in truth.to_pylist():
+        if r["expected_pair_recallable"] and r["family_kind"] != "negative":
+            fam[r["truth_cluster_id"]].append(r["doc_id"])
+    total = hit = 0
+    for members in fam.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                total += 1
+                if pred[members[i]] == pred[members[j]]:
+                    hit += 1
+    assert total > 100
+    recall = hit / total
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+
+
+def test_precision_negatives_stay_single(tiny_run):
+    d, _, _, paths = tiny_run
+    a = _load(paths, "assignments")
+    truth = _truth(d)
+    pred = dict(zip(a.column("doc_id").to_pylist(),
+                    a.column("cluster_id").to_pylist()))
+    kinds = dict(zip(truth.column("doc_id").to_pylist(),
+                     truth.column("family_kind").to_pylist()))
+    neg_clusters = [pred[d_] for d_, k in kinds.items() if k == "negative"]
+    # no two negatives share a cluster
+    assert len(neg_clusters) == len(set(neg_clusters))
+    # negatives don't get absorbed into any multi-doc cluster
+    sizes = collections.Counter(pred.values())
+    for d_, k in kinds.items():
+        if k == "negative":
+            assert sizes[pred[d_]] == 1, f"negative {d_} merged"
+
+
+def test_rename_far_not_merged(tiny_run):
+    d, _, _, paths = tiny_run
+    a = _load(paths, "assignments")
+    truth = _truth(d)
+    pred = dict(zip(a.column("doc_id").to_pylist(),
+                    a.column("cluster_id").to_pylist()))
+    fams = collections.defaultdict(list)
+    for r in truth.to_pylist():
+        if r["family_kind"] == "rename_far":
+            fams[r["truth_cluster_id"]].append(r["doc_id"])
+    for members in fams.values():
+        assert len({pred[m] for m in members}) == len(members)
+
+
+def test_skew_cluster_recovered(tiny_run):
+    """The hot license blob (30 identical copies) must form ONE cluster —
+    via sha pre-pass + star edges, never a quadratic pair blow-up."""
+    d, _, _, paths = tiny_run
+    a = _load(paths, "assignments")
+    truth = _truth(d)
+    pred = dict(zip(a.column("doc_id").to_pylist(),
+                    a.column("cluster_id").to_pylist()))
+    skew = [r["doc_id"] for r in truth.to_pylist()
+            if r["family_kind"] == "skew_exact"]
+    assert len({pred[s] for s in skew}) == 1
+    edges = _load(paths, "edges")
+    # edge count stays linear-ish in corpus size (star-pairing bound)
+    assert edges.num_rows < 20 * a.num_rows
+
+
+def test_sha_invariant_on_cleaned_output(tiny_run, tmp_path):
+    """input_hint per-row invariant: content sha256 equality in vs out."""
+    import hashlib
+
+    d, _, p, _ = tiny_run
+    out = str(tmp_path / "cleaned")
+    p.write_cleaned(out)
+    t = pds.dataset(out).to_table()
+    assert t.num_rows == len(set(
+        _load({"assignments": p.manifest.stage_dir("assignments")},
+              "assignments").column("cluster_id").to_pylist()))
+    for content, sha in zip(t.column("content").to_pylist(),
+                            t.column("content_sha256").to_pylist()):
+        assert hashlib.sha256(content.encode()).hexdigest() == sha
+
+
+def test_dedupe_log_written(tiny_run):
+    _, run_dir, _, _ = tiny_run
+    log = pq.read_table(os.path.join(run_dir, "dedupe_log.parquet"))
+    stages = set(log.column("stage_name").to_pylist())
+    assert {"docs", "signatures", "edges_exact", "edges_fuzzy", "edges",
+            "labels", "assignments"} <= stages
+    # per-partition lineage rows exist alongside the -1 stage totals
+    pids = set(log.column("partition_id").to_pylist())
+    assert -1 in pids and any(p >= 0 for p in pids)
+    assert set(log.column("status").to_pylist()) <= {"success", "resumed"}
+
+
+def test_resume_skips_and_is_identical(tiny_run, tmp_path):
+    d, run_dir, p, paths = tiny_run
+    before = _load(paths, "assignments").sort_by("doc_id")
+    p2 = DedupePipeline(f"{d}/files.parquet", run_dir)
+    p2.run()
+    log = p2.runlog.to_table()
+    assert set(log.column("status").to_pylist()) == {"resumed"}
+    after = _load(paths, "assignments").sort_by("doc_id")
+    assert before.equals(after)
+
+
+def test_partial_resume_recomputes_downstream_only(tiny_run):
+    d, run_dir, _, paths = tiny_run
+    before = _load(paths, "assignments").sort_by("doc_id")
+    # wipe downstream checkpoints; keep docs/signatures
+    for name in ("edges", "labels", "assignments"):
+        shutil.rmtree(os.path.join(run_dir, name))
+    p3 = DedupePipeline(f"{d}/files.parquet", run_dir)
+    p3.run()
+    statuses = {r["stage_name"]: r["status"]
+                for r in p3.runlog.to_table().to_pylist()
+                if r["partition_id"] == -1}
+    assert statuses["docs"] == "resumed"
+    assert statuses["signatures"] == "resumed"
+    assert statuses["assignments"] == "success"
+    after = _load(paths, "assignments").sort_by("doc_id")
+    assert before.equals(after)
+
+
+def test_determinism_across_batch_sizes(ray_session, tmp_path):
+    """Same input at different batch granularity (the single-node proxy for
+    different parallelism) → byte-identical assignments."""
+    d = corpus_dir("tiny", root=CORPUS_ROOT)
+    outs = []
+    for bs in (64, 256):
+        run_dir = str(tmp_path / f"run_bs{bs}")
+        cfg = PipelineConfig(fingerprint_batch_size=bs)
+        p = DedupePipeline(f"{d}/files.parquet", run_dir, cfg)
+        paths = p.run()
+        outs.append(_load(paths, "assignments")
+                    .select(["doc_id", "cluster_id", "duplicate_count",
+                             "is_representative"]).sort_by("doc_id"))
+    assert outs[0].equals(outs[1])
+
+
+def test_cc_strategies_equivalent(ray_session, tmp_path):
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.stages.cc import cc_labelprop, cc_unionfind
+
+    d = corpus_dir("tiny", root=CORPUS_ROOT)
+    run_dir = str(tmp_path / "run_cc")
+    p = DedupePipeline(f"{d}/files.parquet", run_dir)
+    paths = p.run()
+    edges = ray.data.read_parquet(paths["edges"])
+    uf = cc_unionfind(edges)
+    lp = (cc_labelprop(edges, PipelineConfig())
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ufd = uf.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (lp["doc_id"].to_numpy() == ufd["doc_id"].to_numpy()).all()
+    assert (lp["label"].to_numpy() == ufd["label"].to_numpy()).all()

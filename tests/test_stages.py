@@ -1,0 +1,145 @@
+"""Unit tests for individual pipeline stages (no Ray needed for the pure
+kernels; Ray-session tests live in test_pipeline_e2e.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+    MinHasher,
+    pack_signatures,
+    unpack_signatures,
+)
+from fuzzy_dedupe_pipeline_ray.stages.exact import _star_edges_batch
+from fuzzy_dedupe_pipeline_ray.stages.lsh import PAIR_SCHEMA, _emit_pairs
+from fuzzy_dedupe_pipeline_ray.stages.substring import longest_common_span
+from fuzzy_dedupe_pipeline_ray.stages.verify import score_pairs_batch
+from fuzzy_dedupe_pipeline_ray.state.unionfind import UnionFind
+
+CFG = PipelineConfig()
+
+
+def test_pack_unpack_signatures_roundtrip():
+    rng = np.random.RandomState(0)
+    sigs = rng.randint(0, 2**63, (7, 128), dtype=np.uint64)
+    arr = pack_signatures(sigs)
+    back = unpack_signatures(arr, 128)
+    assert np.array_equal(sigs, back)
+    # sliced array path
+    back2 = unpack_signatures(arr.slice(2, 3), 128)
+    assert np.array_equal(sigs[2:5], back2)
+
+
+def test_emit_pairs_all_pairs_below_cap():
+    g = pa.table({"band_key": pa.array([1] * 4, pa.int64()),
+                  "doc_id": pa.array([30, 10, 20, 10], pa.int64())})
+    out = _emit_pairs(g, cap=64)
+    pairs = set(zip(out.column("id_a").to_pylist(), out.column("id_b").to_pylist()))
+    assert pairs == {(10, 20), (10, 30), (20, 30)}
+    assert all(a < b for a, b in pairs)
+
+
+def test_emit_pairs_star_above_cap():
+    ids = list(range(100, 200))
+    g = pa.table({"band_key": pa.array([1] * 100, pa.int64()),
+                  "doc_id": pa.array(ids, pa.int64())})
+    out = _emit_pairs(g, cap=10)
+    assert out.num_rows == 99  # linear, not quadratic
+    assert set(out.column("id_a").to_pylist()) == {100}  # pivot = min
+
+
+def test_emit_pairs_trivial_groups():
+    g = pa.table({"band_key": pa.array([1], pa.int64()),
+                  "doc_id": pa.array([5], pa.int64())})
+    assert _emit_pairs(g, 64).num_rows == 0
+
+
+def test_star_edges_exact():
+    g = pa.table({"content_sha256": pa.array(["x"] * 3),
+                  "doc_id": pa.array([7, 3, 9], pa.int64())})
+    out = _star_edges_batch(g, confidence=0.95)
+    assert out.column("id_a").to_pylist() == [3, 3]
+    assert sorted(out.column("id_b").to_pylist()) == [7, 9]
+    assert out.column("match_type").to_pylist() == ["exact", "exact"]
+    assert out.column("confidence").to_pylist() == [0.95, 0.95]
+
+
+def _mk_verify_batch(sig_a, sig_b, sim_a, sim_b, sha_a, sha_b):
+    return pa.table({
+        "id_a": pa.array([1], pa.int64()),
+        "id_b": pa.array([2], pa.int64()),
+        "minhash_a": pack_signatures(sig_a[None, :]),
+        "simhash_a": pa.array([sim_a], pa.uint64()),
+        "sha_a": pa.array([sha_a]),
+        "minhash_b": pack_signatures(sig_b[None, :]),
+        "simhash_b": pa.array([sim_b], pa.uint64()),
+        "sha_b": pa.array([sha_b]),
+    })
+
+
+def test_verify_semantics_reference_parity():
+    """Decision table mirrors dedupe_logic/processor.py:149-168."""
+    rng = np.random.RandomState(1)
+    sig = rng.randint(0, 2**63, 128, dtype=np.uint64)
+
+    # identical signatures + identical sha → hybrid, conf = cap
+    b = _mk_verify_batch(sig, sig, 5, 5, "h", "h")
+    out = score_pairs_batch(b, CFG)
+    assert out.column("match_type").to_pylist() == ["hybrid"]
+    assert out.column("confidence").to_pylist() == [pytest.approx(0.95)]
+    assert out.column("exact_match").to_pylist() == [True]
+
+    # high sig_sim, close simhash, different sha → signature+bits
+    sig_b = sig.copy(); sig_b[:12] = rng.randint(0, 2**63, 12, dtype=np.uint64)
+    b = _mk_verify_batch(sig, sig_b, 0b111, 0b110, "h1", "h2")
+    out = score_pairs_batch(b, CFG)
+    assert out.column("match_type").to_pylist() == ["signature+bits"]
+    sig_sim = out.column("sig_sim").to_pylist()[0]
+    second = out.column("second_sim").to_pylist()[0]
+    assert out.column("confidence").to_pylist()[0] == pytest.approx(
+        min(0.95, (sig_sim + second) / 2))
+
+    # high sig_sim, far simhash → plain signature, conf = sig_sim
+    b = _mk_verify_batch(sig, sig_b, 0, 2**64 - 1, "h1", "h2")
+    out = score_pairs_batch(b, CFG)
+    assert out.column("match_type").to_pylist() == ["signature"]
+    assert out.column("confidence").to_pylist()[0] == pytest.approx(
+        out.column("sig_sim").to_pylist()[0])
+
+    # below primary threshold → dropped regardless of second signal
+    sig_c = rng.randint(0, 2**63, 128, dtype=np.uint64)
+    b = _mk_verify_batch(sig, sig_c, 5, 5, "h", "h")
+    assert score_pairs_batch(b, CFG).num_rows == 0
+
+
+def test_unionfind_min_label_determinism():
+    edge_sets = [
+        [(1, 2), (2, 3), (10, 11), (3, 1)],
+        [(3, 1), (10, 11), (2, 3), (1, 2)],   # different order
+    ]
+    labelings = []
+    for edges in edge_sets:
+        uf = UnionFind()
+        for a, b in edges:
+            uf.union(a, b)
+        labelings.append(uf.labels())
+    assert labelings[0] == labelings[1]
+    assert labelings[0][3] == 1 and labelings[0][11] == 10
+
+
+def test_longest_common_span():
+    a = "0123456789" * 20
+    b = "zzz" + a[40:140] + "qqq"
+    span, sa, sb = longest_common_span(a, b, min_len=50)
+    assert span == 100
+    assert a[sa:sa + span] == b[sb:sb + span]
+    # containment fast path (periodic string → first occurrence wins)
+    span, sa, sb = longest_common_span(a[10:60], a, min_len=20)
+    assert span == 50 and a[sb:sb + 50] == a[10:60]
+    assert longest_common_span("short", "other", 4)[0] == 0
+
+
+def test_longest_common_span_no_overlap():
+    assert longest_common_span("a" * 100, "b" * 100, 10)[0] == 0
+    assert longest_common_span("", "abc", 1)[0] == 0
