@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship near-dup pipeline over the deterministic ``bench``
+source-code corpus (~44k files), reported as seconds + files/sec.
+Secondary: representative queries over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the SAME input (page cache warmed by the
+first run's read) and reports throughput at both plus scaling efficiency
+(t8/t32)/(32/8) — the sandbox evidence for the north rule's N-vs-4N
+cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+    from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
+    from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
+
+    # ---- headline: flagship dedupe over the bench corpus ----------------
+    d = corpus_dir("bench")
+    run_dir = "/tmp/fdpr_runs/bench"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cfg = PipelineConfig(fingerprint_concurrency=max(2, num_cpus - 2),
+                         num_partitions=max(8, num_cpus // 2))
+    import pyarrow.parquet as pq
+
+    n_files = pq.read_metadata(f"{d}/files.parquet").num_rows
+    t0 = time.time()
+    p = DedupePipeline(f"{d}/files.parquet", run_dir, cfg)
+    p.run()
+    headline = time.time() - t0
+    n_clusters = len(set(
+        p.assignments().select_columns(["cluster_id"]).to_pandas()
+        ["cluster_id"]))
+
+    # ---- secondary queries over the testdata tier -----------------------
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    for name in ("doc_minhash_lsh_dedupe", "doc_exact_dedupe", "ann_topk",
+                 "embedding_near_dup_pairs", "q1_pricing_summary",
+                 "events_hourly_window", "doc_ngram_jaccard_pairs"):
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume fully (count) so lazy datasets actually execute
+        n = res.count() if hasattr(res, "count") else len(res)
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    return {
+        "metric": "dedup throughput (files/sec), bench corpus end-to-end",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "files": n_files,
+        "files_per_sec": round(n_files / headline, 1),
+        "clusters": n_clusters,
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+
+
+def _headline_in_subprocess(num_cpus: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
+               GRAFT_BENCH_HEADLINE_ONLY="1")
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         capture_output=True, text=True, check=True,
+                         env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # warm the page cache (and the fixture cache) once, untimed
+        from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
+
+        corpus_dir("bench")
+        lo = _headline_in_subprocess(8)
+        hi = _headline_in_subprocess(32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling efficiency 8→32 CPUs, flagship dedupe",
+            "sec_8": lo["value"], "sec_32": hi["value"],
+            "files_per_sec_8": lo["files_per_sec"],
+            "files_per_sec_32": hi["files_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "files": lo["files"],
+        }))
+        return
+
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        _init_ray(num_cpus)
+        from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+        from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
+        from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
+        import pyarrow.parquet as pq
+
+        d = corpus_dir("bench")
+        run_dir = f"/tmp/fdpr_runs/bench_{num_cpus}"
+        shutil.rmtree(run_dir, ignore_errors=True)
+        cfg = PipelineConfig(fingerprint_concurrency=max(2, num_cpus - 2),
+                             num_partitions=max(8, num_cpus // 2))
+        n_files = pq.read_metadata(f"{d}/files.parquet").num_rows
+        t0 = time.time()
+        DedupePipeline(f"{d}/files.parquet", run_dir, cfg).run()
+        headline = time.time() - t0
+        print(json.dumps({"value": round(headline, 3),
+                          "files": n_files,
+                          "files_per_sec": round(n_files / headline, 1),
+                          "num_cpus": num_cpus}))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

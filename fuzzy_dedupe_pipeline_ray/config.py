@@ -73,6 +73,12 @@ class PipelineConfig:
     # cluster (≈ 2-4 × total cores) — the sandbox default is small.
     num_partitions: int = 8
     join_aggregator_num_cpus: float = 0.25
+    # Right sides at or below this row count are broadcast (ray.put once,
+    # vectorized searchsorted lookup per batch) instead of hash-joined —
+    # each Ray hash join spins a fresh aggregator-actor pool, a fixed cost
+    # that dwarfs the work when the lookup side is small. Above the
+    # threshold the distributed hash join is used (the 100 TB path).
+    broadcast_max_rows: int = 16_000_000
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 

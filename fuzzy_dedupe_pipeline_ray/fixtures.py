@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str
 
-FIXTURE_VERSION = "v1"
+FIXTURE_VERSION = "v2"
 
 _LANGS = ["py", "js", "go", "java", "c", "md"]
 
@@ -74,7 +74,7 @@ SIZES = {
     # + skew copies + negatives
     "tiny": dict(families=4, skew_copies=30, negatives=60),
     "small": dict(families=80, skew_copies=400, negatives=1500),
-    "bench": dict(families=900, skew_copies=4000, negatives=18000),
+    "bench": dict(families=6000, skew_copies=6000, negatives=120000),
 }
 
 

@@ -43,16 +43,6 @@ from fuzzy_dedupe_pipeline_ray.state.manifest import RunManifest, checkpoint_wri
 from fuzzy_dedupe_pipeline_ray.state.runlog import RunLog
 
 
-def _dedup_edges_group(group: pa.Table) -> pa.Table:
-    """One edge per (id_a, id_b): keep the highest-confidence scoring
-    (deterministic tie-break by match_type)."""
-    import pyarrow.compute as pc
-
-    order = pc.sort_indices(group, sort_keys=[
-        ("confidence", "descending"), ("match_type", "ascending")])
-    return group.take(order).slice(0, 1)
-
-
 def _substring_to_edges(sub_ds, cfg: PipelineConfig):
     def conv(b: pa.Table) -> pa.Table:
         import numpy as np
@@ -134,17 +124,25 @@ class DedupePipeline:
 
         edge_sets = [ex, fuzzy]
         if cfg.substring_enabled:
+            # known_pairs: skip substring verification for pairs that the
+            # exact/fuzzy passes already linked — the near-dup mass (skew
+            # blobs) would otherwise be re-verified with the expensive
+            # per-pair span search for zero extra connectivity.
+            known = ex.union(fuzzy).select_columns(["id_a", "id_b"])
             sub = self._stage("edges_substring", lambda: substring_edges(
-                self.files(), sigs, cfg))
+                self.files(), sigs, cfg, exclude_pairs=known))
             if cfg.substring_cluster:
                 edge_sets.append(_substring_to_edges(sub, cfg))
 
         def build_edges():
+            # plain union — a pair may appear with several match_types
+            # (e.g. exact star + fuzzy J=1.0); duplicates are benign for
+            # connected components and for the per-doc max-confidence
+            # aggregate, and skipping the distinct saves a full shuffle.
             u = edge_sets[0]
             for e in edge_sets[1:]:
                 u = u.union(e)
-            return u.groupby(["id_a", "id_b"]).map_groups(
-                _dedup_edges_group, batch_format="pyarrow")
+            return u
 
         edges = self._stage("edges", build_edges)
         labels = self._stage("labels", lambda: connected_components(edges, cfg))

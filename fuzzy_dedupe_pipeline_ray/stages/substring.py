@@ -30,10 +30,12 @@ import numpy as np
 import pyarrow as pa
 
 from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
-from fuzzy_dedupe_pipeline_ray.functions.hashing import char_shingle_hashes
 from fuzzy_dedupe_pipeline_ray.stages.fingerprint import normalize_for_shingles
 from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_keys
 from fuzzy_dedupe_pipeline_ray.stages.lsh import PAIR_SCHEMA
+
+#: per-worker verifier cache (content map + config parsed once per process)
+_VERIFIER_CACHE: dict = {}
 
 SUB_EDGE_SCHEMA = pa.schema([
     ("id_a", pa.int64()),
@@ -44,7 +46,8 @@ SUB_EDGE_SCHEMA = pa.schema([
 
 
 def anchor_candidates(signatures_ds, cfg: PipelineConfig):
-    """signatures → distinct candidate (id_a, id_b) pairs sharing an anchor."""
+    """signatures → distinct candidate (id_a, id_b) pairs sharing an anchor
+    (vectorized star/all-pairs emission via lsh.grouped_pairs)."""
     def explode(b: pa.Table) -> pa.Table:
         anchors = b.column("anchors")
         doc_ids = b.column("doc_id").to_numpy()
@@ -55,20 +58,122 @@ def anchor_candidates(signatures_ds, cfg: PipelineConfig):
             "doc_id": pa.array(np.repeat(doc_ids, lengths), pa.int64()),
         })
 
-    from fuzzy_dedupe_pipeline_ray.stages.lsh import _emit_pairs
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import grouped_pairs
+
     exploded = signatures_ds.select_columns(["doc_id", "anchors"]).map_batches(
         explode, batch_format="pyarrow")
-    cap = cfg.band_group_pair_cap
-    pairs = exploded.groupby("band_key").map_groups(
-        lambda g: _emit_pairs(g, cap), batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return grouped_pairs(exploded, cfg)
+
+
+def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Two int64 id columns → one 16-byte fixed string per pair (so the
+    pair set is np.isin-able as a single vectorized membership test)."""
+    return np.ascontiguousarray(
+        np.column_stack([a, b]).astype("<i8")).view("|S16").ravel()
+
+
+def anti_join_pairs(pairs_ds, exclude_ds, cfg: PipelineConfig):
+    """pairs − exclude on (id_a, id_b).
+
+    Small exclude sets (≤ cfg.broadcast_max_rows — always at test scale)
+    are broadcast once and filtered with a vectorized np.isin on packed
+    16-byte pair keys; larger sets fall back to a marker left-outer hash
+    join (the scale path)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join, to_local_table
+
+    exclude_ds = exclude_ds.materialize()
+    if exclude_ds.count() <= cfg.broadcast_max_rows:
+        tbl = to_local_table(exclude_ds)
+        packed = (_pack_pairs(tbl.column("id_a").to_numpy(),
+                              tbl.column("id_b").to_numpy())
+                  if tbl is not None and tbl.num_rows
+                  else np.empty(0, dtype="|S16"))
+        ref = ray.put(np.sort(packed))
+
+        def filt(b: pa.Table) -> pa.Table:
+            ex = ray.get(ref)
+            if b.num_rows == 0 or len(ex) == 0:
+                return b
+            keys = _pack_pairs(b.column("id_a").to_numpy(),
+                               b.column("id_b").to_numpy())
+            pos = np.searchsorted(ex, keys)
+            pos = np.minimum(pos, len(ex) - 1)
+            seen = ex[pos] == keys
+            return b.take(pa.array(np.flatnonzero(~seen)))
+
+        return pairs_ds.map_batches(filt, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    marked = exclude_ds.map_batches(
+        lambda b: pa.table({
+            "id_a": b.column("id_a"), "id_b": b.column("id_b"),
+            "_seen": pa.array(np.ones(b.num_rows, dtype=np.int8), pa.int8()),
+        }), batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    marked = marked.groupby(["id_a", "id_b"]).aggregate(
+        Max("_seen", alias_name="_seen"))
+    joined = hash_join(pairs_ds, marked, on=("id_a", "id_b"),
+                       join_type="left_outer", cfg=cfg)
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_seen"))).select(
+            ["id_a", "id_b"]),
+        batch_format="pyarrow")
+
+
+_B = np.uint64(1099511628211)               # FNV prime, odd → invertible mod 2^64
+_BINV = np.uint64(pow(int(_B), -1, 1 << 64))
+
+
+class _RollState:
+    """O(n) one-time prep for O(n)-per-probe rolling window hashes.
+
+    With S[i] = Σ_{j<i} byte[j]·B^{-j} (uint64 wraparound; B odd so B^{-1}
+    exists mod 2^64), the hash of the L-window at i is
+    (S[i+L] − S[i])·B^{i+L-1} — fully vectorized, no O(n·L) window matrix.
+    """
+
+    def __init__(self, text: str):
+        b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        self.text = text
+        self.n = len(b)
+        with np.errstate(over="ignore"):
+            binv_pow = np.empty(self.n, dtype=np.uint64)
+            bpow = np.empty(self.n + 1, dtype=np.uint64)
+            if self.n:
+                binv_pow[0] = np.uint64(1)
+                if self.n > 1:
+                    binv_pow[1:] = np.multiply.accumulate(
+                        np.full(self.n - 1, _BINV, dtype=np.uint64))
+            bpow[0] = np.uint64(1)
+            if self.n:
+                bpow[1:] = np.multiply.accumulate(
+                    np.full(self.n, _B, dtype=np.uint64))
+            s = np.zeros(self.n + 1, dtype=np.uint64)
+            if self.n:
+                np.cumsum(b.astype(np.uint64) * binv_pow, out=s[1:])
+            self.s = s
+            self.bpow = bpow
+
+    def window_hashes(self, L: int) -> np.ndarray:
+        """uint64 hash of every L-byte window (empty if n < L)."""
+        if L > self.n or L <= 0:
+            return np.empty(0, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return ((self.s[L:] - self.s[:-L])
+                    * self.bpow[L - 1: self.n])
 
 
 def longest_common_span(a: str, b: str, min_len: int) -> "tuple[int, int, int]":
     """(span_len, start_a, start_b) of the longest common substring if it is
-    ≥ min_len, else (0, -1, -1). Rolling-hash binary search + slice-equality
-    confirmation."""
+    ≥ min_len, else (0, -1, -1). Rolling-hash binary search (O(n log n))
+    with direct slice-equality confirmation (hash-collision guard).
+
+    Byte-level spans (utf-8); inputs here are the ws-normalized contents,
+    effectively ASCII for source code."""
     if not a or not b:
         return 0, -1, -1
     if len(a) > len(b):
@@ -84,9 +189,13 @@ def _lcs_inner(a: str, b: str, min_len: int) -> "tuple[int, int, int]":
         if pos >= 0:
             return len(a), 0, pos
 
+    ra, rb = _RollState(a), _RollState(b)
+
     def probe(L: int) -> "tuple[int, int] | None":
-        ha = char_shingle_hashes(a, L, unique=False)
-        hb = char_shingle_hashes(b, L, unique=False)
+        ha = ra.window_hashes(L)
+        hb = rb.window_hashes(L)
+        if not len(ha) or not len(hb):
+            return None
         common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
         for k in range(len(common)):
             i, j = int(ia[k]), int(ib[k])
@@ -141,8 +250,13 @@ class SubstringVerifier:
         }, schema=SUB_EDGE_SCHEMA)
 
 
-def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig):
+def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
+                    exclude_pairs=None):
     """files + signatures → substring-duplicate edge Dataset (SUB_EDGE_SCHEMA).
+
+    ``exclude_pairs``: pairs already linked by the exact/fuzzy passes —
+    anti-joined out before the expensive per-pair span verification (they
+    add no connectivity).
 
     The candidate set is assumed small relative to the corpus (rare-anchor
     blocking); its ids are broadcast and the contents are gathered with a
@@ -151,7 +265,10 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig):
     """
     import ray
 
-    pairs = anchor_candidates(signatures_ds, cfg).materialize()
+    pairs = anchor_candidates(signatures_ds, cfg)
+    if exclude_pairs is not None:
+        pairs = anti_join_pairs(pairs, exclude_pairs, cfg)
+    pairs = pairs.materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(SUB_EDGE_SCHEMA.empty_table())
     ids = set()
@@ -187,11 +304,24 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig):
                                b.column("norm_content").to_pylist()))
     content_ref = ray.put(content_map)
 
+    # Stateless task pool, not actors: per-pair span verification is
+    # sub-millisecond (rolling-hash LCS), so elastic tasks over small
+    # batches beat an autoscaling actor pool whose spin-up dominates. The
+    # content map travels by ObjectRef and the built verifier is cached
+    # per worker process (_VERIFIER_CACHE), not rebuilt per batch.
+    cfg_json = cfg.to_json()
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        key = content_ref.hex()
+        v = _VERIFIER_CACHE.get(key)
+        if v is None:
+            v = SubstringVerifier(content_ref, cfg_json)
+            _VERIFIER_CACHE.clear()
+            _VERIFIER_CACHE[key] = v
+        return v(batch)
+
     return pairs.map_batches(
-        SubstringVerifier,
-        fn_constructor_args=(content_ref, cfg.to_json()),
+        verify_batch,
         batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, cfg.fingerprint_concurrency),
-        num_cpus=1,
+        batch_size=256,
     )

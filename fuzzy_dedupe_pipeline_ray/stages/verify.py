@@ -85,14 +85,16 @@ def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig):
         {"doc_id": "id_b", "minhash": "minhash_b", "simhash": "simhash_b",
          "content_sha256": "sha_b"})
 
-    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
 
-    # materialize() between the two joins: two hash-shuffle join operators
-    # in ONE streaming plan starve each other's aggregator pools under a
-    # small CPU budget (observed deadlock at num_cpus=4, Ray 2.49). The
-    # intermediate is narrow (pair ids + one side's signatures).
-    joined = hash_join(pairs_ds, a_side, on="id_a", cfg=cfg).materialize()
-    joined = hash_join(joined, b_side, on="id_b", cfg=cfg)
+    # size-gated lookup joins: the signature table is broadcast once and
+    # probed per batch when small; above cfg.broadcast_max_rows this
+    # degrades to the distributed hash join (the 100 TB path).
+    n_sigs = signatures_ds.count()
+    joined = lookup_join(pairs_ds, a_side, on="id_a", cfg=cfg,
+                         right_count=n_sigs)
+    joined = lookup_join(joined, b_side, on="id_b", cfg=cfg,
+                         right_count=n_sigs)
     return joined.map_batches(
         lambda b: score_pairs_batch(b, cfg), batch_format="pyarrow",
         zero_copy_batch=True)

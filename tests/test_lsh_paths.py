@@ -1,0 +1,63 @@
+"""Path equivalence: grouped_pairs' local fast path (broadcast budget) vs
+the distributed aggregate+lookup+expand path must emit the same pair set,
+and both must match the reference per-group emitter."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+from fuzzy_dedupe_pipeline_ray.stages.lsh import (
+    _emit_pairs,
+    _local_grouped_pairs,
+    grouped_pairs,
+)
+
+
+def _mk_keyed(seed=0, n_rows=3000, n_keys=700):
+    rng = np.random.RandomState(seed)
+    keys = rng.randint(0, n_keys, n_rows).astype(np.int64)
+    docs = rng.randint(0, 10_000, n_rows).astype(np.int64)
+    return keys, docs
+
+
+def _pairs_set(tbl):
+    return set(zip(tbl.column("id_a").to_pylist(),
+                   tbl.column("id_b").to_pylist()))
+
+
+def test_local_matches_per_group_reference():
+    keys, docs = _mk_keyed()
+    cap = 8
+    a, b = _local_grouped_pairs(keys, docs, cap)
+    got = set(zip(a.tolist(), b.tolist()))
+
+    expected = set()
+    for k in np.unique(keys):
+        g = pa.table({"band_key": pa.array(keys[keys == k], pa.int64()),
+                      "doc_id": pa.array(docs[keys == k], pa.int64())})
+        expected |= _pairs_set(_emit_pairs(g, cap))
+    assert got == expected
+    assert all(x < y for x, y in got)
+
+
+@pytest.mark.parametrize("cap", [2, 8, 64])
+def test_local_vs_distributed_paths(ray_session, cap):
+    import ray.data
+
+    keys, docs = _mk_keyed(seed=cap)
+    ds = ray.data.from_arrow(pa.table({
+        "band_key": pa.array(keys, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64())}))
+
+    local_cfg = PipelineConfig(band_group_pair_cap=cap)
+    dist_cfg = PipelineConfig(band_group_pair_cap=cap, broadcast_max_rows=0)
+
+    def collect(out_ds):
+        df = out_ds.to_pandas()
+        return set(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+    local = collect(grouped_pairs(ds, local_cfg))
+    dist = collect(grouped_pairs(ds, dist_cfg))
+    assert local == dist
+    assert len(local) > 0
