@@ -25,8 +25,10 @@ class PipelineConfig:
 
     * ``jaccard_threshold`` ← ``semantic_threshold=0.8`` (primary signal)
     * ``simhash_threshold`` ← ``address_threshold=0.85`` (second signal)
-    * ``hybrid_primary_relax`` ← the hybrid path's relaxed primary cutoff
-      (``processor.py:161-164`` uses 0.70 when both signals agree)
+    * ``hybrid_primary_relax`` ← the hybrid path's relaxed SECOND-signal
+      cutoff: when the exact key matches, the second signal only needs to
+      clear 0.70 instead of 0.85 (``processor.py:160-164``; applied to
+      ``second_sim`` in ``stages/verify.py``, never to the primary gate)
     * ``confidence_cap`` ← ``min(0.95, ...)`` (``processor.py:163,166``)
     """
 

@@ -48,13 +48,6 @@ def normalize_text_array(arr: pa.ChunkedArray, *, lowercase: bool = True,
     return pc.utf8_trim_whitespace(out)
 
 
-def collapse_ws_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
-    """Whitespace-collapse only (shingling pre-normalizer for code, where
-    case and punctuation are significant)."""
-    out = pc.replace_substring_regex(arr, pattern=_WS, replacement=" ")
-    return pc.utf8_trim_whitespace(out)
-
-
 def sentinels_to_null(arr: pa.ChunkedArray) -> pa.ChunkedArray:
     """Map sentinel strings ('', 'nan', 'none', 'null', '#ERROR!') to null —
     the engine-level version of the reference's repeated cleanup
@@ -75,34 +68,34 @@ def token_count_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
                       pc.add(pc.cast(n_sep, pa.int64()), 1))
 
 
-def punct_ratio_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
-    """Fraction of characters that are not [a-zA-Z0-9] or whitespace.
+def punct_count_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Count of characters that are not [a-zA-Z0-9] or whitespace (int64 —
+    the exact-integer quality signal; ratios derive from it downstream).
 
-    SQL-parity form: (len(s) - len(regexp_replace(s, punct, '', 'g'))) /
-    nullif(len(s), 0).
+    SQL-parity form: len(s) - len(regexp_replace(s, punct, '', 'g')).
     """
-    total = pc.cast(pc.utf8_length(arr), pa.float64())
+    total = pc.cast(pc.utf8_length(arr), pa.int64())
     stripped = pc.replace_substring_regex(arr, pattern=_PUNCT, replacement="")
-    kept = pc.cast(pc.utf8_length(stripped), pa.float64())
-    ratio = pc.divide(pc.subtract(total, kept), total)  # null where total==0
-    return ratio
+    return pc.subtract(total, pc.cast(pc.utf8_length(stripped), pa.int64()))
 
 
-def stopword_ratio_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
-    """Fraction of whitespace tokens that are English stopwords."""
+def stopword_count_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Count of whitespace tokens that are English stopwords (int64).
+
+    Vectorized over the whole batch: split → flatten → is_in → per-row
+    sums rebuilt from the list offsets with np.add.reduceat.
+    """
+    import numpy as np
+
     toks = pc.split_pattern_regex(
         pc.utf8_lower(pc.utf8_trim_whitespace(arr)), pattern=_WS
     )
-    flat_parent = toks
-    is_stop = pc.is_in(pc.list_flatten(flat_parent),
-                       value_set=pa.array(STOPWORDS))
-    # rebuild per-row sums via list offsets
-    import numpy as np
-
+    is_stop = pc.cast(pc.is_in(pc.list_flatten(toks),
+                               value_set=pa.array(STOPWORDS)), pa.int64())
+    stop_np = is_stop.to_numpy(zero_copy_only=False)
     out_chunks = []
     flat_idx = 0
     chunks = toks.chunks if isinstance(toks, pa.ChunkedArray) else [toks]
-    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.float64)
     for ch in chunks:
         lengths = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
         n = int(lengths.sum())
@@ -110,11 +103,13 @@ def stopword_ratio_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
         flat_idx += n
         ends = np.cumsum(lengths)
         starts = ends - lengths
-        sums = np.add.reduceat(flat, starts, dtype=np.float64) if n else np.zeros(len(lengths))
-        sums = np.where(lengths > 0, sums, 0.0)
-        # reduceat quirk: empty slices copy the element at start — mask them
-        ratio = np.where(lengths > 0, sums / np.maximum(lengths, 1), np.nan)
-        out_chunks.append(pa.array(ratio, pa.float64()))
+        counts = np.zeros(len(lengths), dtype=np.int64)
+        nz = lengths > 0
+        if nz.any():
+            # reduceat quirk: empty slices copy the element at start — only
+            # reduce over the non-empty runs
+            counts[nz] = np.add.reduceat(flat, starts[nz])
+        out_chunks.append(pa.array(counts, pa.int64()))
     return pa.chunked_array(out_chunks) if len(out_chunks) > 1 else out_chunks[0]
 
 

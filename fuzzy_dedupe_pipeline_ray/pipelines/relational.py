@@ -69,11 +69,18 @@ def q1_pricing_summary(sf_dir: str):
             "l_linestatus": b.column("l_linestatus"),
             "qty": qty, "price": price, "disc_price": disc_price,
         })
-        df = tbl.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"), sum_base_price=("price", "sum"),
-            sum_disc_price=("disc_price", "sum"), count_order=("qty", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure-Arrow batch-level pre-aggregation (no pandas copy)
+        g = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"),
+             ("qty", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": g.column("qty_sum"),
+            "sum_base_price": g.column("price_sum"),
+            "sum_disc_price": g.column("disc_price_sum"),
+            "count_order": g.column("qty_count"),
+        })
 
     partials = _read(sf_dir, "lineitem",
                      ["l_returnflag", "l_linestatus", "l_quantity",

@@ -85,28 +85,9 @@ def doc_quality(sf_dir: str):
     def f(b: pa.Table) -> pa.Table:
         text = b.column("text")
         total = pc.cast(pc.utf8_length(text), pa.int64())
-        stripped = pc.replace_substring_regex(
-            text, pattern=textnorm._PUNCT, replacement="")
-        punct_chars = pc.subtract(
-            total, pc.cast(pc.utf8_length(stripped), pa.int64()))
+        punct_chars = textnorm.punct_count_array(text)
         n_tok = textnorm.token_count_array(text)
-
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.utf8_trim_whitespace(text)),
-            pattern=textnorm._WS)
-        flat = pc.list_flatten(toks)
-        is_stop = pc.cast(pc.is_in(flat, value_set=pa.array(textnorm.STOPWORDS)),
-                          pa.int64())
-        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        stop_np = is_stop.to_numpy(zero_copy_only=False)
-        ends = np.cumsum(lengths)
-        starts = ends - lengths
-        stop_count = np.zeros(len(lengths), dtype=np.int64)
-        nz = lengths > 0
-        if nz.any():
-            sums = np.add.reduceat(stop_np, starts[nz])
-            stop_count[nz] = sums
-
+        stop_count = textnorm.stopword_count_array(text)
         quality_ok = pc.and_(
             pc.greater_equal(n_tok, 5),
             pc.less(pc.multiply(punct_chars, pa.scalar(10, pa.int64())), total))
@@ -115,7 +96,7 @@ def doc_quality(sf_dir: str):
             "n_chars_total": total,
             "punct_chars": punct_chars,
             "n_tokens": n_tok,
-            "stopword_count": pa.array(stop_count, pa.int64()),
+            "stopword_count": stop_count,
             "quality_ok": quality_ok,
         })
 
@@ -138,8 +119,14 @@ def doc_langid(sf_dir: str):
 
 def doc_exact_dedupe(sf_dir: str):
     """Per-doc exact-dup assignment: doc_id, rep_id (min doc_id of the
-    sha256 group), dup_count. Hash-partition + per-group min — the D1/D3
-    operators (SURVEY.md §2.7) on a prose table."""
+    sha256 group), dup_count. Hash-partition aggregate + lookup join —
+    the D1/D3 operators (SURVEY.md §2.7) on a prose table, fully on the
+    C aggregate path (same shape as stages/exact.exact_edges; no
+    per-group Python callbacks)."""
+    from ray.data.aggregate import Min
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
     def add_sha(b: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": b.column("doc_id"),
@@ -148,19 +135,16 @@ def doc_exact_dedupe(sf_dir: str):
         })
 
     with_sha = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        add_sha, batch_format="pyarrow", zero_copy_batch=True)
-
-    def per_group(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column("doc_id").to_numpy())
-        n = len(ids)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "rep_id": pa.array(np.full(n, ids[0]), pa.int64()),
-            "dup_count": pa.array(np.full(n, n), pa.int64()),
-        })
-
-    return with_sha.groupby("text_sha256").map_groups(
-        per_group, batch_format="pyarrow")
+        add_sha, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    groups = with_sha.groupby("text_sha256").aggregate(
+        Min("doc_id", alias_name="rep_id"), Count(alias_name="dup_count"))
+    joined = lookup_join(with_sha, groups, on="text_sha256", cfg=DOCS_CFG)
+    return joined.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "rep_id": pc.cast(b.column("rep_id"), pa.int64()),
+            "dup_count": pc.cast(b.column("dup_count"), pa.int64()),
+        }), batch_format="pyarrow").sort("doc_id")
 
 
 def doc_fingerprint(sf_dir: str, window: int = 32, keep: int = 8):

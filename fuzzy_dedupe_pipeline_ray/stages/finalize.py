@@ -10,7 +10,14 @@ Mirrors ``dedupe_logic/processor.py:230-260``:
   not an arbitrary component label.
 * ``duplicate_count`` = cluster size (``processor.py:249``).
 * per-doc ``confidence`` = max confidence over the doc's own edges, 1.0
-  for singletons (``processor.py:250-252``).
+  for singletons (``processor.py:250-252``). NOTE: unlike cluster
+  assignment, ``confidence`` is NOT batch-size-invariant — the
+  fingerprint stage's batch-local sha dedup picks a batch-local rep, so
+  fuzzy edge endpoints (and hence which doc carries an edge's max) can
+  shift with batching. The determinism guarantee
+  (``tests/test_pipeline_e2e.py::test_determinism_across_batch_sizes``)
+  deliberately covers ``cluster_id`` / ``duplicate_count`` /
+  ``is_representative``, not ``confidence``.
 
 Implementation is FULLY VECTORIZED — no ``map_groups``: a per-group
 Python callback over millions of cluster labels dominates wall time, so

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str, sha256_hex
+from fuzzy_dedupe_pipeline_ray.functions.textnorm import sentinels_to_null
 
 
 def _doc_keys(batch: pa.Table) -> "list[str]":
@@ -28,16 +29,25 @@ def ingest_meta_batch(batch: pa.Table) -> pa.Table:
 
     ``content`` is *dropped* here — it only flows through the fingerprint
     stage (SURVEY.md §7.4: carry ids + signatures, not the wide column).
+
+    Sentinel cleanup (reference M1/M9, ``sheets_sync/sync.py:126-131`` /
+    ``dedupe_logic/processor.py:416-424``) happens ONCE here: sentinel
+    strings in the free-text metadata column (``lang``) become proper
+    Arrow nulls. Identity columns (repo/path/commit) and ``content`` are
+    never rewritten — the doc_id and sha256 invariants depend on them.
     """
-    content = batch.column("content").to_pylist()
+    import pyarrow.compute as pc
+
+    content = batch.column("content")
     out = pa.table({
         "doc_id": pa.array(hash64_str(_doc_keys(batch)), pa.int64()),
         "repo": batch.column("repo"),
         "path": batch.column("path"),
         "commit": batch.column("commit"),
-        "lang": batch.column("lang"),
-        "content_sha256": pa.array(sha256_hex(content), pa.string()),
-        "n_chars": pa.array([len(c) for c in content], pa.int64()),
+        "lang": sentinels_to_null(batch.column("lang")),
+        "content_sha256": pa.array(sha256_hex(content.to_pylist()),
+                                   pa.string()),
+        "n_chars": pc.cast(pc.utf8_length(content), pa.int64()),
     })
     return out
 

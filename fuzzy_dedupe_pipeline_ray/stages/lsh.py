@@ -14,6 +14,15 @@ all-pairs. Connectivity within the band group is preserved (every member
 links to the pivot) while pair fan-out stays linear — a 10k-strong hot
 band (license blobs) emits 10k edges, not 50M. Groups at or below the cap
 emit all pairs (maximum recall where it's affordable).
+
+Recall caveat of star-pairing: the pivot edges are still subject to the
+downstream verification threshold (``stages/verify.py``). Two members of
+an over-cap band that are similar to each other but NOT to the min-id
+pivot can lose connectivity when their pivot edges score below the
+Jaccard gate. In practice over-cap bands are near-identical blobs (the
+skew fixture family keeps ≥0.99 recall — ``tests/test_pipeline_e2e.py``),
+but recall above the cap is best-effort by design; raise
+``band_group_pair_cap`` where exactness matters more than fan-out.
 """
 
 from __future__ import annotations

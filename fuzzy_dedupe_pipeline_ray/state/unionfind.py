@@ -5,7 +5,8 @@ in-memory adjacency, ``dedupe_logic/processor.py:206-228``) — used when the
 edge count is small enough to stream to the driver
 (``PipelineConfig.cc_unionfind_max_edges``). The scale path is label
 propagation (``stages/cc.py``); both must produce identical components
-(min-doc_id labels), which ``tests/test_cc.py`` asserts.
+(min-doc_id labels), which
+``tests/test_pipeline_e2e.py::test_cc_strategies_equivalent`` asserts.
 """
 
 from __future__ import annotations

@@ -143,3 +143,58 @@ def test_longest_common_span():
 def test_longest_common_span_no_overlap():
     assert longest_common_span("a" * 100, "b" * 100, 10)[0] == 0
     assert longest_common_span("", "abc", 1)[0] == 0
+
+
+def test_ingest_sentinels_to_null_on_lang():
+    from fuzzy_dedupe_pipeline_ray.stages.ingest import ingest_meta_batch
+
+    batch = pa.table({
+        "repo": ["r1", "r2", "r3", "r4"],
+        "path": ["a.py", "b.py", "c.py", "d.py"],
+        "commit": ["c1", "c2", "c3", "c4"],
+        "lang": ["py", "none", "#ERROR!", ""],
+        "content": ["x = 1\n", "y = 2\n", "z = 3\n", "w = 4\n"],
+    })
+    out = ingest_meta_batch(batch)
+    langs = out.column("lang").to_pylist()
+    assert langs == ["py", None, None, None]
+    # identity columns untouched; n_chars from content length
+    assert out.column("n_chars").to_pylist() == [6, 6, 6, 6]
+    assert out.column("repo").to_pylist() == ["r1", "r2", "r3", "r4"]
+
+
+def test_textnorm_count_kernels():
+    from fuzzy_dedupe_pipeline_ray.functions.textnorm import (
+        punct_count_array,
+        stopword_count_array,
+        token_count_array,
+    )
+
+    arr = pa.array(["the cat, and the hat!", "", "   ", "no stops here.",
+                    "THE the The"])
+    assert punct_count_array(arr).to_pylist() == [2, 0, 0, 1, 0]
+    assert token_count_array(arr).to_pylist() == [5, 0, 0, 3, 3]
+    # 'the' x2 + 'and' = 3 (note 'hat!' is not a stopword token)
+    assert stopword_count_array(arr).to_pylist() == [3, 0, 0, 0, 3]
+
+
+def test_extract_zip_city_state():
+    from fuzzy_dedupe_pipeline_ray.functions.extract import (
+        extract_city_state_arrays,
+        extract_zip_array,
+    )
+
+    addrs = pa.array([
+        "123 Main St, Springfield, IL 62704",         # full form
+        "500 Oak Ave, Portland, OR 97205-1234",       # zip+4 -> 5-digit group
+        "1 Short St",                                 # <3 parts -> no city/state
+        "Somewhere, 4th District, XX 12345",          # city starts with digit
+        "No numbers at all",
+        None,
+    ])
+    zips = extract_zip_array(addrs).to_pylist()
+    assert zips == ["62704", "97205", None, "12345", None, None]
+    city, state = extract_city_state_arrays(addrs)
+    assert city.to_pylist() == ["Springfield", "Portland", None, None,
+                                None, None]
+    assert state.to_pylist() == ["IL", "OR", None, "XX", None, None]
