@@ -166,19 +166,138 @@ def doc_fingerprint(sf_dir: str, window: int = 32, keep: int = 8):
 # N-gram Jaccard pairs (exact, SQL-oracled via inverted-index self-join)
 # ---------------------------------------------------------------------------
 
-def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 3):
-    """Exact word-n-gram Jaccard over all pairs sharing ≥1 shingle:
-    (id_a, id_b, inter, union_sz) for pairs with Jaccard ≥ 1/2, decided in
-    EXACT integer arithmetic (2·inter ≥ union) — no float in the output or
-    the threshold, so the DuckDB oracle (unnest + self-join) hashes
-    identically. Distributed inverted-index shape: explode distinct
-    shingles → groupby(shingle) pair emission → per-pair co-occurrence
-    Count = |A∩B| → join per-doc set sizes.
+def _ngram_prefix_len(sizes: np.ndarray) -> np.ndarray:
+    """Prefix-filter length for Jaccard ≥ 1/2: any qualifying pair has
+    |A∩B| ≥ ⌈|X|/2⌉ for each member X, so under ONE global shingle order
+    the pair must share a shingle within the first
+    |X| − ⌈|X|/2⌉ + 1 = ⌊|X|/2⌋ + 1 elements of BOTH sets (the AllPairs
+    prefix lemma — Bayardo et al., WWW'07, public knowledge)."""
+    return sizes // 2 + 1
 
-    Scale note: common shingles explode quadratically — the flagship uses
-    MinHash banding instead; this operator is the *exact* semantics demo
-    (cap group sizes before using on a large corpus).
+
+def _ngram_pairs_local(doc: np.ndarray, code: np.ndarray, df: np.ndarray):
+    """Exact Jaccard≥1/2 pairs over a local (doc, shingle-code) edge list.
+    Pure numpy end-to-end (no per-pair Python); `df` is the per-code
+    document frequency. Returns (id_a, id_b, inter, union) arrays.
+
+    Candidate pruning is the PPJoin-style tightening of the prefix
+    filter: for the pair's smallest shared code c (in the global (df,
+    code) order), J ≥ 1/2 forces |A∩B| ≥ 2·|A|/3 for the smaller member
+    A (since |B| ≥ |A|) and ≥ |B|/2 for the larger member B (since the
+    size filter |B| ≤ 2|A| holds at J ≥ 1/2) — so c must sit within the
+    first ⌊|A|/3⌋+1 of A AND the first ⌊|B|/2⌋+1 of B. Emissions that
+    violate either bound (or the size filter) are dropped without losing
+    any qualifying pair.
     """
+    e = np.empty(0, dtype=np.int64)
+    # global shingle order = (df asc, code asc): rare shingles first, so
+    # prefixes index the discriminative end of each set
+    order = np.lexsort((code, df[code], doc))
+    d_s, c_s = doc[order], code[order]
+    starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+    lens = np.diff(np.r_[starts, len(d_s)])
+    pos = np.arange(len(d_s)) - np.repeat(starts, lens)
+    row_len = np.repeat(lens, lens)
+    in_prefix = pos < _ngram_prefix_len(row_len)
+
+    # inverted index over prefix rows only: all-pairs within each code run
+    pd_ = d_s[in_prefix]
+    pc_ = c_s[in_prefix]
+    pp_ = pos[in_prefix]          # position of this code within its doc
+    pl_ = row_len[in_prefix]      # the doc's set size
+    o2 = np.lexsort((pd_, pc_))
+    pd_, pc_, pp_, pl_ = pd_[o2], pc_[o2], pp_[o2], pl_[o2]
+    rs = np.flatnonzero(np.r_[True, pc_[1:] != pc_[:-1]])
+    rl = np.diff(np.r_[rs, len(pc_)])
+    rpos = np.arange(len(pc_)) - np.repeat(rs, rl)
+    cnt = np.repeat(rl, rl) - 1 - rpos
+    total = int(cnt.sum())
+    if total == 0:
+        return e, e, e, e
+    rows = np.repeat(np.arange(len(pc_)), cnt)
+    offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+    partner = np.repeat(np.arange(len(pc_)) + 1, cnt) + (np.arange(total) - offs)
+
+    len_i, len_j = pl_[rows], pl_[partner]
+    pos_i, pos_j = pp_[rows], pp_[partner]
+    small_len = np.minimum(len_i, len_j)
+    big_len = np.maximum(len_i, len_j)
+    small_pos = np.where(len_i <= len_j, pos_i, pos_j)
+    big_pos = np.where(len_i <= len_j, pos_j, pos_i)
+    ok = ((big_len <= 2 * small_len)                       # size filter
+          & (small_pos < small_len // 3 + 1)               # 2|A|/3 bound
+          & (big_pos < big_len // 2 + 1))                  # |B|/2 bound
+    rows, partner = rows[ok], partner[ok]
+    if len(rows) == 0:
+        return e, e, e, e
+    a = np.minimum(pd_[rows], pd_[partner])
+    b = np.maximum(pd_[rows], pd_[partner])
+    po = np.lexsort((b, a))
+    a, b = a[po], b[po]
+    first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    a, b = a[first], b[first]
+
+    # exact verification, vectorized: |A∩B| = membership count of the
+    # smaller member's codes in the larger member's (doc, code) rows,
+    # via ONE searchsorted over a packed (dense_doc, code) key array
+    code_by_doc_order = np.lexsort((code, doc))
+    d_v = doc[code_by_doc_order]
+    c_v = code[code_by_doc_order]
+    v_starts = np.flatnonzero(np.r_[True, d_v[1:] != d_v[:-1]])
+    v_lens = np.diff(np.r_[v_starts, len(d_v)])
+    uniq_docs = d_v[v_starts]                      # sorted unique doc ids
+    m = np.int64(df.shape[0])                      # codes are 0..m-1
+    dense = np.searchsorted(uniq_docs, d_v).astype(np.int64)
+    packed = dense * m + c_v                       # sorted by construction
+
+    slot_a = np.searchsorted(uniq_docs, a)
+    slot_b = np.searchsorted(uniq_docs, b)
+    la, lb = v_lens[slot_a], v_lens[slot_b]
+    probe_slot = np.where(la <= lb, slot_a, slot_b)    # smaller member
+    target_slot = np.where(la <= lb, slot_b, slot_a)
+    plen = v_lens[probe_slot]
+    prow = np.repeat(np.arange(len(a)), plen)
+    istart = np.repeat(np.cumsum(plen) - plen, plen)
+    elem_idx = (np.repeat(v_starts[probe_slot], plen)
+                + (np.arange(int(plen.sum())) - istart))
+    queries = target_slot[prow].astype(np.int64) * m + c_v[elem_idx]
+    qpos = np.searchsorted(packed, queries)
+    qpos = np.minimum(qpos, len(packed) - 1)
+    found = (packed[qpos] == queries).astype(np.int64)
+    inter = np.zeros(len(a), dtype=np.int64)
+    nz = plen > 0
+    if nz.any():
+        inter[nz] = np.add.reduceat(found, (np.cumsum(plen) - plen)[nz])
+    union = la.astype(np.int64) + lb.astype(np.int64) - inter
+    keep = 2 * inter >= union
+    return a[keep], b[keep], inter[keep], union[keep]
+
+
+def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 3,
+                            cfg: "PipelineConfig | None" = None):
+    """Exact word-n-gram Jaccard pairs: (id_a, id_b, inter, union_sz) for
+    pairs with Jaccard ≥ 1/2, decided in EXACT integer arithmetic
+    (2·inter ≥ union) — no float in the output or the threshold, so the
+    DuckDB oracle (unnest + self-join) hashes identically.
+
+    Candidate generation uses the AllPairs PREFIX FILTER (not a raw
+    inverted-index self-join): each doc's shingles are ordered by global
+    document frequency and only the first ⌊|d|/2⌋+1 participate in the
+    index, which provably loses no pair at J ≥ 1/2 while excising the
+    quadratic hot-shingle groups (a stopword 3-gram shared by every doc
+    sits at the END of every ordering and never enters the index).
+    Verification computes |A∩B| exactly on the surviving candidates only.
+
+    Two physical paths, gated on ``cfg.broadcast_max_rows`` like
+    stages/lsh.grouped_pairs: a single-pass local numpy path (the shingle
+    edge list at bench scale is ~1M narrow rows — Ray shuffle fixed costs
+    dwarf the work), and a distributed path (per-doc prefix via
+    groupby(doc).map_groups, candidate emission via a shingle-key
+    self-join, verification via a candidate-restricted co-occurrence
+    count) exercised by tests with a tiny threshold override.
+    """
+    cfg = cfg or DOCS_CFG
+
     def shingles(b: pa.Table) -> pa.Table:
         out_doc, out_sh = [], []
         for doc, text in zip(b.column("doc_id").to_pylist(),
@@ -193,41 +312,124 @@ def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 3):
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         shingles, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    sizes = ds.groupby("doc_id").aggregate(Count(alias_name="set_size"))
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("inter", pa.int64()), ("union_sz", pa.int64())])
 
-    def pairs_in_group(g: pa.Table) -> pa.Table:
-        ids = np.unique(g.column("doc_id").to_numpy())
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
-                         "id_b": pa.array(ids[ib], pa.int64())})
+    if ds.count() <= cfg.broadcast_max_rows:
+        from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
 
-    co = (ds.groupby("shingle").map_groups(pairs_in_group,
-                                           batch_format="pyarrow")
-          .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="inter")))
+        tbl = to_local_table(ds)
+        if tbl is None or tbl.num_rows == 0:
+            return ray.data.from_arrow(out_schema.empty_table())
+        doc = tbl.column("doc_id").to_numpy()
+        # factorize shingle strings → dense int codes (EXACT — no hashing)
+        codes, inv = np.unique(
+            tbl.column("shingle").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        df = np.bincount(inv, minlength=len(codes)).astype(np.int64)
+        a, b, inter, union = _ngram_pairs_local(doc, inv.astype(np.int64), df)
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "inter": pa.array(inter, pa.int64()),
+            "union_sz": pa.array(union, pa.int64()),
+        }, schema=out_schema)).sort(["id_a", "id_b"])
 
-    co = hash_join(co, sizes.rename_columns({"doc_id": "id_a",
-                                             "set_size": "size_a"}),
-                   on="id_a", cfg=DOCS_CFG).materialize()
-    co = hash_join(co, sizes.rename_columns({"doc_id": "id_b",
-                                             "set_size": "size_b"}),
-                   on="id_b", cfg=DOCS_CFG)
+    return _ngram_pairs_distributed(ds, cfg, out_schema)
+
+
+def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema):
+    """The 100 TB shape of doc_ngram_jaccard_pairs.
+
+    Shingles are keyed by a 64-bit hash (collision odds ~n²/2⁶⁵ —
+    negligible, documented trade of the distributed path). Stages:
+    prefix rows per doc (groupby(doc).map_groups — one call per doc, each
+    numpy-vectorized), candidates via shingle-key self-join + i<j filter
+    + distinct, exact |A∩B| via a co-occurrence Count restricted to
+    candidate docs, final scoring against per-doc sizes.
+    """
+    import pyarrow.compute as pcm
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import distinct_pairs
+
+    def to_hashed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "sh": pa.array(hash64_str(
+                b.column("shingle").to_pylist()), pa.int64()),
+        })
+
+    hashed = ds.map_batches(to_hashed, batch_format="pyarrow").materialize()
+    sizes = hashed.groupby("doc_id").aggregate(Count(alias_name="set_size"))
+    df = hashed.groupby("sh").aggregate(Count(alias_name="df"))
+    with_df = lookup_join(hashed, df, on="sh", cfg=cfg)
+
+    def prefix_of_doc(g: pa.Table) -> pa.Table:
+        dfs = g.column("df").to_numpy()
+        shs = g.column("sh").to_numpy()
+        o = np.lexsort((shs, dfs))
+        p = int(_ngram_prefix_len(np.array([len(shs)]))[0])
+        keep = o[:p]
+        return pa.table({"doc_id": g.column("doc_id").take(pa.array(keep)),
+                         "sh": pa.array(shs[keep], pa.int64())})
+
+    prefix = with_df.groupby("doc_id").map_groups(
+        prefix_of_doc, batch_format="pyarrow").materialize()
+
+    right = prefix.rename_columns({"doc_id": "doc_id_b"})
+    joined = hash_join(prefix, right, on="sh", cfg=cfg)
+    cands = distinct_pairs(joined.map_batches(
+        lambda b: (lambda t: pa.table({"id_a": t.column("doc_id"),
+                                       "id_b": t.column("doc_id_b")}))(
+            b.filter(pcm.less(b.column("doc_id"), b.column("doc_id_b")))),
+        batch_format="pyarrow")).materialize()
+
+    # candidate-restricted co-occurrence: only rows of candidate docs
+    # re-enter the self-join, and only candidate pairs are counted
+    ids = cands.map_batches(
+        lambda b: pa.table({"doc_id": pa.concat_arrays(
+            [b.column("id_a").combine_chunks(),
+             b.column("id_b").combine_chunks()])}), batch_format="pyarrow")
+    ids = ids.groupby("doc_id").aggregate(Count(alias_name="_n")) \
+        .select_columns(["doc_id"])
+    restricted = lookup_join(hashed, ids.map_batches(
+        lambda b: b.append_column("_m", pa.array(
+            np.ones(b.num_rows, np.int8))), batch_format="pyarrow"),
+        on="doc_id", cfg=cfg).select_columns(["doc_id", "sh"]).materialize()
+
+    rright = restricted.rename_columns({"doc_id": "doc_id_b"})
+    co = hash_join(restricted, rright, on="sh", cfg=cfg).map_batches(
+        lambda b: (lambda t: pa.table({"id_a": t.column("doc_id"),
+                                       "id_b": t.column("doc_id_b")}))(
+            b.filter(pcm.less(b.column("doc_id"), b.column("doc_id_b")))),
+        batch_format="pyarrow")
+    # Count over all shared shingles = |A∩B| exactly. Pairs of candidate
+    # docs that were never true candidates may be counted too — harmless:
+    # the prefix lemma guarantees every J≥1/2 pair IS a candidate, so any
+    # extra pair provably fails the 2·inter≥union gate below.
+    inter = co.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="inter"))
+
+    inter = lookup_join(inter, sizes.rename_columns(
+        {"doc_id": "id_a", "set_size": "size_a"}), on="id_a", cfg=cfg)
+    inter = lookup_join(inter, sizes.rename_columns(
+        {"doc_id": "id_b", "set_size": "size_b"}), on="id_b", cfg=cfg)
 
     def score(b: pa.Table) -> pa.Table:
-        inter = b.column("inter").to_numpy().astype(np.int64)
+        iv = b.column("inter").to_numpy().astype(np.int64)
         union = (b.column("size_a").to_numpy().astype(np.int64)
-                 + b.column("size_b").to_numpy().astype(np.int64) - inter)
-        keep = 2 * inter >= union  # Jaccard ≥ 0.5, exact integer arithmetic
+                 + b.column("size_b").to_numpy().astype(np.int64) - iv)
+        keep = 2 * iv >= union
         return pa.table({
             "id_a": pa.array(b.column("id_a").to_numpy()[keep], pa.int64()),
             "id_b": pa.array(b.column("id_b").to_numpy()[keep], pa.int64()),
-            "inter": pa.array(inter[keep], pa.int64()),
+            "inter": pa.array(iv[keep], pa.int64()),
             "union_sz": pa.array(union[keep], pa.int64()),
-        })
+        }, schema=out_schema)
 
-    return co.map_batches(score, batch_format="pyarrow").sort(["id_a", "id_b"])
+    return inter.map_batches(score, batch_format="pyarrow").sort(
+        ["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------

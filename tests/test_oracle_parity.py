@@ -91,3 +91,17 @@ def test_rows_only_queries_run(entrymod):
             continue  # covered by test_pipeline_e2e
         df = _to_df(qs[name](SF_DIR))
         assert len(df) > 0, name
+
+
+def test_ngram_jaccard_distributed_path_matches_local(entrymod, con):
+    """Force the >broadcast_max_rows distributed path (prefix map_groups +
+    shingle-key self-join + co-occurrence Count) and check it against the
+    same DuckDB oracle as the local numpy path."""
+    from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+    from fuzzy_dedupe_pipeline_ray.pipelines import textops
+
+    cfg = PipelineConfig(shingle_mode="char", shingle_k=7, lowercase=False,
+                         broadcast_max_rows=10)
+    ray_df = _to_df(textops.doc_ngram_jaccard_pairs(SF_DIR, cfg=cfg))
+    sql_df = con.sql(entrymod.oracle_sql()["doc_ngram_jaccard_pairs"]).fetchdf()
+    _compare("doc_ngram_jaccard_pairs[distributed]", ray_df, sql_df)
