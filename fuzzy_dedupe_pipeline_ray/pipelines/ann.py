@@ -14,9 +14,10 @@ Two paths, per the training-data-ops requirement:
   the query's bucket neighborhood. Approximate (recall < 1 by design) →
   rows-only correctness check.
 
-* ``embedding_near_dup_pairs`` — all pairs with cosine ≥ threshold
-  (brute force blocked matmul against the broadcast matrix; the
-  embedding-cosine near-dup operator).
+* ``embedding_near_dup_pairs`` — all pairs with cosine ≥ threshold: the
+  exact embedding-cosine near-dup operator as a block-pair join (each
+  task streams corpus blocks from the object store; the driver never
+  materializes the table).
 """
 
 from __future__ import annotations
@@ -46,12 +47,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norm
 
 
-def _query_matrix(sf_dir: str, n_queries: int):
-    """First n_queries rows by vec_id — deterministic query set."""
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector dimension, probed from ONE row (not a full column read)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0])
+
+
+def _query_matrix(sf_dir: str, n_queries: int):
+    """First n_queries rows by vec_id — deterministic query set.
+
+    Top-k-by-min-id as a distributed partial: each batch keeps its
+    n_queries smallest vec_ids, the driver merges the tiny partials —
+    never a full-table driver read or global sort."""
+    def partial_min(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        k = min(n_queries, len(ids))
+        keep = np.argpartition(ids, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+        return batch.take(pa.array(np.sort(keep)))
+
+    partials = read_embeddings(sf_dir).map_batches(
+        partial_min, batch_format="pyarrow", zero_copy_batch=True)
+    t = pa.concat_tables(
+        [b for b in partials.iter_batches(batch_format="pyarrow")])
     idx = pa.compute.sort_indices(t, sort_keys=[("vec_id", "ascending")])
     t = t.take(idx).slice(0, n_queries)
     ids, m = _to_matrix(t)
@@ -101,31 +121,62 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
         merge_topk, batch_format="pyarrow").sort(["qid", "rank"])
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4):
-    """All (id_a < id_b) pairs with cosine ≥ threshold — embedding-cosine
-    near-dup detection. The full normalized matrix is broadcast once
-    (ray.put) and each batch does one blocked matmul against it; at 100 TB
-    the same shape runs per LSH bucket instead of against the full matrix
-    (see ann_lsh_topk)."""
-    import pyarrow.parquet as pq
+#: per-worker cache of decoded block matrices, keyed by block-ref hex —
+#: ray.get from plasma is zero-copy, but the Arrow→numpy reshape/normalize
+#: should happen once per worker per block, not once per (batch, block).
+_BLOCK_CACHE: dict = {}
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    all_ids, all_m = _to_matrix(t)
-    ref = ray.put((all_ids, _normalize(all_m)))
+
+def _block_matrix(ref):
+    key = ref.hex()
+    hit = _BLOCK_CACHE.get(key)
+    if hit is None:
+        tbl = ray.get(ref)
+        ids, m = _to_matrix(tbl)
+        hit = (ids, _normalize(m))
+        _BLOCK_CACHE[key] = hit
+        if len(_BLOCK_CACHE) > 64:
+            _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+    return hit
+
+
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """All (id_a < id_b) pairs with cosine ≥ threshold — the EXACT
+    embedding-cosine near-dup operator (contrast ``ann_lsh_topk``, the
+    approximate sub-quadratic path).
+
+    Block-pair join shape: the corpus is materialized into object-store
+    blocks; every ``map_batches`` task streams the block list (zero-copy
+    ``ray.get`` per block, decoded once per worker via ``_BLOCK_CACHE``)
+    and runs one blocked matmul per (batch, block). The DRIVER never
+    reads the table — it holds only block refs. Total compute is O(n²·d)
+    and total object-store traffic O(n·num_blocks), both inherent to
+    exact all-pairs cosine; per-task memory is one batch plus one block.
+    """
+    ds = read_embeddings(sf_dir).materialize()
+    refs = list(ds.to_arrow_refs())
 
     def pairs(batch: pa.Table) -> pa.Table:
-        ids_full, m_full = ray.get(ref)
         ids, m = _to_matrix(batch)
-        sims = _normalize(m) @ m_full.T
-        ii, jj = np.where(sims >= threshold)
-        a = ids[ii]
-        b = ids_full[jj]
-        keep = a < b
-        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
-                         "id_b": pa.array(b[keep], pa.int64())})
+        mn = _normalize(m)
+        out_a, out_b = [], []
+        for ref in refs:
+            bids, bm = _block_matrix(ref)
+            if len(bids) == 0:
+                continue
+            sims = mn @ bm.T
+            ii, jj = np.where(sims >= threshold)
+            a = ids[ii]
+            b = bids[jj]
+            keep = a < b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
 
-    return read_embeddings(sf_dir).map_batches(
+    return ds.map_batches(
         pairs, batch_format="pyarrow", zero_copy_batch=True).sort(
         ["id_a", "id_b"])
 
@@ -153,10 +204,7 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                  n_planes: int = 6):
     """Approximate top-k: score only vectors whose hyperplane bucket
     matches the query's bucket. Same output schema as ann_topk."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    dim = len(t.column("embedding")[0])
+    dim = _embedding_dim(sf_dir)
     q_ids, q = _query_matrix(sf_dir, n_queries)
     hasher = _HyperplaneHasher(dim, n_planes)
     q_bits = (q @ hasher.planes) > 0
