@@ -25,8 +25,8 @@ from collections.abc import Callable
 from typing import Any
 
 from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
-from fuzzy_dedupe_pipeline_ray.functions.textnorm import STOPWORDS
-from fuzzy_dedupe_pipeline_ray.pipelines import ann, relational, textops
+from fuzzy_dedupe_pipeline_ray.functions.textnorm import _LANG_MARKERS, STOPWORDS
+from fuzzy_dedupe_pipeline_ray.pipelines import ann, multimodal, relational, textops
 from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -57,6 +57,52 @@ def files_dedupe(sf_dir: str):
          "is_representative"]).sort("doc_id")
 
 
+def files_exact_family_check(sf_dir: str):
+    """Oracle-able INVARIANT over the flagship pipeline (fixed 'small'
+    corpus so the DuckDB oracle can reference one stable parquet path):
+    every file must share a cluster with the min-doc_id representative of
+    its content_sha256 group. Reuses the ``query_small`` run directory —
+    when ``files_dedupe`` already ran at this tier the checkpoint RESUME
+    path supplies the assignments, otherwise a fresh run happens here."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from fuzzy_dedupe_pipeline_ray.config import DEFAULT_CONFIG
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = corpus_dir("small")
+    run_dir = "/tmp/fdpr_runs/query_small"
+    p = DedupePipeline(f"{d}/files.parquet", run_dir)
+    paths = p.run()
+    cfg = DEFAULT_CONFIG
+    assign = (p.assignments().select_columns(["doc_id", "cluster_id"])
+              .materialize())
+    docs = ray.data.read_parquet(paths["docs"]).select_columns(
+        ["doc_id", "repo", "path", "commit", "content_sha256"])
+    reps = docs.groupby("content_sha256").aggregate(
+        Min("doc_id", alias_name="rep_id"))
+    j = lookup_join(docs, reps, on="content_sha256", cfg=cfg)
+    j = lookup_join(j, assign, on="doc_id", cfg=cfg)
+    j = lookup_join(j, assign.rename_columns(
+        {"doc_id": "rep_id", "cluster_id": "rep_cluster"}), on="rep_id",
+        cfg=cfg)
+
+    def check(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": b.column("repo"),
+            "path": b.column("path"),
+            "commit": b.column("commit"),
+            "same_cluster_as_sha_rep": pc.equal(b.column("cluster_id"),
+                                                b.column("rep_cluster")),
+        })
+
+    return j.map_batches(check, batch_format="pyarrow").sort(
+        ["repo", "path", "commit"])
+
+
 def entry() -> Any:
     """Flagship pipeline on the tiny corpus; returns the assignments."""
     return files_dedupe("/root/testdata/sf0.001")
@@ -66,7 +112,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
     return {
         # flagship + near-dup family (engine kernels)
         "files_dedupe": files_dedupe,
+        "files_exact_family_check": files_exact_family_check,
         "doc_minhash_lsh_dedupe": textops.doc_minhash_lsh_dedupe,
+        "doc_dedupe_exact_family_check": textops.doc_dedupe_exact_family_check,
         "doc_simhash_dedupe": textops.doc_simhash_dedupe,
         "doc_exact_dedupe": textops.doc_exact_dedupe,
         "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
@@ -80,6 +128,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        # multimodal (deterministic fixture; decode stubbed, plumbing real)
+        "media_features": multimodal.media_features_query,
+        "media_exact_dupes": multimodal.media_exact_dupes_query,
         # relational operator demos
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_customers": relational.top_customers,
@@ -94,7 +145,63 @@ def oracle_sql() -> "dict[str, str]":
     collapsed = f"trim(regexp_replace(text, '{_WS}', ' ', 'g'))"
     n_tokens = (f"CASE WHEN {collapsed} = '' THEN 0 ELSE "
                 f"length({collapsed}) - length(replace({collapsed}, ' ', '')) + 1 END")
+
+    # language-ID marker-count columns, generated from the SAME marker sets
+    # the Ray kernel uses (functions/textnorm._LANG_MARKERS); winner = the
+    # first code in sorted order whose count strictly exceeds the running
+    # best (== first max in sorted order; 'unknown' when every count is 0)
+    codes = sorted(_LANG_MARKERS)
+    marker_cols = ", ".join(
+        "len(list_intersect(t, ["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[c]))
+        + f"])) AS n_{c}"
+        for c in codes)
+    greatest = "greatest(" + ", ".join(f"n_{c}" for c in codes) + ")"
+    langid_case = (f"CASE WHEN {greatest} = 0 THEN 'unknown' "
+                   + " ".join(f"WHEN n_{c} = {greatest} THEN '{c}'"
+                              for c in codes[:-1])
+                   + f" ELSE '{codes[-1]}' END")
+
+    # fixture-backed oracles reference stable parquet paths; generating
+    # here guarantees the file exists whichever of (query, oracle) the
+    # driver runs first (both generators are deterministic + cached)
+    media_path = multimodal.media_fixture_path()
+    small_files = f"{corpus_dir('small')}/files.parquet"
+
     return {
+        "doc_langid": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(
+                           trim(lower(text)), '{_WS}')) AS t
+                FROM documents),
+            counts AS (SELECT doc_id, {marker_cols} FROM toks)
+            SELECT doc_id, {langid_case} AS lang_pred
+            FROM counts ORDER BY doc_id
+        """,
+        "doc_dedupe_exact_family_check": """
+            SELECT doc_id, TRUE AS same_cluster_as_rep
+            FROM documents ORDER BY doc_id
+        """,
+        "files_exact_family_check": f"""
+            SELECT repo, path, commit, TRUE AS same_cluster_as_sha_rep
+            FROM read_parquet('{small_files}')
+            ORDER BY repo, path, commit
+        """,
+        "media_features": f"""
+            SELECT media_id, kind,
+                   octet_length(payload) AS n_bytes,
+                   CAST(json_extract_string(meta, '$.width') AS BIGINT)
+                       AS width,
+                   CAST(json_extract_string(meta, '$.height') AS BIGINT)
+                       AS height
+            FROM read_parquet('{media_path}') ORDER BY media_id
+        """,
+        "media_exact_dupes": f"""
+            SELECT media_id,
+                   min(media_id) OVER (PARTITION BY payload) AS rep_id
+            FROM read_parquet('{media_path}') ORDER BY media_id
+        """,
         "doc_exact_dedupe": f"""
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY sha256(text)) AS rep_id,

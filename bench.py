@@ -68,7 +68,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
     for name in ("doc_minhash_lsh_dedupe", "doc_exact_dedupe", "ann_topk",
                  "embedding_near_dup_pairs", "q1_pricing_summary",
-                 "events_hourly_window", "doc_ngram_jaccard_pairs"):
+                 "events_hourly_window", "events_sessionize",
+                 "doc_ngram_jaccard_pairs"):
         t0 = time.time()
         res = qs[name](sf_dir)
         # consume fully (count) so lazy datasets actually execute

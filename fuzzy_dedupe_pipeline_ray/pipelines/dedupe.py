@@ -159,10 +159,17 @@ class DedupePipeline:
     def assignments(self):
         return ray.data.read_parquet(self.manifest.stage_dir("assignments"))
 
-    def write_cleaned(self, out_dir: str):
+    def write_cleaned(self, out_dir: str, fmt: str = "parquet"):
         """The reference's stage-3 output (``sheets_sync/sync.py:159-188``):
         one row per cluster — the representative — with content and cluster
-        stats; content flows through unchanged (sha-equality invariant)."""
+        stats; content flows through unchanged (sha-equality invariant).
+
+        ``fmt="csv"`` applies the reference's row stringifier first (M10,
+        ``sync.py:177-184``): every column cast to string, nulls → '' —
+        the Sheets-writer analog; ``fmt="parquet"`` (default) keeps types.
+        """
+        if fmt not in ("parquet", "csv"):
+            raise ValueError(f"bad fmt {fmt!r}")
         cfg = self.cfg
 
         def add_ids(b: pa.Table) -> pa.Table:
@@ -180,7 +187,20 @@ class DedupePipeline:
             ["doc_id", "cluster_id", "duplicate_count", "confidence",
              "content_sha256"])
         joined = hash_join(files_with_ids, reps, on="doc_id", cfg=cfg)
-        joined.write_parquet(out_dir)
+        if fmt == "csv":
+            def stringify(b: pa.Table) -> pa.Table:
+                cols = {}
+                for name in b.schema.names:
+                    col = b.column(name)
+                    if not pa.types.is_string(col.type):
+                        col = pc.cast(col, pa.string())
+                    cols[name] = pc.fill_null(col, "")
+                return pa.table(cols)
+
+            joined.map_batches(stringify,
+                               batch_format="pyarrow").write_csv(out_dir)
+        else:
+            joined.write_parquet(out_dir)
         return out_dir
 
 

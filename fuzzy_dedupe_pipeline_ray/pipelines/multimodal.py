@@ -102,11 +102,9 @@ class MediaDecodeActor:
         })
 
 
-def synth_media_dataset(n: int = 64, seed: int = 5):
-    """Deterministic synthetic media table (for tests/demos — binary
-    payloads with planted exact duplicates)."""
-    import ray.data
-
+def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic synthetic media table (binary payloads with planted
+    exact duplicates) as an Arrow table."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -121,7 +119,41 @@ def synth_media_dataset(n: int = 64, seed: int = 5):
             "meta": json.dumps({"width": int(rng.randint(16, 640)),
                                 "height": int(rng.randint(16, 480))}),
         })
-    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def synth_media_dataset(n: int = 64, seed: int = 5):
+    """Deterministic synthetic media table as a Ray Dataset."""
+    import ray.data
+
+    return ray.data.from_arrow(synth_media_table(n, seed))
+
+
+#: the driver-visible media fixture is size-independent (the media table is
+#: not derived from the TPC-H-ish sf tables) — one deterministic parquet,
+#: shared by the queries() entries and their DuckDB oracles.
+MEDIA_FIXTURE_N = 256
+MEDIA_FIXTURE_SEED = 5
+
+
+def media_fixture_path(root: str = "/tmp/fdpr_media") -> str:
+    """Generate-and-cache the deterministic media parquet; returns the
+    file path (stable across runs — the oracle SQL references it)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, f"v1_{MEDIA_FIXTURE_N}_{MEDIA_FIXTURE_SEED}")
+    path = os.path.join(d, "media.parquet")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return path
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(synth_media_table(MEDIA_FIXTURE_N, MEDIA_FIXTURE_SEED),
+                   path, row_group_size=32)
+    with open(done, "w") as f:
+        f.write("v1")
+    return path
 
 
 def media_features(media_ds, *, concurrency: int = 2, batch_size: int = 16,
@@ -137,6 +169,28 @@ def media_features(media_ds, *, concurrency: int = 2, batch_size: int = 16,
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+def media_features_query(sf_dir: str):
+    """Driver-visible decode pipeline over the deterministic media
+    fixture (``sf_dir`` is unused — the media table is not derived from
+    the sf tables): actor-pool decode → SQL-comparable metadata columns.
+    The float feature vectors are exercised by tests/test_multimodal.py;
+    the oracle compares the deterministic integer columns."""
+    import ray.data
+
+    ds = ray.data.read_parquet(media_fixture_path())
+    feats = media_features(ds)
+    return feats.select_columns(
+        ["media_id", "kind", "n_bytes", "width", "height"]).sort("media_id")
+
+
+def media_exact_dupes_query(sf_dir: str):
+    """Driver-visible exact payload dedup over the media fixture."""
+    import ray.data
+
+    ds = ray.data.read_parquet(media_fixture_path())
+    return media_exact_dupes(ds).sort("media_id")
 
 
 def media_exact_dupes(media_ds):

@@ -216,26 +216,126 @@ def events_hourly_window(sf_dir: str):
         ["user_id", "event_type", "window_start"])
 
 
+def _session_block_summary(tbl: pa.Table, gap_us: int):
+    """Per-block scan summary: (first_user, first_ts, last_user, last_ts,
+    {user: local_start_count}) with the block's first row ASSUMED to start
+    a session (the driver corrects that via the previous block's tail)."""
+    if tbl.num_rows == 0:
+        return None
+    u = tbl.column("user_id").to_numpy()
+    ts = tbl.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    new_user = np.r_[True, u[1:] != u[:-1]]
+    brk = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+    start = new_user | brk
+    uu, counts = np.unique(u[start], return_counts=True)
+    return (int(u[0]), int(ts[0]), int(u[-1]), int(ts[-1]),
+            dict(zip(uu.tolist(), counts.tolist())))
+
+
+def _session_block_labels(tbl: pa.Table, gap_us: int, offsets: dict,
+                          cont: bool) -> pa.Table:
+    """Per-block (user_id, session_id, ts) rows given per-user TRUE-start
+    offsets from earlier blocks and whether the block's first row
+    continues the previous block's last session."""
+    u = tbl.column("user_id").to_numpy()
+    ts_col = tbl.column("ts")
+    ts = ts_col.to_numpy().astype("datetime64[us]").astype(np.int64)
+    new_user = np.r_[True, u[1:] != u[:-1]]
+    brk = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+    start = new_user | brk
+    # per-user cumulative local start count (users are contiguous runs)
+    run_start_rows = np.flatnonzero(new_user)
+    local_cum = np.cumsum(start)
+    base = np.repeat(local_cum[run_start_rows] - start[run_start_rows],
+                     np.diff(np.r_[run_start_rows, len(u)]))
+    c = local_cum - base                       # ≥1, counts assumed start
+    off = np.array([offsets.get(int(x), 0)
+                    for x in u[run_start_rows]], dtype=np.int64)
+    sid = np.repeat(off, np.diff(np.r_[run_start_rows, len(u)])) + c - 1
+    if cont and len(u):
+        # the assumed start at row 0 was not real: the first user's whole
+        # (contiguous) run sits one session too high
+        sid[u == u[0]] -= 1
+    return pa.table({
+        "user_id": pa.array(u, pa.int64()),
+        "session_id": pa.array(sid, pa.int64()),
+        "ts": ts_col,
+    })
+
+
+def _session_prefix_scan(summaries, gap_us: int):
+    """Driver-side O(#blocks) scan over ordered block summaries → per-block
+    per-user TRUE-start offsets + boundary-continuation flags."""
+    offsets: dict[int, int] = {}
+    per_block_offsets: list[dict] = []
+    conts: list[bool] = []
+    prev_user: "int | None" = None
+    prev_ts = 0
+    for s in summaries:
+        if s is None:
+            per_block_offsets.append({})
+            conts.append(False)
+            continue
+        first_u, first_ts, last_u, last_ts, local_counts = s
+        cont = prev_user == first_u and (first_ts - prev_ts) <= gap_us
+        conts.append(cont)
+        per_block_offsets.append(
+            {int(k): offsets.get(int(k), 0) for k in local_counts})
+        for k, v in local_counts.items():
+            offsets[int(k)] = offsets.get(int(k), 0) + int(v)
+        if cont:
+            offsets[int(first_u)] -= 1  # assumed start was not real
+        prev_user, prev_ts = last_u, last_ts
+    return per_block_offsets, conts
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30 min starts a new session):
-    session_id = index of the session within the user's ordered events;
-    output per session: user_id, session_id, n_events, start/end ts.
+    session_id = 0-based index of the session within the user's ordered
+    events; output per session: user_id, session_id, n_events, start/end.
 
-    groupby(user).map_groups over ts-sorted groups — the stateful
-    stream-window pattern Ray Data expresses as a grouped batch transform.
+    Fully vectorized distributed shape (no per-user Python callbacks):
+
+    1. global ``sort(user_id, ts)`` → ordered blocks;
+    2. one tiny remote summary per block (first/last row + per-user local
+       session-start counts) → the driver runs the O(#blocks) prefix scan
+       that standard dataflow ops can't express, producing per-block
+       per-user TRUE-start offsets and a boundary-continuation flag;
+    3. one remote labeling task per block emits (user_id, session_id, ts)
+       rows with the corrected ids — numpy diff/cumsum, no Python rows;
+    4. a plain Ray Data groupby aggregate (Count/Min/Max) finalizes.
+
+    Driver state is O(#blocks + users-at-block-boundaries), never rows.
     SQL oracle: window-function gap-and-island."""
+    import ray
+
+    gap_us = gap_minutes * 60 * 1_000_000
     ev = _read(sf_dir, "events", ["user_id", "ts"])
+    sorted_ds = ev.sort(["user_id", "ts"]).materialize()
+    refs = list(sorted_ds.to_arrow_refs())
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
-        gap = df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gap.cumsum().astype("int64")
-        out = df.assign(session_id=sid).groupby("session_id").agg(
-            user_id=("user_id", "first"), n_events=("ts", "size"),
-            session_start=("ts", "min"), session_end=("ts", "max"),
-        ).reset_index()
-        return out[["user_id", "session_id", "n_events", "session_start",
-                    "session_end"]]
+    summarize = ray.remote(_session_block_summary)
+    summaries = ray.get([summarize.remote(r, gap_us) for r in refs])
+    per_block_offsets, conts = _session_prefix_scan(summaries, gap_us)
 
-    return (ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
-            .sort(["user_id", "session_id"]))
+    label = ray.remote(_session_block_labels)
+    label_refs = [label.remote(r, gap_us, per_block_offsets[i], conts[i])
+                  for i, r in enumerate(refs) if summaries[i] is not None]
+    labeled = ray.data.from_arrow_refs(label_refs)
+
+    agg = labeled.groupby(["user_id", "session_id"]).aggregate(
+        Count(alias_name="n_events"),
+        Min("ts", alias_name="session_start"),
+        Max("ts", alias_name="session_end"))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "session_id": b.column("session_id"),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "session_start": b.column("session_start"),
+            "session_end": b.column("session_end"),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow").sort(
+        ["user_id", "session_id"])

@@ -20,8 +20,10 @@ Design (bounded memory per task — SURVEY.md §7.4 "keep it per-pair"):
    O((n+m)·log) per pair, no global suffix structure.
 
 Scale note: contents for the (small) candidate set are fetched by a
-broadcast-id-set semi-join filter over the input — never a shuffle of the
-full content column.
+semi-join filter over the input (broadcast of the narrow ID array when it
+fits, distributed hash semi-join above that) and hash-joined onto the
+candidate pairs — contents stay a Dataset end-to-end; the full content
+column is never shuffled and never collected to the driver.
 """
 
 from __future__ import annotations
@@ -33,9 +35,6 @@ from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
 from fuzzy_dedupe_pipeline_ray.stages.fingerprint import normalize_for_shingles
 from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_keys
 from fuzzy_dedupe_pipeline_ray.stages.lsh import PAIR_SCHEMA
-
-#: per-worker verifier cache (content map + config parsed once per process)
-_VERIFIER_CACHE: dict = {}
 
 SUB_EDGE_SCHEMA = pa.schema([
     ("id_a", pa.int64()),
@@ -216,38 +215,97 @@ def _lcs_inner(a: str, b: str, min_len: int) -> "tuple[int, int, int]":
     return best if best else (0, -1, -1)
 
 
-class SubstringVerifier:
-    """Actor-pool per-pair verifier. Holds the normalized contents of the
-    candidate doc set, fetched once per actor from an object-store ref
-    (broadcast via ``ray.put`` — read once per actor, not per batch)."""
+def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Stateless per-pair span verification over a batch that CARRIES its
+    content columns (id_a, id_b, content_a, content_b) — no global content
+    map, no driver-held state."""
+    out = {k: [] for k in ("id_a", "id_b", "span_len", "span_frac")}
+    for ida, idb, a, b in zip(batch.column("id_a").to_pylist(),
+                              batch.column("id_b").to_pylist(),
+                              batch.column("content_a").to_pylist(),
+                              batch.column("content_b").to_pylist()):
+        if a is None or b is None:
+            continue
+        span, _, _ = longest_common_span(a, b, cfg.min_substring_span)
+        if span >= cfg.min_substring_span:
+            out["id_a"].append(ida)
+            out["id_b"].append(idb)
+            out["span_len"].append(span)
+            out["span_frac"].append(span / max(1, min(len(a), len(b))))
+    return pa.table({
+        "id_a": pa.array(out["id_a"], pa.int64()),
+        "id_b": pa.array(out["id_b"], pa.int64()),
+        "span_len": pa.array(out["span_len"], pa.int64()),
+        "span_frac": pa.array(out["span_frac"], pa.float64()),
+    }, schema=SUB_EDGE_SCHEMA)
 
-    def __init__(self, content_ref, cfg_json: str):
-        import ray
 
-        self.content: dict[int, str] = ray.get(content_ref)
-        self.cfg = PipelineConfig.from_json(cfg_json)
+def _candidate_contents(files_ds, pairs, cfg: PipelineConfig):
+    """Distinct candidate doc ids (from both pair columns) → Dataset of
+    (doc_id, norm_content) for exactly those docs.
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        out = {k: [] for k in ("id_a", "id_b", "span_len", "span_frac")}
-        for ida, idb in zip(batch.column("id_a").to_pylist(),
-                            batch.column("id_b").to_pylist()):
-            a = self.content.get(ida)
-            b = self.content.get(idb)
-            if a is None or b is None:
-                continue
-            span, _, _ = longest_common_span(a, b, cfg.min_substring_span)
-            if span >= cfg.min_substring_span:
-                out["id_a"].append(ida)
-                out["id_b"].append(idb)
-                out["span_len"].append(span)
-                out["span_frac"].append(span / max(1, min(len(a), len(b))))
+    The ID set (narrow int64, NOT contents) is broadcast as one sorted
+    array when it fits ``cfg.broadcast_max_rows`` and the input is
+    filtered with a vectorized searchsorted membership test; above the
+    gate the filter is a distributed hash semi-join. Contents stay a
+    Dataset end-to-end — never a driver-side dict."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str
+    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join, to_local_table
+
+    ids_ds = pairs.map_batches(
+        lambda b: pa.table({"doc_id": pa.concat_arrays(
+            [b.column("id_a").combine_chunks(),
+             b.column("id_b").combine_chunks()])}),
+        batch_format="pyarrow")
+    ids_ds = (ids_ds.groupby("doc_id").aggregate(Count(alias_name="_n"))
+              .select_columns(["doc_id"]).materialize())
+
+    def norm_table(doc_ids: np.ndarray, contents: "list[str]") -> pa.Table:
         return pa.table({
-            "id_a": pa.array(out["id_a"], pa.int64()),
-            "id_b": pa.array(out["id_b"], pa.int64()),
-            "span_len": pa.array(out["span_len"], pa.int64()),
-            "span_frac": pa.array(out["span_frac"], pa.float64()),
-        }, schema=SUB_EDGE_SCHEMA)
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "norm_content": pa.array(
+                [normalize_for_shingles(c, cfg) for c in contents],
+                pa.string()),
+        })
+
+    if ids_ds.count() <= cfg.broadcast_max_rows:
+        tbl = to_local_table(ids_ds)
+        wanted = np.sort(tbl.column("doc_id").to_numpy())
+        wanted_ref = ray.put(wanted)
+
+        def gather(batch: pa.Table) -> pa.Table:
+            w = ray.get(wanted_ref)
+            doc_ids = hash64_str(_doc_keys(batch))
+            if len(w) == 0:
+                return norm_table(np.empty(0, np.int64), [])
+            pos = np.minimum(np.searchsorted(w, doc_ids), len(w) - 1)
+            kept = np.flatnonzero(w[pos] == doc_ids)
+            if not len(kept):
+                return norm_table(np.empty(0, np.int64), [])
+            contents = batch.column("content").take(
+                pa.array(kept)).to_pylist()
+            return norm_table(doc_ids[kept], contents)
+
+        return files_ds.map_batches(gather, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    # scale path: derive doc_id per batch, hash semi-join against the ids
+    def with_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(hash64_str(_doc_keys(batch)), pa.int64()),
+            "content": batch.column("content"),
+        })
+
+    keyed = files_ds.map_batches(with_ids, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    joined = hash_join(keyed, ids_ds, on="doc_id", cfg=cfg)
+    return joined.map_batches(
+        lambda b: norm_table(b.column("doc_id").to_numpy(),
+                             b.column("content").to_pylist()),
+        batch_format="pyarrow")
 
 
 def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
@@ -258,10 +316,13 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     anti-joined out before the expensive per-pair span verification (they
     add no connectivity).
 
-    The candidate set is assumed small relative to the corpus (rare-anchor
-    blocking); its ids are broadcast and the contents are gathered with a
-    semi-join filter over the input. At 100 TB the same shape holds per
-    partition-range of the anchor key space.
+    Contents for the (small, rare-anchor-blocked) candidate set are
+    gathered as a DATASET via a semi-join filter over the input, then
+    hash-joined onto the pairs — each verification batch carries its own
+    ``content_a``/``content_b`` columns. No driver-side content dict, no
+    unbounded broadcast: a doc in k pairs ships its content k times
+    through the join shuffle (bounded by the anchor-blocking fan-out)
+    instead of the whole candidate set living in one object.
     """
     import ray
 
@@ -271,57 +332,22 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     pairs = pairs.materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(SUB_EDGE_SCHEMA.empty_table())
-    ids = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        ids.update(b.column("id_a").to_pylist())
-        ids.update(b.column("id_b").to_pylist())
 
-    ids_ref = ray.put(ids)
+    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
 
-    def gather(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str
-
-        doc_ids = hash64_str(_doc_keys(batch))
-        mask = np.array([int(d) in wanted for d in doc_ids], dtype=bool)
-        if not mask.any():
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "norm_content": pa.array([], pa.string())})
-        content = batch.column("content").to_pylist()
-        kept = np.flatnonzero(mask)
-        return pa.table({
-            "doc_id": pa.array(doc_ids[kept], pa.int64()),
-            "norm_content": pa.array(
-                [normalize_for_shingles(content[i], cfg) for i in kept],
-                pa.string()),
-        })
-
-    content_tbl = files_ds.map_batches(gather, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-    content_map: dict[int, str] = {}
-    for b in content_tbl.iter_batches(batch_format="pyarrow"):
-        content_map.update(zip(b.column("doc_id").to_pylist(),
-                               b.column("norm_content").to_pylist()))
-    content_ref = ray.put(content_map)
+    contents = _candidate_contents(files_ds, pairs, cfg).materialize()
+    ca = contents.rename_columns({"doc_id": "id_a",
+                                  "norm_content": "content_a"})
+    cb = contents.rename_columns({"doc_id": "id_b",
+                                  "norm_content": "content_b"})
+    with_content = hash_join(pairs, ca, on="id_a", cfg=cfg)
+    with_content = hash_join(with_content, cb, on="id_b", cfg=cfg)
 
     # Stateless task pool, not actors: per-pair span verification is
     # sub-millisecond (rolling-hash LCS), so elastic tasks over small
-    # batches beat an autoscaling actor pool whose spin-up dominates. The
-    # content map travels by ObjectRef and the built verifier is cached
-    # per worker process (_VERIFIER_CACHE), not rebuilt per batch.
-    cfg_json = cfg.to_json()
-
-    def verify_batch(batch: pa.Table) -> pa.Table:
-        key = content_ref.hex()
-        v = _VERIFIER_CACHE.get(key)
-        if v is None:
-            v = SubstringVerifier(content_ref, cfg_json)
-            _VERIFIER_CACHE.clear()
-            _VERIFIER_CACHE[key] = v
-        return v(batch)
-
-    return pairs.map_batches(
-        verify_batch,
+    # batches beat an autoscaling actor pool whose spin-up dominates.
+    return with_content.map_batches(
+        lambda b: verify_span_batch(b, cfg),
         batch_format="pyarrow",
         batch_size=256,
     )

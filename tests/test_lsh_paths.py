@@ -61,3 +61,32 @@ def test_local_vs_distributed_paths(ray_session, cap):
     dist = collect(grouped_pairs(ds, dist_cfg))
     assert local == dist
     assert len(local) > 0
+
+
+def test_substring_content_gather_paths_equivalent(ray_session, tmp_path):
+    """substring_edges' content gather: the broadcast-ID semi-join path and
+    the distributed hash-semi-join path (forced via broadcast_max_rows=0)
+    must produce identical edge sets, and contents must never be required
+    on the driver for either."""
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
+    from fuzzy_dedupe_pipeline_ray.sources.io import read_files
+    from fuzzy_dedupe_pipeline_ray.stages.fingerprint import fingerprint
+    from fuzzy_dedupe_pipeline_ray.stages.substring import substring_edges
+
+    d = corpus_dir("tiny", root=str(tmp_path / "fixtures"))
+    files = read_files(f"{d}/files.parquet")
+
+    def collect(cfg):
+        sigs = fingerprint(files, cfg).materialize()
+        edges = substring_edges(files, sigs, cfg)
+        df = edges.to_pandas().sort_values(["id_a", "id_b"])
+        return set(zip(df["id_a"], df["id_b"], df["span_len"]))
+
+    base = PipelineConfig()
+    forced = PipelineConfig(broadcast_max_rows=0)
+    e_broadcast = collect(base)
+    e_distributed = collect(forced)
+    assert e_broadcast == e_distributed
+    assert len(e_broadcast) > 0  # the fixture plants substring families

@@ -143,6 +143,17 @@ def test_sha_invariant_on_cleaned_output(tiny_run, tmp_path):
                             t.column("content_sha256").to_pylist()):
         assert hashlib.sha256(content.encode()).hexdigest() == sha
 
+    # CSV variant (S5/M10 stringifier): same rows, all-string schema,
+    # content round-trips through CSV quoting with the sha intact
+    out_csv = str(tmp_path / "cleaned_csv")
+    p.write_cleaned(out_csv, fmt="csv")
+    import ray.data
+
+    tc = ray.data.read_csv(out_csv).to_pandas()
+    assert len(tc) == t.num_rows
+    for content, sha in zip(tc["content"], tc["content_sha256"]):
+        assert hashlib.sha256(str(content).encode()).hexdigest() == sha
+
 
 def test_dedupe_log_written(tiny_run):
     _, run_dir, _, _ = tiny_run

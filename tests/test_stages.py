@@ -198,3 +198,55 @@ def test_extract_zip_city_state():
     assert city.to_pylist() == ["Springfield", "Portland", None, None,
                                 None, None]
     assert state.to_pylist() == ["IL", "OR", None, "XX", None, None]
+
+
+def test_sessionize_block_scan_boundary_invariance():
+    """The sessionize cross-block prefix scan must give identical labels
+    for ANY block split of the sorted rows — including splits mid-user,
+    mid-session, and exactly at a session break."""
+    from fuzzy_dedupe_pipeline_ray.pipelines.relational import (
+        _session_block_labels,
+        _session_block_summary,
+        _session_prefix_scan,
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+    rng = np.random.RandomState(11)
+    users, tss = [], []
+    t0 = np.int64(1_700_000_000_000_000)
+    for u in range(1, 6):
+        t = t0 + rng.randint(0, 10**6)
+        for _ in range(rng.randint(5, 25)):
+            # mixture of small gaps (same session) and >30min gaps
+            t = t + (rng.randint(1, 10) * 60_000_000
+                     if rng.rand() < 0.7
+                     else rng.randint(31, 120) * 60_000_000)
+            users.append(u)
+            tss.append(int(t))
+    tbl = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(np.array(tss, "datetime64[us]")),
+    })
+    order = pa.compute.sort_indices(
+        tbl, sort_keys=[("user_id", "ascending"), ("ts", "ascending")])
+    tbl = tbl.take(order)
+
+    def run(chunks):
+        summaries = [_session_block_summary(c, gap_us) for c in chunks]
+        offs, conts = _session_prefix_scan(summaries, gap_us)
+        parts = [_session_block_labels(c, gap_us, offs[i], conts[i])
+                 for i, c in enumerate(chunks) if summaries[i] is not None]
+        return pa.concat_tables(parts)
+
+    golden = run([tbl])
+    for size in (1, 3, 7, 16, 1000):
+        chunks = [tbl.slice(i, size) for i in range(0, tbl.num_rows, size)]
+        got = run(chunks)
+        assert got.equals(golden), f"split size {size} diverges"
+    # sanity: session ids are 0-based and contiguous per user
+    import pandas as pd
+
+    df = golden.to_pandas()
+    for u, g in df.groupby("user_id"):
+        sids = sorted(g["session_id"].unique())
+        assert sids == list(range(len(sids)))
