@@ -28,6 +28,9 @@ import time
 
 
 def _init_ray(num_cpus: int):
+    from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
+
+    tune_allocator()
     import ray
 
     if not ray.is_initialized():

@@ -81,6 +81,11 @@ class PipelineConfig:
     # that dwarfs the work when the lookup side is small. Above the
     # threshold the distributed hash join is used (the 100 TB path).
     broadcast_max_rows: int = 16_000_000
+    # Separate, much smaller gate for broadcasting WIDE rows (rows that
+    # carry content strings — KBs each, vs the 8-byte keys the row gate
+    # above was sized for): 250k × ~2 KB ≈ 500 MB worst-case residency.
+    # Above it, wide tables move through the distributed hash join only.
+    wide_broadcast_max_rows: int = 250_000
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 

@@ -1,0 +1,37 @@
+"""Process-local performance tuning.
+
+``tune_allocator()`` raises glibc's mmap + trim thresholds so large numpy
+temporaries are served from the (page-warm) heap instead of fresh
+``mmap``/``munmap`` pairs. On this class of VM a first-touch page fault
+costs ~0.25 ms in a process with a large memory map, and glibc's default
+behavior (mmap every allocation > 128 KB, return it on free) makes EVERY
+vectorized driver-side pass re-fault its working set — observed 10-30×
+slowdowns of pure-numpy kernels after the object store has grown. Keeping
+the pages resident turns repeated multi-MB temporaries into ~ms work.
+
+Safe no-op on non-glibc platforms. Idempotent.
+"""
+
+from __future__ import annotations
+
+_TUNED = False
+
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+
+
+def tune_allocator(threshold_bytes: int = 1 << 30) -> bool:
+    """Idempotently raise glibc malloc thresholds; returns True if applied."""
+    global _TUNED
+    if _TUNED:
+        return True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        ok = (libc.mallopt(_M_MMAP_THRESHOLD, threshold_bytes) == 1
+              and libc.mallopt(_M_TRIM_THRESHOLD, threshold_bytes) == 1)
+    except Exception:  # noqa: BLE001 — musl/macOS/etc: silently skip
+        ok = False
+    _TUNED = ok
+    return ok

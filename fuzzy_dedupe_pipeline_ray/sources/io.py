@@ -36,6 +36,12 @@ def to_local_table(ds):
     import pyarrow as pa
     import ray
 
+    from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
+
+    # every to_local_table caller follows up with driver-side vectorized
+    # work — keep its temporaries' pages resident (see perf.py)
+    tune_allocator()
+
     tables = ray.get(ds.to_arrow_refs())
     tables = [t for t in tables if t.num_rows] or tables[:1]
     if not tables:
@@ -70,16 +76,18 @@ def _prepared_lookup(ref):
 
 
 def lookup_join(left, right, *, on, cfg: PipelineConfig,
-                join_type: str = "inner", right_count: "int | None" = None):
+                join_type: str = "inner", right_count: "int | None" = None,
+                gate_rows: "int | None" = None):
     """Small-side-aware join on ONE int64 key.
 
-    If ``right`` has ≤ ``cfg.broadcast_max_rows`` rows it is broadcast
-    once via ``ray.put`` and merged per batch with a vectorized
-    ``np.searchsorted`` lookup (no shuffle, no aggregator actors);
-    otherwise falls back to the distributed ``hash_join`` — the 100 TB
-    path. ``join_type``: "inner" or "left_outer". The right side's key
-    must be UNIQUE (it always is here: aggregate outputs / signature
-    tables keyed by doc_id).
+    If ``right`` has ≤ ``gate_rows`` (default ``cfg.broadcast_max_rows``)
+    rows it is broadcast once via ``ray.put`` and merged per batch with a
+    vectorized ``np.searchsorted`` lookup (no shuffle, no aggregator
+    actors); otherwise falls back to the distributed ``hash_join`` — the
+    100 TB path. Pass ``gate_rows=cfg.wide_broadcast_max_rows`` when the
+    right side carries content-sized strings. ``join_type``: "inner" or
+    "left_outer". The right side's key must be UNIQUE (it always is here:
+    aggregate outputs / signature tables keyed by doc_id).
     """
     import numpy as np
     import pyarrow as pa
@@ -90,7 +98,7 @@ def lookup_join(left, right, *, on, cfg: PipelineConfig,
         n = right.count()
     else:
         n = right_count
-    if n > cfg.broadcast_max_rows:
+    if n > (cfg.broadcast_max_rows if gate_rows is None else gate_rows):
         return hash_join(left, right, on=on, cfg=cfg, join_type=join_type)
 
     tbl = to_local_table(right)

@@ -160,12 +160,34 @@ def grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str = "band_key"):
     return distinct_pairs(star_pairs.union(small_pairs))
 
 
+def _dedup_pairs_np(id_a: np.ndarray,
+                    id_b: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Distinct (a, b) via int64 lexsort + consecutive-duplicate mask —
+    5-10× faster than np.unique over packed 16-byte keys."""
+    if len(id_a) == 0:
+        return id_a, id_b
+    order = np.lexsort((id_b, id_a))
+    a_s, b_s = id_a[order], id_b[order]
+    first = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    return a_s[first], b_s[first]
+
+
+#: raw-pair emission chunk: near-identical docs co-occur in ~every band,
+#: so the raw pair stream is ~num_bands× the distinct set (tens of
+#: millions of rows at bench scale). Emitting in fixed-size chunks with
+#: per-chunk dedup bounds peak memory at ~6 × _EMIT_CHUNK × 8 B and lets
+#: the allocator reuse the same (page-warm) buffers — first-touch page
+#: faults on a grown heap are ~0.25 ms/page on the target VMs (perf.py),
+#: so a single 1.5 GB burst costs more than all the compute here.
+_EMIT_CHUNK = 4_000_000
+
+
 def _local_grouped_pairs(keys: np.ndarray, docs: np.ndarray,
                          cap: int) -> "tuple[np.ndarray, np.ndarray]":
-    """Vectorized single-pass pair emission over a local (key, doc) table:
-    sort by (key, doc), find group runs, all-pairs for runs ≤ cap and
-    star-pairs (min member = pivot) above; dedup via np.unique on packed
-    16-byte pair keys. Pure numpy — no Python per group."""
+    """Vectorized pair emission over a local (key, doc) table: sort by
+    (key, doc), find group runs, all-pairs for runs ≤ cap (emitted in
+    bounded chunks, deduped per chunk) and star-pairs (min member =
+    pivot) above; final global dedup. Pure numpy — no Python per group."""
     order = np.lexsort((docs, keys))
     k = keys[order]
     d = docs[order].astype(np.int64)
@@ -180,34 +202,40 @@ def _local_grouped_pairs(keys: np.ndarray, docs: np.ndarray,
     # all-pairs: row i pairs with every later member of its group
     cnt = np.where(small_row, grp_len_row - 1 - pos, 0)
     total = int(cnt.sum())
+    parts_a: "list[np.ndarray]" = []
+    parts_b: "list[np.ndarray]" = []
     if total:
-        rows = np.repeat(np.arange(n), cnt)
-        offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
-        partner = np.repeat(np.arange(n) + 1, cnt) + (np.arange(total) - offs)
-        sa, sb = d[rows], d[partner]
-    else:
-        sa = sb = np.empty(0, dtype=np.int64)
+        ccum = np.cumsum(cnt)
+        cut_rows = np.searchsorted(
+            ccum, np.arange(_EMIT_CHUNK, total, _EMIT_CHUNK)) + 1
+        seg = np.r_[0, cut_rows, n]
+        for s, e in zip(seg[:-1], seg[1:]):
+            c = cnt[s:e]
+            tot = int(c.sum())
+            if tot == 0:
+                continue
+            rows = np.repeat(np.arange(s, e), c)
+            offs = np.repeat(np.cumsum(c) - c, c)
+            partner = (np.repeat(np.arange(s, e) + 1, c)
+                       + (np.arange(tot) - offs))
+            aa, bb = d[rows], d[partner]
+            # a doc whose two bands collide to one key appears twice in a
+            # group — drop the resulting self-pairs
+            m = aa != bb
+            aa, bb = _dedup_pairs_np(aa[m], bb[m])
+            parts_a.append(aa)
+            parts_b.append(bb)
 
     big_member = (grp_len_row > cap) & (pos > 0)
     ba = d[grp_start_row[big_member]]                 # pivot = first (min) member
-    bb = d[big_member]
+    bb_ = d[big_member]
+    m = ba != bb_
+    parts_a.append(ba[m])
+    parts_b.append(bb_[m])
 
-    id_a = np.concatenate([sa, ba])
-    id_b = np.concatenate([sb, bb])
-    # a doc whose two bands collide to one key appears twice in a group —
-    # drop the resulting self-pairs
-    m = id_a != id_b
-    id_a, id_b = id_a[m], id_b[m]
-    if len(id_a) == 0:
-        return id_a, id_b
-    # dedup via int64 lexsort + consecutive-duplicate mask (near-identical
-    # docs share ~all bands, so the raw pair list is ~num_bands× larger
-    # than the distinct set; a 16-byte-string np.unique here is 5-10×
-    # slower than the two-column lexsort)
-    order = np.lexsort((id_b, id_a))
-    a_s, b_s = id_a[order], id_b[order]
-    first = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
-    return a_s[first], b_s[first]
+    id_a = np.concatenate(parts_a) if parts_a else np.empty(0, np.int64)
+    id_b = np.concatenate(parts_b) if parts_b else np.empty(0, np.int64)
+    return _dedup_pairs_np(id_a, id_b)
 
 
 def _small_group_pairs(small_ds, key: str, cfg: PipelineConfig):
@@ -269,12 +297,88 @@ def _small_group_pairs(small_ds, key: str, cfg: PipelineConfig):
                                 zero_copy_batch=True)
 
 
+def _band_key_table(cfg_json: str):
+    """map_batches fn: signatures → narrow (doc_id, bk_0..bk_{b-1}) rows —
+    the band-key matrix computed worker-side, WITHOUT the b× row
+    explosion (64 B/doc at b=32 vs b 16-byte rows per doc)."""
+    cfg = PipelineConfig.from_json(cfg_json)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        cols = {"doc_id": batch.column("doc_id")}
+        if m == 0:
+            keys = np.empty((0, cfg.num_bands), dtype=np.int64)
+        else:
+            sigs = unpack_signatures(batch.column("minhash"), cfg.num_perms)
+            keys = band_keys_batch(sigs, cfg.num_bands, cfg.rows_per_band)
+        for j in range(cfg.num_bands):
+            cols[f"bk_{j}"] = pa.array(keys[:, j].astype(np.int64),
+                                       pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
 def candidate_pairs(signatures_ds, cfg: PipelineConfig):
     """signatures Dataset → distinct candidate (id_a, id_b) Dataset.
 
     Replaces the reference's FAISS self-kNN probe loop
-    (``processor.py:136-150``) with the banding shuffles of
-    ``grouped_pairs``."""
+    (``processor.py:136-150``) with LSH banding.
+
+    Fast path (band-key matrix ≤ broadcast budget): the per-doc band-key
+    MATRIX is computed worker-side and collected narrow (no b× row
+    explosion), then processed ONE BAND AT A TIME — b independent
+    ~n-row sorts with incremental pair dedup — instead of one b·n-row
+    lexsort. Peak driver memory is one band column plus the running
+    distinct pair set (tens of MB at bench scale); on hosts where
+    first-touch page faults are slow (perf.py) this is the difference
+    between seconds and minutes. Above the budget: band explosion +
+    ``grouped_pairs``' distributed shuffle path (the 100 TB shape).
+    """
+    signatures_ds = signatures_ds.materialize()
+    n_docs = signatures_ds.count()
+    if n_docs * cfg.num_bands <= cfg.broadcast_max_rows:
+        import ray.data as rd
+
+        from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+        tbl = to_local_table(
+            signatures_ds.select_columns(["doc_id", "minhash"]).map_batches(
+                _band_key_table(cfg.to_json()), batch_format="pyarrow",
+                zero_copy_batch=True))
+        if tbl is None or tbl.num_rows == 0:
+            return rd.from_arrow(PAIR_SCHEMA.empty_table())
+        docs = tbl.column("doc_id").to_numpy()
+        # accumulate per-band distinct pairs and merge lazily once the
+        # buffer passes ~2× _EMIT_CHUNK — near-identical pairs recur in
+        # ~every band, so eager per-band merging would pay b lexsorts of
+        # the full running set for no size reduction
+        parts_a: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
+        parts_b: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
+        pending = 0
+        for j in range(cfg.num_bands):
+            a, b = _local_grouped_pairs(tbl.column(f"bk_{j}").to_numpy(),
+                                        docs, cfg.band_group_pair_cap)
+            if len(a) == 0:
+                continue
+            parts_a.append(a)
+            parts_b.append(b)
+            pending += len(a)
+            if pending > 2 * _EMIT_CHUNK:
+                merged = _dedup_pairs_np(np.concatenate(parts_a),
+                                         np.concatenate(parts_b))
+                parts_a, parts_b = [merged[0]], [merged[1]]
+                pending = 0
+        agg_a, agg_b = _dedup_pairs_np(np.concatenate(parts_a),
+                                       np.concatenate(parts_b))
+        out = pa.table({"id_a": pa.array(agg_a, pa.int64()),
+                        "id_b": pa.array(agg_b, pa.int64())},
+                       schema=PAIR_SCHEMA)
+        n_blocks = max(1, min(64, out.num_rows // 256))
+        step = -(-out.num_rows // n_blocks) if out.num_rows else 1
+        slices = [out.slice(i, step) for i in range(0, out.num_rows, step)]
+        return rd.from_arrow(slices or [out])
+
     exploded = signatures_ds.map_batches(
         explode_bands(cfg.to_json()), batch_format="pyarrow",
         zero_copy_batch=True)

@@ -255,13 +255,26 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig):
     from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str
     from fuzzy_dedupe_pipeline_ray.sources.io import hash_join, to_local_table
 
-    ids_ds = pairs.map_batches(
-        lambda b: pa.table({"doc_id": pa.concat_arrays(
-            [b.column("id_a").combine_chunks(),
-             b.column("id_b").combine_chunks()])}),
-        batch_format="pyarrow")
-    ids_ds = (ids_ds.groupby("doc_id").aggregate(Count(alias_name="_n"))
-              .select_columns(["doc_id"]).materialize())
+    pairs = pairs.materialize()
+    wanted = None
+    ids_ds = None
+    if pairs.count() <= cfg.broadcast_max_rows:
+        # narrow pairs fit the broadcast budget: distinct ids locally
+        # (np.unique) instead of paying a groupby shuffle's fixed cost
+        ptbl = to_local_table(pairs)
+        wanted = np.unique(np.concatenate(
+            [ptbl.column("id_a").to_numpy(), ptbl.column("id_b").to_numpy()]))
+    else:
+        ids_ds = pairs.map_batches(
+            lambda b: pa.table({"doc_id": pa.concat_arrays(
+                [b.column("id_a").combine_chunks(),
+                 b.column("id_b").combine_chunks()])}),
+            batch_format="pyarrow")
+        ids_ds = (ids_ds.groupby("doc_id").aggregate(Count(alias_name="_n"))
+                  .select_columns(["doc_id"]).materialize())
+        if ids_ds.count() <= cfg.broadcast_max_rows:
+            wanted = np.sort(
+                to_local_table(ids_ds).column("doc_id").to_numpy())
 
     def norm_table(doc_ids: np.ndarray, contents: "list[str]") -> pa.Table:
         return pa.table({
@@ -271,9 +284,7 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig):
                 pa.string()),
         })
 
-    if ids_ds.count() <= cfg.broadcast_max_rows:
-        tbl = to_local_table(ids_ds)
-        wanted = np.sort(tbl.column("doc_id").to_numpy())
+    if wanted is not None:
         wanted_ref = ray.put(wanted)
 
         def gather(batch: pa.Table) -> pa.Table:
@@ -318,11 +329,12 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
 
     Contents for the (small, rare-anchor-blocked) candidate set are
     gathered as a DATASET via a semi-join filter over the input, then
-    hash-joined onto the pairs — each verification batch carries its own
-    ``content_a``/``content_b`` columns. No driver-side content dict, no
-    unbounded broadcast: a doc in k pairs ships its content k times
-    through the join shuffle (bounded by the anchor-blocking fan-out)
-    instead of the whole candidate set living in one object.
+    joined onto the pairs — each verification batch carries its own
+    ``content_a``/``content_b`` columns. The content join is gated on the
+    dedicated WIDE-row budget (``cfg.wide_broadcast_max_rows``): under it
+    the contents table is broadcast once and probed per batch; above it
+    both joins run as distributed hash joins, so broadcast memory is
+    bounded by config, never by anchor luck. No driver-side content dict.
     """
     import ray
 
@@ -333,15 +345,22 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     if pairs.count() == 0:
         return ray.data.from_arrow(SUB_EDGE_SCHEMA.empty_table())
 
-    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
 
     contents = _candidate_contents(files_ds, pairs, cfg).materialize()
+    n_contents = contents.count()
     ca = contents.rename_columns({"doc_id": "id_a",
                                   "norm_content": "content_a"})
     cb = contents.rename_columns({"doc_id": "id_b",
                                   "norm_content": "content_b"})
-    with_content = hash_join(pairs, ca, on="id_a", cfg=cfg)
-    with_content = hash_join(with_content, cb, on="id_b", cfg=cfg)
+    # contents are WIDE rows: the broadcast fast path is gated on the
+    # dedicated wide-row budget; above it both joins run distributed
+    with_content = lookup_join(pairs, ca, on="id_a", cfg=cfg,
+                               right_count=n_contents,
+                               gate_rows=cfg.wide_broadcast_max_rows)
+    with_content = lookup_join(with_content, cb, on="id_b", cfg=cfg,
+                               right_count=n_contents,
+                               gate_rows=cfg.wide_broadcast_max_rows)
 
     # Stateless task pool, not actors: per-pair span verification is
     # sub-millisecond (rolling-hash LCS), so elastic tasks over small

@@ -90,3 +90,45 @@ def test_substring_content_gather_paths_equivalent(ray_session, tmp_path):
     e_distributed = collect(forced)
     assert e_broadcast == e_distributed
     assert len(e_broadcast) > 0  # the fixture plants substring families
+
+
+def test_candidate_pairs_band_matrix_path_matches_exploded(ray_session):
+    """candidate_pairs' per-band driver path must equal the exploded
+    grouped_pairs path (forced via a zero broadcast budget)."""
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        MinHasher,
+        pack_signatures,
+    )
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
+
+    cfg = PipelineConfig()
+    rng = np.random.RandomState(3)
+    mh = MinHasher(cfg.num_perms, cfg.minhash_seed)
+    sigs, ids = [], []
+    base_sets = [rng.randint(0, 1 << 60, 80).astype(np.uint64)
+                 for _ in range(40)]
+    doc = 0
+    for s in base_sets:
+        for _ in range(3):  # 3 near-identical members per family
+            mut = s.copy()
+            mut[rng.randint(0, len(mut))] = rng.randint(0, 1 << 60)
+            sigs.append(mh.signature(np.unique(mut)))
+            ids.append(doc)
+            doc += 1
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "minhash": pack_signatures(np.vstack(sigs)),
+    })
+    ds = ray.data.from_arrow(tbl)
+
+    def collect(out_ds):
+        df = out_ds.to_pandas()
+        return set(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+    fast = collect(candidate_pairs(ds, cfg))
+    dist = collect(candidate_pairs(
+        ds, PipelineConfig(broadcast_max_rows=0)))
+    assert fast == dist
+    assert len(fast) > 0
