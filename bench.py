@@ -14,7 +14,11 @@ Prints ONE JSON line:
 num_cpus=8 and num_cpus=32 on the SAME input (page cache warmed by the
 first run's read) and reports throughput at both plus scaling efficiency
 (t8/t32)/(32/8) — the sandbox evidence for the north rule's N-vs-4N
-cluster criterion (BASELINE.md).
+cluster criterion (BASELINE.md). The scaling input is the larger
+``scale`` corpus (~490k files) so per-run fixed costs (Ray session,
+stage startup, driver-side merges) amortize and the ratio measures the
+engine, not the constant overhead; override with
+``GRAFT_SCALING_CORPUS=bench`` for the quick variant.
 """
 
 from __future__ import annotations
@@ -93,9 +97,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _headline_in_subprocess(num_cpus: int) -> dict:
+def _headline_in_subprocess(num_cpus: int, corpus: str = "bench") -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
-               GRAFT_BENCH_HEADLINE_ONLY="1")
+               GRAFT_BENCH_HEADLINE_ONLY="1", GRAFT_BENCH_CORPUS=corpus)
     out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                          capture_output=True, text=True, check=True,
                          env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -110,12 +114,14 @@ def main() -> None:
         # warm the page cache (and the fixture cache) once, untimed
         from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
 
-        corpus_dir("bench")
-        lo = _headline_in_subprocess(8)
-        hi = _headline_in_subprocess(32)
+        corpus = os.environ.get("GRAFT_SCALING_CORPUS", "scale")
+        corpus_dir(corpus)
+        lo = _headline_in_subprocess(8, corpus)
+        hi = _headline_in_subprocess(32, corpus)
         eff = (lo["value"] / hi["value"]) / (32 / 8)
         print(json.dumps({
             "metric": "scaling efficiency 8→32 CPUs, flagship dedupe",
+            "corpus": corpus,
             "sec_8": lo["value"], "sec_32": hi["value"],
             "files_per_sec_8": lo["files_per_sec"],
             "files_per_sec_32": hi["files_per_sec"],
@@ -131,8 +137,9 @@ def main() -> None:
         from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
         import pyarrow.parquet as pq
 
-        d = corpus_dir("bench")
-        run_dir = f"/tmp/fdpr_runs/bench_{num_cpus}"
+        corpus = os.environ.get("GRAFT_BENCH_CORPUS", "bench")
+        d = corpus_dir(corpus)
+        run_dir = f"/tmp/fdpr_runs/bench_{corpus}_{num_cpus}"
         shutil.rmtree(run_dir, ignore_errors=True)
         cfg = PipelineConfig(fingerprint_concurrency=max(2, num_cpus - 2),
                              num_partitions=max(8, num_cpus // 2))

@@ -81,6 +81,12 @@ class PipelineConfig:
     # that dwarfs the work when the lookup side is small. Above the
     # threshold the distributed hash join is used (the 100 TB path).
     broadcast_max_rows: int = 16_000_000
+    # candidate_pairs tiering: band-matrix rows (n_docs × num_bands) at or
+    # below this run the per-band emission as ONE driver pass; between
+    # this and broadcast_max_rows the bands fan out as parallel Ray tasks
+    # (scales with CPUs); above broadcast_max_rows the exploded
+    # distributed shuffle path runs (the 100 TB shape).
+    band_driver_max_rows: int = 1_000_000
     # Separate, much smaller gate for broadcasting WIDE rows (rows that
     # carry content strings — KBs each, vs the 8-byte keys the row gate
     # above was sized for): 250k × ~2 KB ≈ 500 MB worst-case residency.

@@ -75,6 +75,12 @@ SIZES = {
     "tiny": dict(families=4, skew_copies=30, negatives=60),
     "small": dict(families=80, skew_copies=400, negatives=1500),
     "bench": dict(families=6000, skew_copies=6000, negatives=120000),
+    # scaling-measurement corpus (~2.3× bench): large enough that
+    # worker-parallel stage time dominates session/driver fixed costs, so
+    # the N-vs-4N efficiency measures the ENGINE's scalability (the
+    # regime the 100 TB cluster criterion describes) rather than Ray's
+    # per-run constant overhead
+    "scale": dict(families=14000, skew_copies=14000, negatives=280000),
 }
 
 

@@ -51,18 +51,54 @@ def _star_edges_batch(group: pa.Table, confidence: float) -> pa.Table:
 def exact_edges(docs_ds, cfg: PipelineConfig):
     """docs-meta Dataset → exact-duplicate star-edge Dataset.
 
-    Vectorized (no per-group Python): ``groupby(sha).aggregate(Min(doc_id))``
-    → hash-join the rep back onto the narrow rows → filter members → star
-    edges per batch. The sha key is uniform — hash keys don't skew even
-    when values do (SURVEY.md §7.3).
+    Vectorized (no per-group Python). Fast path (narrow sha/doc pairs ≤
+    broadcast budget): one local lexsort + run-length pass emits the star
+    edges directly — a Ray hash aggregate costs ~15-20 s of fixed shuffle
+    setup on the target hosts, far above the actual work at ≤ millions of
+    rows. Scale path: ``groupby(sha).aggregate(Min(doc_id))`` → join the
+    rep back → filter members → star edges per batch. The sha key is
+    uniform — hash keys don't skew even when values do (SURVEY.md §7.3).
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join, to_local_table
 
     conf = min(cfg.confidence_cap, 1.0)
     narrow = docs_ds.select_columns(["content_sha256", "doc_id"])
+
+    narrow = narrow.materialize()
+    if narrow.count() <= cfg.broadcast_max_rows:
+        import ray.data as rd
+
+        tbl = to_local_table(narrow)
+        if tbl is None or tbl.num_rows == 0:
+            return rd.from_arrow(EDGE_SCHEMA.empty_table())
+        shas = tbl.column("content_sha256").to_numpy(zero_copy_only=False)
+        docs = tbl.column("doc_id").to_numpy()
+        _, inv = np.unique(shas, return_inverse=True)
+        order = np.lexsort((docs, inv))
+        g = inv[order]
+        d = docs[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        lens = np.diff(np.r_[starts, len(g)])
+        rep = np.repeat(d[starts], lens)          # min doc_id per sha run
+        member_mask = d != rep
+        a, b = rep[member_mask], d[member_mask]
+        n = len(a)
+        out = pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "sig_sim": pa.array(np.ones(n), pa.float64()),
+            "second_sim": pa.array(np.ones(n), pa.float64()),
+            "exact_match": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+            "match_type": pa.array(["exact"] * n, pa.string()),
+            "confidence": pa.array(np.full(n, conf), pa.float64()),
+        }, schema=EDGE_SCHEMA)
+        n_blocks = max(1, min(32, out.num_rows // 1024))
+        step = -(-out.num_rows // n_blocks) if out.num_rows else 1
+        slices = [out.slice(i, step) for i in range(0, out.num_rows, step)]
+        return rd.from_arrow(slices or [out])
     reps = narrow.groupby("content_sha256").aggregate(
         Min("doc_id", alias_name="rep_id"))
     joined = lookup_join(narrow, reps, on="content_sha256", cfg=cfg)

@@ -111,26 +111,53 @@ def grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str = "band_key"):
 
     cap = cfg.band_group_pair_cap
 
-    # Small-side fast path: when the exploded (key, doc_id) table fits the
-    # broadcast budget (≤ broadcast_max_rows ⇒ ≤ ~64 MB), collect it and
-    # emit pairs in ONE vectorized numpy pass — Ray's groupby/shuffle fixed
-    # costs dwarf the actual work at this size. The distributed path below
-    # is the 100 TB shape (and is exercised by tests via a tiny threshold).
+    # Small-side fast paths: when the exploded (key, doc_id) table fits
+    # the broadcast budget (≤ broadcast_max_rows ⇒ ≤ ~256 MB), the pairs
+    # come from vectorized numpy passes — Ray's groupby/shuffle fixed
+    # costs dwarf the actual work at this size. Below
+    # ``band_driver_max_rows`` it is ONE driver pass; above that the key
+    # space is hash-sliced across parallel Ray tasks (scales with CPUs
+    # and keeps each task's page-fault working set small — perf.py). The
+    # distributed path below is the 100 TB shape (exercised by tests via
+    # a tiny threshold).
     keyed_mat = keyed_ds.materialize()
-    if keyed_mat.count() <= cfg.broadcast_max_rows:
+    n_rows = keyed_mat.count()
+    if n_rows <= cfg.broadcast_max_rows:
+        import ray
         import ray.data as rd
 
-        tbl = to_local_table(keyed_mat)
-        if tbl is None or tbl.num_rows == 0:
-            return rd.from_arrow(PAIR_SCHEMA.empty_table())
-        a, b = _local_grouped_pairs(tbl.column(key).to_numpy(),
-                                    tbl.column("doc_id").to_numpy(), cap)
+        if n_rows <= cfg.band_driver_max_rows:
+            tbl = to_local_table(keyed_mat)
+            if tbl is None or tbl.num_rows == 0:
+                return rd.from_arrow(PAIR_SCHEMA.empty_table())
+            a, b = _local_grouped_pairs(tbl.column(key).to_numpy(),
+                                        tbl.column("doc_id").to_numpy(),
+                                        cap)
+        else:
+            refs = list(keyed_mat.to_arrow_refs())
+            if not refs:
+                return rd.from_arrow(PAIR_SCHEMA.empty_table())
+            # 8 tasks × 2 slices: enough parallelism at 8-32 CPUs while
+            # each worker pays its first-touch warmup once (perf.py)
+            n_slices, n_tasks = 16, 8
+            groups = [list(range(t, n_slices, n_tasks))
+                      for t in range(n_tasks)]
+            emit = ray.remote(_emit_key_slices)
+            results = ray.get(
+                [emit.remote(refs, key, g, n_slices, cap)
+                 for g in groups])
+            parts_a = [r[0] for r in results if len(r[0])]
+            parts_b = [r[1] for r in results if len(r[1])]
+            if not parts_a:
+                return rd.from_arrow(PAIR_SCHEMA.empty_table())
+            a, b = _dedup_pairs_np(np.concatenate(parts_a),
+                                   np.concatenate(parts_b))
         out = pa.table({"id_a": pa.array(a, pa.int64()),
                         "id_b": pa.array(b, pa.int64())}, schema=PAIR_SCHEMA)
         # split into many blocks — a single from_arrow block would make
         # every downstream map_batches run as ONE task (no parallelism)
         n_blocks = max(1, min(64, out.num_rows // 256))
-        step = -(-out.num_rows // n_blocks)
+        step = -(-out.num_rows // n_blocks) if out.num_rows else 1
         slices = [out.slice(i, step) for i in range(0, out.num_rows, step)]
         return rd.from_arrow(slices or [out])
 
@@ -297,6 +324,76 @@ def _small_group_pairs(small_ds, key: str, cfg: PipelineConfig):
                                 zero_copy_batch=True)
 
 
+def _emit_key_slices(block_refs, key: str, slice_indices, n_slices: int,
+                     cap: int):
+    """Ray task body: distinct pairs for SEVERAL hash-slices of the key
+    space of an exploded (key, doc_id) table, processed sequentially so
+    one worker pays its (expensive — perf.py) first-touch warmup once.
+    Whole key groups land in one slice (the slice is a function of the
+    key), so per-slice emission is exact; cross-slice pair duplicates are
+    merged by the caller."""
+    import ray
+
+    from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
+
+    tune_allocator()
+    blocks = [t for t in ray.get(list(block_refs)) if t.num_rows]
+    e = np.empty(0, dtype=np.int64)
+    if not blocks:
+        return e, e
+    keys = np.concatenate([b.column(key).to_numpy() for b in blocks])
+    docs = np.concatenate([b.column("doc_id").to_numpy() for b in blocks])
+    with np.errstate(over="ignore"):
+        mix = (keys.astype(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    slice_of = (mix % np.uint64(n_slices)).astype(np.int64)
+    parts_a: "list[np.ndarray]" = [e]
+    parts_b: "list[np.ndarray]" = [e]
+    for t in slice_indices:
+        mask = slice_of == t
+        if not mask.any():
+            continue
+        a, b = _local_grouped_pairs(keys[mask], docs[mask], cap)
+        parts_a.append(a)
+        parts_b.append(b)
+    return (np.concatenate(parts_a), np.concatenate(parts_b))
+
+
+def _emit_band_group(block_refs, band_indices, cap: int):
+    """Ray task body: distinct pairs for a handful of bands of the
+    band-key matrix. Reads the matrix blocks zero-copy from plasma and
+    concatenates ONLY the doc_id column and its own band columns (never
+    the full matrix); returns lazily-merged (id_a, id_b) arrays."""
+    import ray
+
+    from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
+
+    tune_allocator()
+    blocks = [t for t in ray.get(list(block_refs)) if t.num_rows]
+    if not blocks:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    docs = np.concatenate([b.column("doc_id").to_numpy() for b in blocks])
+    parts_a: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
+    parts_b: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
+    pending = 0
+    for j in band_indices:
+        keys = np.concatenate(
+            [b.column(f"bk_{j}").to_numpy() for b in blocks])
+        a, b_ = _local_grouped_pairs(keys, docs, cap)
+        if len(a) == 0:
+            continue
+        parts_a.append(a)
+        parts_b.append(b_)
+        pending += len(a)
+        if pending > 2 * _EMIT_CHUNK:
+            merged = _dedup_pairs_np(np.concatenate(parts_a),
+                                     np.concatenate(parts_b))
+            parts_a, parts_b = [merged[0]], [merged[1]]
+            pending = 0
+    return _dedup_pairs_np(np.concatenate(parts_a), np.concatenate(parts_b))
+
+
 def _band_key_table(cfg_json: str):
     """map_batches fn: signatures → narrow (doc_id, bk_0..bk_{b-1}) rows —
     the band-key matrix computed worker-side, WITHOUT the b× row
@@ -337,40 +434,71 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig):
     """
     signatures_ds = signatures_ds.materialize()
     n_docs = signatures_ds.count()
-    if n_docs * cfg.num_bands <= cfg.broadcast_max_rows:
+    n_keyed = n_docs * cfg.num_bands
+    if n_keyed <= cfg.broadcast_max_rows:
+        import ray
         import ray.data as rd
 
         from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
 
-        tbl = to_local_table(
-            signatures_ds.select_columns(["doc_id", "minhash"]).map_batches(
-                _band_key_table(cfg.to_json()), batch_format="pyarrow",
-                zero_copy_batch=True))
-        if tbl is None or tbl.num_rows == 0:
-            return rd.from_arrow(PAIR_SCHEMA.empty_table())
-        docs = tbl.column("doc_id").to_numpy()
-        # accumulate per-band distinct pairs and merge lazily once the
-        # buffer passes ~2× _EMIT_CHUNK — near-identical pairs recur in
-        # ~every band, so eager per-band merging would pay b lexsorts of
-        # the full running set for no size reduction
-        parts_a: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
-        parts_b: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
-        pending = 0
-        for j in range(cfg.num_bands):
-            a, b = _local_grouped_pairs(tbl.column(f"bk_{j}").to_numpy(),
-                                        docs, cfg.band_group_pair_cap)
-            if len(a) == 0:
-                continue
-            parts_a.append(a)
-            parts_b.append(b)
-            pending += len(a)
-            if pending > 2 * _EMIT_CHUNK:
-                merged = _dedup_pairs_np(np.concatenate(parts_a),
-                                         np.concatenate(parts_b))
-                parts_a, parts_b = [merged[0]], [merged[1]]
-                pending = 0
-        agg_a, agg_b = _dedup_pairs_np(np.concatenate(parts_a),
-                                       np.concatenate(parts_b))
+        bk_ds = (signatures_ds.select_columns(["doc_id", "minhash"])
+                 .map_batches(_band_key_table(cfg.to_json()),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True).materialize())
+
+        if n_keyed <= cfg.band_driver_max_rows:
+            # small corpus: single driver pass — task dispatch overhead
+            # would dominate the per-band numpy work
+            tbl = to_local_table(bk_ds)
+            if tbl is None or tbl.num_rows == 0:
+                return rd.from_arrow(PAIR_SCHEMA.empty_table())
+            docs = tbl.column("doc_id").to_numpy()
+            # accumulate per-band distinct pairs and merge lazily once
+            # the buffer passes ~2× _EMIT_CHUNK — near-identical pairs
+            # recur in ~every band, so eager per-band merging would pay b
+            # lexsorts of the full running set for no size reduction
+            parts_a: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
+            parts_b: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
+            pending = 0
+            for j in range(cfg.num_bands):
+                a, b = _local_grouped_pairs(
+                    tbl.column(f"bk_{j}").to_numpy(), docs,
+                    cfg.band_group_pair_cap)
+                if len(a) == 0:
+                    continue
+                parts_a.append(a)
+                parts_b.append(b)
+                pending += len(a)
+                if pending > 2 * _EMIT_CHUNK:
+                    merged = _dedup_pairs_np(np.concatenate(parts_a),
+                                             np.concatenate(parts_b))
+                    parts_a, parts_b = [merged[0]], [merged[1]]
+                    pending = 0
+            agg_a, agg_b = _dedup_pairs_np(np.concatenate(parts_a),
+                                           np.concatenate(parts_b))
+        else:
+            # mid tier: the per-band emission fans out as ~8 parallel Ray
+            # tasks (a few bands each — one first-touch warmup per
+            # worker, see perf.py) so the dominant sort/emit work scales
+            # with cluster CPUs; the driver only merges the partial
+            # (already-distinct, sorted) pair sets
+            refs = list(bk_ds.to_arrow_refs())
+            if not refs:
+                return rd.from_arrow(PAIR_SCHEMA.empty_table())
+            per_task = max(1, cfg.num_bands // 8)
+            groups = [list(range(j, min(j + per_task, cfg.num_bands)))
+                      for j in range(0, cfg.num_bands, per_task)]
+            emit = ray.remote(_emit_band_group)
+            results = ray.get(
+                [emit.remote(refs, g, cfg.band_group_pair_cap)
+                 for g in groups])
+            parts_a = [r[0] for r in results if len(r[0])]
+            parts_b = [r[1] for r in results if len(r[1])]
+            if not parts_a:
+                return rd.from_arrow(PAIR_SCHEMA.empty_table())
+            agg_a, agg_b = _dedup_pairs_np(np.concatenate(parts_a),
+                                           np.concatenate(parts_b))
+
         out = pa.table({"id_a": pa.array(agg_a, pa.int64()),
                         "id_b": pa.array(agg_b, pa.int64())},
                        schema=PAIR_SCHEMA)

@@ -132,3 +132,115 @@ def test_candidate_pairs_band_matrix_path_matches_exploded(ray_session):
         ds, PipelineConfig(broadcast_max_rows=0)))
     assert fast == dist
     assert len(fast) > 0
+
+
+def test_candidate_pairs_parallel_tier_matches_driver(ray_session):
+    """The parallel per-band-task tier (band_driver_max_rows=0) must match
+    the single-driver-pass tier exactly."""
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        MinHasher,
+        pack_signatures,
+    )
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
+
+    cfg = PipelineConfig()
+    rng = np.random.RandomState(9)
+    mh = MinHasher(cfg.num_perms, cfg.minhash_seed)
+    sigs, ids = [], []
+    doc = 0
+    for _ in range(30):
+        s = rng.randint(0, 1 << 60, 60).astype(np.uint64)
+        for _ in range(2):
+            mut = s.copy()
+            mut[rng.randint(0, len(mut))] = rng.randint(0, 1 << 60)
+            sigs.append(mh.signature(np.unique(mut)))
+            ids.append(doc)
+            doc += 1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "minhash": pack_signatures(np.vstack(sigs)),
+    }))
+
+    def collect(out_ds):
+        df = out_ds.to_pandas()
+        return set(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+    driver = collect(candidate_pairs(ds, cfg))
+    par = collect(candidate_pairs(
+        ds, PipelineConfig(band_driver_max_rows=0)))
+    assert driver == par
+    assert len(driver) > 0
+
+
+def test_finalize_and_exact_local_fast_paths_match_distributed(
+        ray_session, tmp_path):
+    """The local numpy fast paths of exact_edges and finalize must produce
+    the same edges/assignments as the distributed join+aggregate paths
+    (forced via broadcast_max_rows=0)."""
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
+    from fuzzy_dedupe_pipeline_ray.sources.io import read_files
+    from fuzzy_dedupe_pipeline_ray.stages.cc import connected_components
+    from fuzzy_dedupe_pipeline_ray.stages.exact import exact_edges
+    from fuzzy_dedupe_pipeline_ray.stages.finalize import finalize
+    from fuzzy_dedupe_pipeline_ray.stages.fingerprint import fingerprint
+    from fuzzy_dedupe_pipeline_ray.stages.ingest import ingest_meta
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
+    from fuzzy_dedupe_pipeline_ray.stages.verify import verify_pairs
+
+    d = corpus_dir("tiny", root=str(tmp_path / "fx"))
+    files = read_files(f"{d}/files.parquet")
+    fast_cfg = PipelineConfig()
+    dist_cfg = PipelineConfig(broadcast_max_rows=0)
+
+    docs = ingest_meta(files).materialize()
+    sigs = fingerprint(files, fast_cfg).materialize()
+
+    def edges_set(cfg):
+        df = exact_edges(docs, cfg).to_pandas()
+        return set(zip(df["id_a"], df["id_b"], df["match_type"]))
+
+    assert edges_set(fast_cfg) == edges_set(dist_cfg)
+
+    ex = exact_edges(docs, fast_cfg)
+    fuzzy = verify_pairs(candidate_pairs(sigs, fast_cfg), sigs, fast_cfg)
+    edges = ex.union(fuzzy).materialize()
+    labels = connected_components(edges, fast_cfg).materialize()
+
+    def assigns(cfg):
+        df = finalize(docs, labels, edges, cfg).to_pandas()
+        return (df[["doc_id", "cluster_id", "duplicate_count",
+                    "is_representative", "confidence"]]
+                .sort_values("doc_id").reset_index(drop=True))
+
+    fast = assigns(fast_cfg)
+    dist = assigns(dist_cfg)
+    for col in ("doc_id", "cluster_id", "duplicate_count",
+                "is_representative"):
+        assert fast[col].tolist() == dist[col].tolist(), col
+    assert np.allclose(fast["confidence"], dist["confidence"])
+
+
+@pytest.mark.parametrize("cap", [8, 64])
+def test_grouped_pairs_key_slice_tier_matches(ray_session, cap):
+    """The hash-key-slice parallel tier of grouped_pairs (forced with
+    band_driver_max_rows=0) must match the driver tier exactly."""
+    import ray.data
+
+    keys, docs = _mk_keyed(seed=100 + cap)
+    ds = ray.data.from_arrow(pa.table({
+        "band_key": pa.array(keys, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64())}))
+
+    def collect(out_ds):
+        df = out_ds.to_pandas()
+        return set(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+    driver = collect(grouped_pairs(ds, PipelineConfig(band_group_pair_cap=cap)))
+    sliced = collect(grouped_pairs(ds, PipelineConfig(
+        band_group_pair_cap=cap, band_driver_max_rows=0)))
+    assert driver == sliced
+    assert len(driver) > 0
