@@ -218,6 +218,9 @@ def oracle_sql() -> "dict[str, str]":
         "doc_token_stats": f"""
             SELECT doc_id,
                    {n_tokens} AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f\\v]'))
+                       AS n_tokens_regex,
                    length(text) AS text_len
             FROM documents ORDER BY doc_id
         """,

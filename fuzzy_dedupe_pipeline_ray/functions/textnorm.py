@@ -68,6 +68,21 @@ def token_count_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
                       pc.add(pc.cast(n_sep, pa.int64()), 1))
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum
+#: non-space chars — the shape GPT-2-style byte-pair pre-tokenization
+#: uses, with explicit classes so pyarrow RE2 and DuckDB RE2 agree.
+_BPE_TOKEN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f\\v]"
+
+
+def regex_token_count_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Count of BPE-ish tokens per string (letter runs, digit runs, and
+    individual punctuation marks each count as one token) — the
+    model-free proxy for 'how many tokens would a BPE tokenizer emit'.
+    SQL-parity form: len(regexp_extract_all(s, pattern))."""
+    return pc.cast(pc.count_substring_regex(arr, pattern=_BPE_TOKEN),
+                   pa.int64())
+
+
 def punct_count_array(arr: pa.ChunkedArray) -> pa.ChunkedArray:
     """Count of characters that are not [a-zA-Z0-9] or whitespace (int64 —
     the exact-integer quality signal; ratios derive from it downstream).

@@ -65,11 +65,14 @@ def doc_normalize(sf_dir: str):
 
 
 def doc_token_stats(sf_dir: str):
-    """doc_id, n_tokens (whitespace), text_len."""
+    """doc_id, n_tokens (whitespace), n_tokens_regex (BPE-ish
+    pre-tokenizer: letter/digit runs + punctuation marks), text_len."""
     def f(b: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": b.column("doc_id"),
             "n_tokens": textnorm.token_count_array(b.column("text")),
+            "n_tokens_regex": textnorm.regex_token_count_array(
+                b.column("text")),
             "text_len": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
         })
 

@@ -82,13 +82,14 @@ class FingerprintActor:
         shas = sha256_hex(content)
 
         # batch-local exact dedup: fingerprint each distinct sha once,
-        # emit the signature under the batch-local min doc_id
-        first_idx: dict[str, int] = {}
-        for i, s in enumerate(shas):
-            j = first_idx.get(s)
-            if j is None or doc_ids[i] < doc_ids[j]:
-                first_idx[s] = i
-        reps = sorted(first_idx.values(), key=lambda i: doc_ids[i])
+        # emit the signature under the batch-local min doc_id (vectorized:
+        # unique shas → min-doc row per sha run → rep rows by doc_id)
+        _, inv = np.unique(np.asarray(shas, dtype=object),
+                           return_inverse=True)
+        order = np.lexsort((doc_ids, inv))
+        g = inv[order]
+        firsts = order[np.flatnonzero(np.r_[True, g[1:] != g[:-1]])]
+        reps = firsts[np.argsort(doc_ids[firsts], kind="stable")].tolist()
 
         m = len(reps)
         sigs = np.empty((m, cfg.num_perms), dtype=np.uint64)

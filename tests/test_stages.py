@@ -250,3 +250,13 @@ def test_sessionize_block_scan_boundary_invariance():
     for u, g in df.groupby("user_id"):
         sids = sorted(g["session_id"].unique())
         assert sids == list(range(len(sids)))
+
+
+def test_regex_token_count():
+    from fuzzy_dedupe_pipeline_ray.functions.textnorm import (
+        regex_token_count_array,
+    )
+
+    arr = pa.array(["hello world42!", "", "  a+b=c3  ", "x_1 y-2"])
+    # letter runs + digit runs + single punct marks each count once
+    assert regex_token_count_array(arr).to_pylist() == [4, 0, 6, 6]
