@@ -127,6 +127,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         # similarity search
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         # multimodal (deterministic fixture; decode stubbed, plumbing real)
         "media_features": multimodal.media_features_query,

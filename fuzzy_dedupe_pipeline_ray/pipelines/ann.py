@@ -181,6 +181,101 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4):
         ["id_a", "id_b"])
 
 
+def _kmeans_centroids(sf_dir: str, n_centroids: int, iters: int = 3):
+    """Deterministic spherical k-means over the embedding column,
+    expressed Ray-Data-first: each Lloyd iteration is ONE streaming pass —
+    ``map_batches`` emits per-batch partial (centroid, sum-vector, count)
+    rows, the driver reduces the tiny partials and renormalizes. No
+    full-table materialization; the centroid matrix (k × d) is broadcast
+    per iteration via the task closure. Init = the ``n_centroids``
+    smallest vec_ids (deterministic)."""
+    ids, init = _query_matrix(sf_dir, n_centroids)
+    cents = init.copy()
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            _, m = _to_matrix(batch)
+            mn = _normalize(m)
+            assign = np.argmax(mn @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, mn)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table({
+                "cid": pa.array(np.arange(c.shape[0]), pa.int64()),
+                "vec_sum": pa.array(sums.tolist(),
+                                    pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            })
+
+        acc = np.zeros_like(cents)
+        cnt = np.zeros(cents.shape[0], dtype=np.int64)
+        for b in read_embeddings(sf_dir).map_batches(
+                partials, batch_format="pyarrow",
+                zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+            cids = b.column("cid").to_numpy()
+            sums = np.array(b.column("vec_sum").to_pylist())
+            acc[cids] += sums
+            cnt[cids] += b.column("n").to_numpy()
+        nz = cnt > 0
+        cents[nz] = _normalize(acc[nz])
+        # empty centroids keep their previous position (deterministic)
+    return cents
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4):
+    """IVF-style approximate top-k: vectors are assigned to their nearest
+    spherical-k-means centroid (the inverted-file cell); each query scores
+    only the cells of its ``nprobe`` nearest centroids. Same output schema
+    as ann_topk; approximate by design → rows-only driver check, recall
+    asserted by tests against the exact oracle."""
+    cents = _kmeans_centroids(sf_dir, n_centroids)
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    q_cells = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    ref = ray.put((cents, q_ids, q, q_cells))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c, qi, qm, qc = ray.get(ref)
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m)
+        cells = np.argmax(mn @ c.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qi):
+            mask = np.isin(cells, qc[j])
+            if not mask.any():
+                continue
+            s = mn[mask] @ qm[j]
+            sel = ids[mask]
+            kk = min(k, len(sel))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            order = part[np.lexsort((sel[part], -s[part]))]
+            out_q.extend([qid] * len(order))
+            out_v.extend(sel[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = read_embeddings(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        qid = g.column("qid")[0].as_py()
+        ids = g.column("vec_id").to_numpy()
+        sims = g.column("sim").to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            "qid": pa.array([qid] * len(order), pa.int64()),
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return partials.groupby("qid").map_groups(
+        merge, batch_format="pyarrow").sort(["qid", "rank"])
+
+
 class _HyperplaneHasher:
     """Actor-pool state: the random hyperplane bank, drawn once per actor
     from a fixed seed (deterministic across the pool)."""
