@@ -218,6 +218,12 @@ def _local_grouped_pairs(keys: np.ndarray, docs: np.ndarray,
     order = np.lexsort((docs, keys))
     k = keys[order]
     d = docs[order].astype(np.int64)
+    # drop duplicate (key, doc) rows: group size / cap semantics count
+    # UNIQUE members (reference _emit_pairs does np.unique), and a doc
+    # must never pair with itself
+    if len(k):
+        uniq = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
+        k, d = k[uniq], d[uniq]
     n = len(k)
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     lens = np.diff(np.r_[starts, n])
