@@ -2,8 +2,10 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one.
+operator/pipeline (SURVEY.md §2 + the training-data ops — 24 entries);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (18 oracles, including all-true INVARIANT oracles
+that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
 pipelines/textops.py):

@@ -218,7 +218,18 @@ def _lcs_inner(a: str, b: str, min_len: int) -> "tuple[int, int, int]":
 def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """Stateless per-pair span verification over a batch that CARRIES its
     content columns (id_a, id_b, content_a, content_b) — no global content
-    map, no driver-held state."""
+    map, no driver-held state.
+
+    Cheap vectorized pre-filter: a common span ≥ ``min_substring_span``
+    needs BOTH contents at least that long — short-member pairs skip the
+    rolling-hash search entirely."""
+    import pyarrow.compute as pc
+
+    min_len = pc.min_element_wise(
+        pc.binary_length(pc.fill_null(batch.column("content_a"), "")),
+        pc.binary_length(pc.fill_null(batch.column("content_b"), "")))
+    batch = batch.filter(
+        pc.greater_equal(min_len, cfg.min_substring_span))
     out = {k: [] for k in ("id_a", "id_b", "span_len", "span_frac")}
     for ida, idb, a, b in zip(batch.column("id_a").to_pylist(),
                               batch.column("id_b").to_pylist(),
