@@ -259,18 +259,33 @@ def _ngram_pairs_local(doc: np.ndarray, code: np.ndarray, df: np.ndarray):
     probe_slot = np.where(la <= lb, slot_a, slot_b)    # smaller member
     target_slot = np.where(la <= lb, slot_b, slot_a)
     plen = v_lens[probe_slot]
-    prow = np.repeat(np.arange(len(a)), plen)
-    istart = np.repeat(np.cumsum(plen) - plen, plen)
-    elem_idx = (np.repeat(v_starts[probe_slot], plen)
-                + (np.arange(int(plen.sum())) - istart))
-    queries = target_slot[prow].astype(np.int64) * m + c_v[elem_idx]
-    qpos = np.searchsorted(packed, queries)
-    qpos = np.minimum(qpos, len(packed) - 1)
-    found = (packed[qpos] == queries).astype(np.int64)
+
+    # probe in bounded chunks (~4M elements) so the temporaries reuse the
+    # same warm pages instead of one large first-touch burst (see
+    # stages/lsh._EMIT_CHUNK for the rationale)
     inter = np.zeros(len(a), dtype=np.int64)
-    nz = plen > 0
-    if nz.any():
-        inter[nz] = np.add.reduceat(found, (np.cumsum(plen) - plen)[nz])
+    pcum = np.cumsum(plen)
+    total_probes = int(pcum[-1]) if len(pcum) else 0
+    cuts = np.searchsorted(pcum, np.arange(4_000_000, total_probes,
+                                           4_000_000)) + 1
+    bounds = np.r_[0, cuts, len(a)]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        pl = plen[s:e]
+        tot = int(pl.sum())
+        if tot == 0:
+            continue
+        prow = np.repeat(np.arange(s, e), pl)
+        istart = np.repeat(np.cumsum(pl) - pl, pl)
+        elem_idx = (np.repeat(v_starts[probe_slot[s:e]], pl)
+                    + (np.arange(tot) - istart))
+        queries = target_slot[prow].astype(np.int64) * m + c_v[elem_idx]
+        qpos = np.minimum(np.searchsorted(packed, queries),
+                          len(packed) - 1)
+        found = (packed[qpos] == queries).astype(np.int64)
+        nz = pl > 0
+        if nz.any():
+            inter[s:e][nz] = np.add.reduceat(found,
+                                             (np.cumsum(pl) - pl)[nz])
     union = la.astype(np.int64) + lb.astype(np.int64) - inter
     keep = 2 * inter >= union
     return a[keep], b[keep], inter[keep], union[keep]
