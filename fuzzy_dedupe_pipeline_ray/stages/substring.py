@@ -202,8 +202,14 @@ def _lcs_inner(a: str, b: str, min_len: int) -> "tuple[int, int, int]":
                 return i, j
         return None
 
-    lo, hi = min_len, len(a)
-    best = None
+    # short-circuit: if no common window of exactly min_len exists, no
+    # longer span can either — one probe rejects the (majority)
+    # non-matching candidates instead of a full failed binary search
+    first = probe(min_len)
+    if first is None:
+        return 0, -1, -1
+    best = (min_len, *first)
+    lo, hi = min_len + 1, len(a)
     while lo <= hi:
         mid = (lo + hi) // 2
         hit = probe(mid)
@@ -212,7 +218,7 @@ def _lcs_inner(a: str, b: str, min_len: int) -> "tuple[int, int, int]":
             lo = mid + 1
         else:
             hi = mid - 1
-    return best if best else (0, -1, -1)
+    return best
 
 
 def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
