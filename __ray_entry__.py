@@ -118,6 +118,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_minhash_lsh_dedupe": textops.doc_minhash_lsh_dedupe,
         "doc_dedupe_exact_family_check": textops.doc_dedupe_exact_family_check,
         "doc_simhash_dedupe": textops.doc_simhash_dedupe,
+        "doc_simhash_exact_family_check":
+            textops.doc_simhash_exact_family_check,
         "doc_exact_dedupe": textops.doc_exact_dedupe,
         "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
         # text analysis
@@ -183,6 +185,10 @@ def oracle_sql() -> "dict[str, str]":
             FROM counts ORDER BY doc_id
         """,
         "doc_dedupe_exact_family_check": """
+            SELECT doc_id, TRUE AS same_cluster_as_rep
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_simhash_exact_family_check": """
             SELECT doc_id, TRUE AS same_cluster_as_rep
             FROM documents ORDER BY doc_id
         """,

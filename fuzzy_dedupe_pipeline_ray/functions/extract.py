@@ -40,7 +40,11 @@ def _take_part(parts, idx_from_end: int) -> "pa.Array":
     """list<string> column → element at position len-idx_from_end per row
     (null for rows with fewer elements), via flat offsets + numpy take."""
     parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
-    lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    # null lists have null length — fill with 0 BEFORE the cumsum (a NaN
+    # would poison every later row's offset); a null list contributes no
+    # elements to flatten(), so 0-length keeps offsets aligned
+    lengths = pc.fill_null(pc.list_value_length(parts), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     offsets = np.cumsum(lengths) - lengths
     valid = lengths >= idx_from_end
     flat_idx = np.where(valid, offsets + lengths - idx_from_end, 0)

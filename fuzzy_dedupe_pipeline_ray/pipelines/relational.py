@@ -321,6 +321,16 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     label = ray.remote(_session_block_labels)
     label_refs = [label.remote(r, gap_us, per_block_offsets[i], conts[i])
                   for i, r in enumerate(refs) if summaries[i] is not None]
+    if not label_refs:
+        # empty events table: every block summary is None — return an empty
+        # result with the explicit output schema (from_arrow_refs([]) would
+        # produce a schemaless dataset)
+        ts_type = sorted_ds.schema().base_schema.field("ts").type
+        empty = pa.schema([
+            ("user_id", pa.int64()), ("session_id", pa.int64()),
+            ("n_events", pa.int64()), ("session_start", ts_type),
+            ("session_end", ts_type)]).empty_table()
+        return ray.data.from_arrow(empty)
     labeled = ray.data.from_arrow_refs(label_refs)
 
     agg = labeled.groupby(["user_id", "session_id"]).aggregate(

@@ -534,6 +534,49 @@ def doc_dedupe_exact_family_check(sf_dir: str,
     return joined.map_batches(check, batch_format="pyarrow").sort("doc_id")
 
 
+def doc_simhash_exact_family_check(sf_dir: str,
+                                   cfg: "PipelineConfig | None" = None):
+    """Oracle-able INVARIANT over the SimHash dedupe: identical texts have
+    identical SimHash fingerprints (hamming 0 ≤ any threshold), so every
+    doc must land in the same cluster as the representative (min doc_id)
+    of its exact sha256 group. Same all-true pattern as
+    ``doc_dedupe_exact_family_check`` — the Ray side computes the boolean
+    from the REAL ``doc_simhash_dedupe`` output, the DuckDB oracle states
+    the invariant, and a regression that splits an exact family hash-fails
+    the driver gate even though SimHash itself is not SQL-expressible."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    cfg = cfg or DOCS_CFG
+    assign = (doc_simhash_dedupe(sf_dir, cfg=cfg)
+              .select_columns(["doc_id", "cluster_id"]).materialize())
+
+    def add_sha(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text_sha256": pa.array(sha256_hex(b.column("text").to_pylist()),
+                                    pa.string()),
+        })
+
+    with_sha = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        add_sha, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    reps = with_sha.groupby("text_sha256").aggregate(
+        Min("doc_id", alias_name="rep_id"))
+    doc_rep = lookup_join(with_sha, reps, on="text_sha256", cfg=cfg)
+    doc_rep = lookup_join(doc_rep, assign, on="doc_id", cfg=cfg)
+    rep_clusters = assign.rename_columns(
+        {"doc_id": "rep_id", "cluster_id": "rep_cluster"})
+    joined = lookup_join(doc_rep, rep_clusters, on="rep_id", cfg=cfg)
+
+    def check(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "same_cluster_as_rep": pc.equal(b.column("cluster_id"),
+                                            b.column("rep_cluster")),
+        })
+
+    return joined.map_batches(check, batch_format="pyarrow").sort("doc_id")
+
+
 def doc_simhash_dedupe(sf_dir: str, max_hamming: int = 3,
                        cfg: "PipelineConfig | None" = None):
     """SimHash near-dup clustering: 4×16-bit chunk blocking (two fingerprints

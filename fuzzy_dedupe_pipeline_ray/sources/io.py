@@ -53,22 +53,20 @@ def to_local_table(ds):
 
 
 #: per-worker cache of prepared broadcast lookup structures, keyed by the
-#: ObjectRef hex — ray.get is zero-copy from plasma, but the sort/index
+#: ObjectRef hex — ray.get is zero-copy from plasma, but the chunk-combine
 #: prep should happen once per worker, not once per batch.
 _LOOKUP_CACHE: dict = {}
 
 
 def _prepared_lookup(ref):
-    import numpy as np
     import ray
 
     key = ref.hex()
     hit = _LOOKUP_CACHE.get(key)
     if hit is None:
         tbl, on = ray.get(ref)
-        keys = tbl.column(on).to_numpy()
-        order = np.argsort(keys, kind="stable")
-        hit = (keys[order], order, tbl)
+        keys = tbl.column(on).combine_chunks()
+        hit = (keys, tbl)
         _LOOKUP_CACHE[key] = hit
         if len(_LOOKUP_CACHE) > 16:
             _LOOKUP_CACHE.pop(next(iter(_LOOKUP_CACHE)))
@@ -78,19 +76,20 @@ def _prepared_lookup(ref):
 def lookup_join(left, right, *, on, cfg: PipelineConfig,
                 join_type: str = "inner", right_count: "int | None" = None,
                 gate_rows: "int | None" = None):
-    """Small-side-aware join on ONE int64 key.
+    """Small-side-aware join on ONE key column (int64 or string — the
+    per-batch probe is Arrow's C-level ``index_in`` hash lookup, so sha256
+    string keys are as fast as integer ones).
 
     If ``right`` has ≤ ``gate_rows`` (default ``cfg.broadcast_max_rows``)
     rows it is broadcast once via ``ray.put`` and merged per batch with a
-    vectorized ``np.searchsorted`` lookup (no shuffle, no aggregator
+    vectorized ``pc.index_in`` lookup (no shuffle, no aggregator
     actors); otherwise falls back to the distributed ``hash_join`` — the
     100 TB path. Pass ``gate_rows=cfg.wide_broadcast_max_rows`` when the
     right side carries content-sized strings. ``join_type``: "inner" or
     "left_outer". The right side's key must be UNIQUE (it always is here:
-    aggregate outputs / signature tables keyed by doc_id).
-    """
-    import numpy as np
+    aggregate outputs / signature tables keyed by doc_id)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
 
     if right_count is None:
@@ -114,34 +113,28 @@ def lookup_join(left, right, *, on, cfg: PipelineConfig,
     payload_cols = [c for c in tbl.schema.names if c != on]
 
     def merge(b: pa.Table) -> pa.Table:
-        sorted_keys, order, rtbl = _prepared_lookup(ref)
+        rkeys, rtbl = _prepared_lookup(ref)
         if rtbl.num_rows == 0:  # left_outer against empty right → all null
             out = b
             for c in payload_cols:
                 out = out.append_column(
                     c, pa.nulls(b.num_rows, rtbl.schema.field(c).type))
             return out
-        lk = b.column(on).to_numpy()
-        pos = np.searchsorted(sorted_keys, lk)
-        pos_c = np.minimum(pos, max(0, len(sorted_keys) - 1))
-        found = (len(sorted_keys) > 0) & (sorted_keys[pos_c] == lk)
+        # first-occurrence index per probe key (null where absent); right
+        # keys are unique per contract so "first" is "the" match
+        pos = pc.index_in(b.column(on), value_set=rkeys)
+        pos = pos.combine_chunks() if isinstance(pos, pa.ChunkedArray) else pos
         if join_type == "inner":
-            keep = np.flatnonzero(found)
-            out = b.take(pa.array(keep))
-            idx = order[pos_c[keep]]
+            keep = pc.is_valid(pos)
+            out = b.filter(keep)
+            idx = pos.filter(keep)
             for c in payload_cols:
-                out = out.append_column(
-                    c, rtbl.column(c).take(pa.array(idx)))
+                out = out.append_column(c, rtbl.column(c).take(idx))
             return out
-        # left_outer: null payload where not found
-        idx = np.where(found, order[pos_c], 0)
-        mask = pa.array(~found)
+        # left_outer: take() propagates the null positions as null payload
         out = b
         for c in payload_cols:
-            col = rtbl.column(c).take(pa.array(idx))
-            col = pa.compute.if_else(
-                mask, pa.scalar(None, col.type), col)
-            out = out.append_column(c, col)
+            out = out.append_column(c, rtbl.column(c).take(pos))
         return out
 
     return left.map_batches(merge, batch_format="pyarrow",

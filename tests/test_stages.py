@@ -128,6 +128,29 @@ def test_unionfind_min_label_determinism():
     assert labelings[0][3] == 1 and labelings[0][11] == 10
 
 
+def test_numpy_cc_matches_unionfind():
+    """The vectorized CC must label identically to the per-edge DSU on
+    random graphs (path/star/cycle mixes, duplicate + self edges)."""
+    from fuzzy_dedupe_pipeline_ray.state.unionfind import numpy_cc
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n = rng.randint(2, 400)
+        m = rng.randint(1, 1000)
+        a = rng.randint(0, n, m).astype(np.int64) * 17 + 3  # sparse ids
+        b = rng.randint(0, n, m).astype(np.int64) * 17 + 3
+        uf = UnionFind()
+        uf.add_edges(a, b)
+        want = uf.labels()
+        nodes, labs = numpy_cc(a, b)
+        assert sorted(want) == nodes.tolist()
+        assert [want[x] for x in nodes.tolist()] == labs.tolist()
+    # empty edge list
+    e = np.empty(0, dtype=np.int64)
+    nodes, labs = numpy_cc(e, e)
+    assert len(nodes) == 0 and len(labs) == 0
+
+
 def test_longest_common_span():
     a = "0123456789" * 20
     b = "zzz" + a[40:140] + "qqq"
@@ -186,6 +209,8 @@ def test_extract_zip_city_state():
 
     addrs = pa.array([
         "123 Main St, Springfield, IL 62704",         # full form
+        None,                                         # MID-array null: its
+        # null list length must not poison later rows' offsets (r2 advice)
         "500 Oak Ave, Portland, OR 97205-1234",       # zip+4 -> 5-digit group
         "1 Short St",                                 # <3 parts -> no city/state
         "Somewhere, 4th District, XX 12345",          # city starts with digit
@@ -193,11 +218,11 @@ def test_extract_zip_city_state():
         None,
     ])
     zips = extract_zip_array(addrs).to_pylist()
-    assert zips == ["62704", "97205", None, "12345", None, None]
+    assert zips == ["62704", None, "97205", None, "12345", None, None]
     city, state = extract_city_state_arrays(addrs)
-    assert city.to_pylist() == ["Springfield", "Portland", None, None,
+    assert city.to_pylist() == ["Springfield", None, "Portland", None, None,
                                 None, None]
-    assert state.to_pylist() == ["IL", "OR", None, "XX", None, None]
+    assert state.to_pylist() == ["IL", None, "OR", None, "XX", None, None]
 
 
 def test_sessionize_block_scan_boundary_invariance():
