@@ -317,15 +317,52 @@ def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     cfg = cfg or DOCS_CFG
 
     def shingles(b: pa.Table) -> pa.Table:
-        out_doc, out_sh = [], []
-        for doc, text in zip(b.column("doc_id").to_pylist(),
-                             b.column("text").to_pylist()):
-            toks = text.split()
-            grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-            out_doc.extend([doc] * len(grams))
-            out_sh.extend(sorted(grams))
-        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                         "shingle": pa.array(out_sh, pa.string())})
+        """Per-doc DISTINCT word n-gram strings, fully vectorized: Arrow
+        whitespace split (matches ``str.split()``; empty tokens from
+        leading/trailing whitespace are masked out) → window indices via
+        list offsets + numpy repeat/arange → n-gram strings via the C
+        ``binary_join_element_wise`` kernel → per-doc dedup via
+        ``dictionary_encode`` codes (hash factorize, no string sort). No
+        per-row Python (r2 verdict #3)."""
+        toks = pc.utf8_split_whitespace(b.column("text"))
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = toks.flatten()
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        # compact the flat token array: drop ""-tokens (Arrow keeps them
+        # for leading/trailing whitespace; Python split() does not) and
+        # recompute per-row lengths from the surviving tokens
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(lens)), lens)[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+        lens = np.bincount(row_of, minlength=len(lens)).astype(np.int64)
+
+        counts = np.maximum(lens - n + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle": pa.array([], pa.string())})
+        tok_start = np.cumsum(lens) - lens
+        rows = np.repeat(np.arange(len(lens)), counts)
+        offs = np.repeat(np.cumsum(counts) - counts, counts)
+        idx0 = np.repeat(tok_start, counts) + (np.arange(total) - offs)
+        grams = [flat.take(pa.array(idx0 + j, pa.int64()))
+                 for j in range(n)]
+        sh = pc.binary_join_element_wise(*grams, " ")
+        doc = b.column("doc_id").to_numpy()[rows]
+
+        # per-doc distinct (grams form a SET): factorize the strings at C
+        # speed, then mask duplicate (doc, code) pairs
+        code = sh.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((code, doc))
+        d_s, c_s = doc[order], code[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        keep = pa.array(np.sort(order[first]), pa.int64())
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()).take(keep),
+            "shingle": sh.take(keep)})
 
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         shingles, batch_format="pyarrow", zero_copy_batch=True).materialize()

@@ -34,11 +34,27 @@ def test_ivf_recall_vs_exact(ray_session, exact_topk):
     assert all(full[q] == hits for q, hits in exact_topk.items())
 
 
-def test_lsh_topk_runs_and_overlaps(ray_session, exact_topk):
+def test_lsh_topk_multiprobe_recall(ray_session, exact_topk):
+    """Multi-probe (1-bit flips) must give a real recall floor — the r2
+    single-bucket probe had luck-dependent recall (VERDICT r2 #4)."""
     from fuzzy_dedupe_pipeline_ray.pipelines import ann
 
     approx = _topk_map(ann.ann_lsh_topk(SF_DIR))
     assert approx  # buckets non-empty for at least one query
     recalls = [len(approx.get(q, set()) & hits) / len(hits)
                for q, hits in exact_topk.items()]
-    assert sum(recalls) / len(recalls) > 0.0
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # 2-bit probing only widens the candidate set — recall is monotone
+    wide = _topk_map(ann.ann_lsh_topk(SF_DIR, n_probe_bits=2))
+    recalls2 = [len(wide.get(q, set()) & hits) / len(hits)
+                for q, hits in exact_topk.items()]
+    assert sum(recalls2) / len(recalls2) >= sum(recalls) / len(recalls)
+
+
+def test_embedding_pairs_gate_trips(ray_session):
+    """The exact all-pairs operator must refuse oversized inputs loudly
+    instead of running O(n²·d) at cluster scale."""
+    from fuzzy_dedupe_pipeline_ray.pipelines import ann
+
+    with pytest.raises(ValueError, match="exact all-pairs"):
+        ann.embedding_near_dup_pairs(SF_DIR, max_rows=1)
