@@ -28,7 +28,13 @@ from typing import Any
 
 from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
 from fuzzy_dedupe_pipeline_ray.functions.textnorm import _LANG_MARKERS, STOPWORDS
-from fuzzy_dedupe_pipeline_ray.pipelines import ann, multimodal, relational, textops
+from fuzzy_dedupe_pipeline_ray.pipelines import (
+    addresses,
+    ann,
+    multimodal,
+    relational,
+    textops,
+)
 from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -133,6 +139,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        # scalar extractors (M6/M7) over the deterministic address fixture
+        "addr_extract": addresses.addr_extract,
         # multimodal (deterministic fixture; decode stubbed, plumbing real)
         "media_features": multimodal.media_features_query,
         "media_exact_dupes": multimodal.media_exact_dupes_query,
@@ -174,6 +182,7 @@ def oracle_sql() -> "dict[str, str]":
     small_files = f"{corpus_dir('small')}/files.parquet"
 
     return {
+        "addr_extract": addresses.addr_extract_oracle_sql(),
         "doc_langid": f"""
             WITH toks AS (
                 SELECT doc_id,
