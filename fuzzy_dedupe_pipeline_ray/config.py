@@ -92,6 +92,12 @@ class PipelineConfig:
     # above was sized for): 250k × ~2 KB ≈ 500 MB worst-case residency.
     # Above it, wide tables move through the distributed hash join only.
     wide_broadcast_max_rows: int = 250_000
+    # Document-identity width. 64 (default): doc_id = first 8 sha bytes,
+    # enough below ~10^10 rows and cheapest. 128: the scale path
+    # (``stages/identity.py``) — ids are derived from 126 bits and a
+    # collision-remap pass makes the int64 ``doc_id`` collision-free by
+    # construction, so every shuffle key stays one int64.
+    doc_id_bits: int = 64
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
@@ -105,6 +111,8 @@ class PipelineConfig:
             raise ValueError(f"bad shingle_mode {self.shingle_mode!r}")
         if self.cc_strategy not in ("auto", "labelprop", "unionfind"):
             raise ValueError(f"bad cc_strategy {self.cc_strategy!r}")
+        if self.doc_id_bits not in (64, 128):
+            raise ValueError(f"bad doc_id_bits {self.doc_id_bits!r}")
 
     def to_json(self) -> str:
         d = asdict(self)

@@ -73,6 +73,22 @@ def hash64_str(values) -> np.ndarray:
     return mask_keys(out)
 
 
+def hash128_str(values) -> "tuple[np.ndarray, np.ndarray]":
+    """126-bit id per string as two non-negative int64 columns
+    ``(lo, hi)`` — sha256 bytes 0-8 and 8-16, each with the top bit
+    cleared (KEY_MASK). ``lo`` alone equals ``hash64_str``; ``hi`` is the
+    disambiguator the ``stages/identity.py`` collision-remap pass uses to
+    make ``lo`` collision-free at 10^12-row scale (``doc_id_bits=128``).
+    """
+    lo = np.empty(len(values), dtype=np.uint64)
+    hi = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.sha256(v.encode("utf-8", "surrogatepass")).digest()
+        lo[i] = int.from_bytes(d[:8], "big")
+        hi[i] = int.from_bytes(d[8:16], "big")
+    return mask_keys(lo), mask_keys(hi)
+
+
 @_wrap_errstate
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer — cheap, well-mixed uint64→uint64."""

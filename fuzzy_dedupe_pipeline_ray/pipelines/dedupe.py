@@ -86,6 +86,38 @@ class DedupePipeline:
             self.input_path,
             columns=["repo", "path", "commit", "lang", "content"])
 
+    def _id_remap(self):
+        """128-bit mode: build (or restore from the run dir) the lo-64
+        collision remap (``stages/identity.py``) and return the sorted
+        numpy triple the per-batch id kernel consumes (None when empty —
+        the overwhelmingly common case). Persisted beside the manifest so
+        resumed runs re-derive identical ids."""
+        if self.cfg.doc_id_bits != 128:
+            return None
+        import pyarrow.parquet as pq
+
+        from fuzzy_dedupe_pipeline_ray.functions.hashing import hash128_str
+        from fuzzy_dedupe_pipeline_ray.stages.identity import (
+            build_id_remap, remap_arrays)
+        from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_keys
+
+        path = os.path.join(self.run_dir, "id_remap.parquet")
+        if self.resume and os.path.exists(path):
+            return remap_arrays(pq.read_table(path))
+
+        def raw_ids(b: pa.Table) -> pa.Table:
+            lo, hi = hash128_str(_doc_keys(b))
+            return pa.table({"doc_id": pa.array(lo, pa.int64()),
+                             "doc_id_hi": pa.array(hi, pa.int64())})
+
+        tbl = build_id_remap(
+            self.files().map_batches(raw_ids, batch_format="pyarrow",
+                                     zero_copy_batch=True), self.cfg)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)  # atomic commit, same as stage checkpoints
+        return remap_arrays(tbl)
+
     def _stage(self, name: str, build):
         """Build-or-resume one checkpointed stage; returns a Dataset that
         reads from the checkpoint (so downstream stages never recompute)."""
@@ -116,8 +148,10 @@ class DedupePipeline:
 
     def run(self) -> "dict[str, str]":
         cfg = self.cfg
-        docs = self._stage("docs", lambda: ingest_meta(self.files()))
-        sigs = self._stage("signatures", lambda: fingerprint(self.files(), cfg))
+        remap = self._id_remap()
+        docs = self._stage("docs", lambda: ingest_meta(self.files(), cfg, remap))
+        sigs = self._stage("signatures",
+                           lambda: fingerprint(self.files(), cfg, remap))
         ex = self._stage("edges_exact", lambda: exact_edges(docs, cfg))
         fuzzy = self._stage("edges_fuzzy", lambda: verify_pairs(
             candidate_pairs(sigs, cfg), sigs, cfg))
@@ -130,7 +164,7 @@ class DedupePipeline:
             # per-pair span search for zero extra connectivity.
             known = ex.union(fuzzy).select_columns(["id_a", "id_b"])
             sub = self._stage("edges_substring", lambda: substring_edges(
-                self.files(), sigs, cfg, exclude_pairs=known))
+                self.files(), sigs, cfg, exclude_pairs=known, remap=remap))
             if cfg.substring_cluster:
                 edge_sets.append(_substring_to_edges(sub, cfg))
 
@@ -172,8 +206,11 @@ class DedupePipeline:
             raise ValueError(f"bad fmt {fmt!r}")
         cfg = self.cfg
 
+        remap = self._id_remap()  # resume path: reads the persisted table
+
         def add_ids(b: pa.Table) -> pa.Table:
-            return b.append_column("doc_id", ingest_meta_batch(b).column("doc_id"))
+            return b.append_column(
+                "doc_id", ingest_meta_batch(b, cfg, remap).column("doc_id"))
 
         files_with_ids = self.files().map_batches(add_ids, batch_format="pyarrow",
                                                   zero_copy_batch=True)

@@ -30,7 +30,6 @@ from fuzzy_dedupe_pipeline_ray.functions.hashing import (
     band_keys_batch,
     bottom_k,
     char_shingle_hashes,
-    hash64_str,
     hash_tokens,
     mask_keys,
     pack_signatures,
@@ -38,7 +37,7 @@ from fuzzy_dedupe_pipeline_ray.functions.hashing import (
     simhash64,
     token_shingle_hashes,
 )
-from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_keys
+from fuzzy_dedupe_pipeline_ray.stages.identity import batch_doc_ids
 
 
 def normalize_for_shingles(text: str, cfg: PipelineConfig) -> str:
@@ -68,9 +67,10 @@ class FingerprintActor:
     model once" rule, SURVEY.md §2.3 ST1).
     """
 
-    def __init__(self, cfg_json: str):
+    def __init__(self, cfg_json: str, remap=None):
         self.cfg = PipelineConfig.from_json(cfg_json)
         self.mh = MinHasher(self.cfg.num_perms, self.cfg.minhash_seed)
+        self.remap = remap  # 128-bit collision remap triple (or None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -78,7 +78,7 @@ class FingerprintActor:
         if "doc_id" in batch.schema.names:  # caller-supplied ids (e.g. documents table)
             doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
         else:
-            doc_ids = hash64_str(_doc_keys(batch))
+            doc_ids, _ = batch_doc_ids(batch, cfg, self.remap)
         shas = sha256_hex(content)
 
         # batch-local exact dedup: fingerprint each distinct sha once,
@@ -121,12 +121,12 @@ class FingerprintActor:
         })
 
 
-def fingerprint(files_ds, cfg: PipelineConfig):
+def fingerprint(files_ds, cfg: PipelineConfig, remap=None):
     """files Dataset → signatures Dataset (one row per batch-local distinct
     content). Actor pool sized by ``cfg.fingerprint_concurrency``."""
     return files_ds.map_batches(
         FingerprintActor,
-        fn_constructor_args=(cfg.to_json(),),
+        fn_constructor_args=(cfg.to_json(), remap),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.fingerprint_batch_size,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str, sha256_hex
+from fuzzy_dedupe_pipeline_ray.functions.hashing import sha256_hex
 from fuzzy_dedupe_pipeline_ray.functions.textnorm import sentinels_to_null
 
 
@@ -24,7 +24,7 @@ def _doc_keys(batch: pa.Table) -> "list[str]":
     return [f"{r}\x00{p}\x00{c}" for r, p, c in zip(repo, path, commit)]
 
 
-def ingest_meta_batch(batch: pa.Table) -> pa.Table:
+def ingest_meta_batch(batch: pa.Table, cfg=None, remap=None) -> pa.Table:
     """(repo,path,commit,lang,content) → narrow per-doc metadata row.
 
     ``content`` is *dropped* here — it only flows through the fingerprint
@@ -38,9 +38,14 @@ def ingest_meta_batch(batch: pa.Table) -> pa.Table:
     """
     import pyarrow.compute as pc
 
+    from fuzzy_dedupe_pipeline_ray.stages.identity import batch_doc_ids
+
     content = batch.column("content")
-    out = pa.table({
-        "doc_id": pa.array(hash64_str(_doc_keys(batch)), pa.int64()),
+    ids, ids_hi = batch_doc_ids(batch, cfg, remap)
+    cols = {"doc_id": pa.array(ids, pa.int64())}
+    if ids_hi is not None:  # 128-bit mode: the id's upper half rides along
+        cols["doc_id_hi"] = pa.array(ids_hi, pa.int64())
+    cols.update({
         "repo": batch.column("repo"),
         "path": batch.column("path"),
         "commit": batch.column("commit"),
@@ -49,10 +54,11 @@ def ingest_meta_batch(batch: pa.Table) -> pa.Table:
                                    pa.string()),
         "n_chars": pc.cast(pc.utf8_length(content), pa.int64()),
     })
-    return out
+    return pa.table(cols)
 
 
-def ingest_meta(files_ds):
+def ingest_meta(files_ds, cfg=None, remap=None):
     """Dataset of input files → narrow docs-metadata Dataset."""
-    return files_ds.map_batches(ingest_meta_batch, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    return files_ds.map_batches(
+        lambda b: ingest_meta_batch(b, cfg, remap),
+        batch_format="pyarrow", zero_copy_batch=True)

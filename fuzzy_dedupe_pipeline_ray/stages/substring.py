@@ -33,7 +33,7 @@ import pyarrow as pa
 
 from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
 from fuzzy_dedupe_pipeline_ray.stages.fingerprint import normalize_for_shingles
-from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_keys
+from fuzzy_dedupe_pipeline_ray.stages.identity import batch_doc_ids
 from fuzzy_dedupe_pipeline_ray.stages.lsh import PAIR_SCHEMA
 
 SUB_EDGE_SCHEMA = pa.schema([
@@ -257,7 +257,7 @@ def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     }, schema=SUB_EDGE_SCHEMA)
 
 
-def _candidate_contents(files_ds, pairs, cfg: PipelineConfig):
+def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
     """Distinct candidate doc ids (from both pair columns) → Dataset of
     (doc_id, norm_content) for exactly those docs.
 
@@ -269,7 +269,6 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig):
     import ray
     from ray.data.aggregate import Count
 
-    from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str
     from fuzzy_dedupe_pipeline_ray.sources.io import hash_join, to_local_table
 
     pairs = pairs.materialize()
@@ -306,7 +305,7 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig):
 
         def gather(batch: pa.Table) -> pa.Table:
             w = ray.get(wanted_ref)
-            doc_ids = hash64_str(_doc_keys(batch))
+            doc_ids, _ = batch_doc_ids(batch, cfg, remap)
             if len(w) == 0:
                 return norm_table(np.empty(0, np.int64), [])
             pos = np.minimum(np.searchsorted(w, doc_ids), len(w) - 1)
@@ -323,7 +322,8 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig):
     # scale path: derive doc_id per batch, hash semi-join against the ids
     def with_ids(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "doc_id": pa.array(hash64_str(_doc_keys(batch)), pa.int64()),
+            "doc_id": pa.array(batch_doc_ids(batch, cfg, remap)[0],
+                               pa.int64()),
             "content": batch.column("content"),
         })
 
@@ -337,7 +337,7 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig):
 
 
 def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
-                    exclude_pairs=None):
+                    exclude_pairs=None, remap=None):
     """files + signatures → substring-duplicate edge Dataset (SUB_EDGE_SCHEMA).
 
     ``exclude_pairs``: pairs already linked by the exact/fuzzy passes —
@@ -364,7 +364,8 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
 
     from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
 
-    contents = _candidate_contents(files_ds, pairs, cfg).materialize()
+    contents = _candidate_contents(files_ds, pairs, cfg,
+                                   remap=remap).materialize()
     n_contents = contents.count()
     ca = contents.rename_columns({"doc_id": "id_a",
                                   "norm_content": "content_a"})
