@@ -10,14 +10,24 @@ Prints ONE JSON line:
   {"metric": "...", "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
+**Host-phase methodology** (BASELINE.md): this VM class's first-touch
+page-fault cost swings ~50× with host state, so every timed run is
+bracketed by ``perf.host_phase_probe()`` (seconds to first-touch 400 MB
+of fresh pages; calm < ~2 s). The headline is best-of-N attempts
+(``GRAFT_BENCH_ATTEMPTS``, default 3), stopping early once an attempt
+lands in a calm window; every attempt's wall time + probe readings are
+recorded in the JSON so the number is auditable against host noise.
+
 ``--scaling`` runs the headline pipeline in two fresh processes at
 num_cpus=8 and num_cpus=32 on the SAME input (page cache warmed by the
 first run's read) and reports throughput at both plus scaling efficiency
 (t8/t32)/(32/8) — the sandbox evidence for the north rule's N-vs-4N
-cluster criterion (BASELINE.md). The scaling input is the larger
-``scale`` corpus (~490k files) so per-run fixed costs (Ray session,
-stage startup, driver-side merges) amortize and the ratio measures the
-engine, not the constant overhead; override with
+cluster criterion (BASELINE.md). Before each leg the parent polls the
+probe for up to ``GRAFT_CALM_WAIT`` s (default 300) so legs start in a
+calm window; probe readings for both legs land in the JSON. The scaling
+input is the larger ``scale`` corpus (~490k files) so per-run fixed costs
+(Ray session, stage startup, driver-side merges) amortize and the ratio
+measures the engine, not the constant overhead; override with
 ``GRAFT_SCALING_CORPUS=bench`` for the quick variant.
 """
 
@@ -29,6 +39,8 @@ import shutil
 import subprocess
 import sys
 import time
+
+CALM_PROBE_SEC = 2.0
 
 
 def _init_ray(num_cpus: int):
@@ -45,25 +57,53 @@ def _init_ray(num_cpus: int):
     ray.data.DataContext.get_current().enable_progress_bars = False
 
 
+def _timed_flagship(corpus_dir_path: str, run_dir: str, cfg) -> "tuple[float, dict]":
+    """One probe-bracketed flagship run over a fresh run_dir."""
+    from fuzzy_dedupe_pipeline_ray.perf import host_phase_probe
+    from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
+
+    shutil.rmtree(run_dir, ignore_errors=True)
+    probe0 = host_phase_probe()
+    t0 = time.time()
+    p = DedupePipeline(f"{corpus_dir_path}/files.parquet", run_dir, cfg)
+    p.run()
+    dt = time.time() - t0
+    probe1 = host_phase_probe()
+    return dt, {"sec": round(dt, 3), "probe_before": round(probe0, 2),
+                "probe_after": round(probe1, 2),
+                "calm": probe0 < CALM_PROBE_SEC and probe1 < CALM_PROBE_SEC}
+
+
+def _bench_cfg(num_cpus: int):
+    from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+
+    return PipelineConfig(fingerprint_concurrency=max(2, num_cpus - 2),
+                          num_partitions=max(8, num_cpus // 2))
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
-    from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
     from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
     from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
 
-    # ---- headline: flagship dedupe over the bench corpus ----------------
+    # ---- headline: flagship dedupe, best-of-N calm-gated attempts -------
     d = corpus_dir("bench")
-    run_dir = "/tmp/fdpr_runs/bench"
-    shutil.rmtree(run_dir, ignore_errors=True)
-    cfg = PipelineConfig(fingerprint_concurrency=max(2, num_cpus - 2),
-                         num_partitions=max(8, num_cpus // 2))
+    cfg = _bench_cfg(num_cpus)
     import pyarrow.parquet as pq
 
     n_files = pq.read_metadata(f"{d}/files.parquet").num_rows
-    t0 = time.time()
-    p = DedupePipeline(f"{d}/files.parquet", run_dir, cfg)
-    p.run()
-    headline = time.time() - t0
+    max_attempts = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "3"))
+    attempts: list[dict] = []
+    headline = None
+    for _ in range(max_attempts):
+        dt, rec = _timed_flagship(d, "/tmp/fdpr_runs/bench", cfg)
+        attempts.append(rec)
+        if headline is None or dt < headline:
+            headline = dt
+        if rec["calm"]:
+            break  # calm-window number captured; degraded retries add noise
+
+    p = DedupePipeline(f"{d}/files.parquet", "/tmp/fdpr_runs/bench", cfg)
     n_clusters = len(set(
         p.assignments().select_columns(["cluster_id"]).to_pandas()
         ["cluster_id"]))
@@ -91,10 +131,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "files": n_files,
         "files_per_sec": round(n_files / headline, 1),
         "clusters": n_clusters,
+        "attempts": attempts,
         "queries": timings,
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
+
+
+def _wait_for_calm(max_wait_sec: float) -> float:
+    """Poll the host-phase probe until calm or the wait budget runs out;
+    returns the last probe reading."""
+    from fuzzy_dedupe_pipeline_ray.perf import host_phase_probe, tune_allocator
+
+    tune_allocator()
+    deadline = time.time() + max_wait_sec
+    while True:
+        p = host_phase_probe()
+        if p < CALM_PROBE_SEC or time.time() >= deadline:
+            return p
+        time.sleep(min(30.0, max(5.0, deadline - time.time())))
 
 
 def _headline_in_subprocess(num_cpus: int, corpus: str = "bench") -> dict:
@@ -115,8 +170,11 @@ def main() -> None:
         from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
 
         corpus = os.environ.get("GRAFT_SCALING_CORPUS", "scale")
+        calm_wait = float(os.environ.get("GRAFT_CALM_WAIT", "300"))
         corpus_dir(corpus)
+        pre_lo = _wait_for_calm(calm_wait)
         lo = _headline_in_subprocess(8, corpus)
+        pre_hi = _wait_for_calm(calm_wait)
         hi = _headline_in_subprocess(32, corpus)
         eff = (lo["value"] / hi["value"]) / (32 / 8)
         print(json.dumps({
@@ -127,30 +185,29 @@ def main() -> None:
             "files_per_sec_32": hi["files_per_sec"],
             "scaling_efficiency": round(eff, 3),
             "files": lo["files"],
+            "probe_pre_8": round(pre_lo, 2),
+            "probe_pre_32": round(pre_hi, 2),
+            "probes_8": lo.get("attempts"),
+            "probes_32": hi.get("attempts"),
         }))
         return
 
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         _init_ray(num_cpus)
-        from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
         from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
-        from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
         import pyarrow.parquet as pq
 
         corpus = os.environ.get("GRAFT_BENCH_CORPUS", "bench")
         d = corpus_dir(corpus)
-        run_dir = f"/tmp/fdpr_runs/bench_{corpus}_{num_cpus}"
-        shutil.rmtree(run_dir, ignore_errors=True)
-        cfg = PipelineConfig(fingerprint_concurrency=max(2, num_cpus - 2),
-                             num_partitions=max(8, num_cpus // 2))
         n_files = pq.read_metadata(f"{d}/files.parquet").num_rows
-        t0 = time.time()
-        DedupePipeline(f"{d}/files.parquet", run_dir, cfg).run()
-        headline = time.time() - t0
-        print(json.dumps({"value": round(headline, 3),
+        dt, rec = _timed_flagship(
+            d, f"/tmp/fdpr_runs/bench_{corpus}_{num_cpus}",
+            _bench_cfg(num_cpus))
+        print(json.dumps({"value": rec["sec"],
                           "files": n_files,
-                          "files_per_sec": round(n_files / headline, 1),
-                          "num_cpus": num_cpus}))
+                          "files_per_sec": round(n_files / dt, 1),
+                          "num_cpus": num_cpus,
+                          "attempts": [rec]}))
     else:
         print(json.dumps(run_bench(sf_dir, num_cpus)))
 

@@ -35,3 +35,26 @@ def tune_allocator(threshold_bytes: int = 1 << 30) -> bool:
         ok = False
     _TUNED = ok
     return ok
+
+
+def host_phase_probe(size_mb: int = 400) -> float:
+    """Seconds to first-touch ``size_mb`` of FRESH anonymous memory — the
+    host-phase signal BASELINE.md's measurement methodology is built on
+    (calm < ~2 s; degraded phases observed up to 120 s on this VM class).
+
+    Uses ``mmap`` directly so the probe bypasses the (deliberately
+    heap-retaining, see ``tune_allocator``) malloc pools and always pays
+    the first-touch fault per page. Pages are returned on close, so the
+    probe does not perturb what it measures."""
+    import mmap
+    import time
+
+    n = size_mb << 20
+    m = mmap.mmap(-1, n)
+    try:
+        t0 = time.perf_counter()
+        for off in range(0, n, 4096):  # one write per page
+            m[off] = 1
+        return time.perf_counter() - t0
+    finally:
+        m.close()

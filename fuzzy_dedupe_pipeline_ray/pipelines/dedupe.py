@@ -24,7 +24,9 @@ Stage graph (shuffle boundaries marked ×):
 
 from __future__ import annotations
 
+import concurrent.futures
 import os
+import threading
 import time
 
 import pyarrow as pa
@@ -76,6 +78,9 @@ class DedupePipeline:
         self._files_ds = files_ds
         self.manifest = RunManifest(run_dir, cfg.config_hash)
         self.runlog = RunLog()
+        # guards manifest/runlog mutation when independent stage chains
+        # run on parallel driver threads (see run())
+        self._meta_lock = threading.Lock()
 
     # -- helpers ----------------------------------------------------------
 
@@ -125,23 +130,29 @@ class DedupePipeline:
         ckpt = self.manifest.stage_dir(name)
         if self.resume and self.manifest.is_complete(name):
             st = self.manifest.data["stages"][name]
-            self.runlog.log_stage(name, "resumed", t0, time.time(), st["rows"])
+            with self._meta_lock:
+                self.runlog.log_stage(name, "resumed", t0, time.time(),
+                                      st["rows"])
             return ray.data.read_parquet(ckpt)
         try:
             ds = build()
             lineage = checkpoint_write(ds, ckpt)
             rows = sum(p["rows"] for p in lineage)
-            self.manifest.mark_complete(
-                name, rows=rows, duration_ms=int((time.time() - t0) * 1000),
-                partitions=lineage)
-            self.runlog.log_stage(name, "success", t0, time.time(), rows,
-                                  partitions=lineage)
+            with self._meta_lock:
+                self.manifest.mark_complete(
+                    name, rows=rows,
+                    duration_ms=int((time.time() - t0) * 1000),
+                    partitions=lineage)
+                self.runlog.log_stage(name, "success", t0, time.time(), rows,
+                                      partitions=lineage)
             return ray.data.read_parquet(ckpt)
         except Exception as e:  # noqa: BLE001 — recorded, then re-raised
-            self.manifest.mark_failed(name, repr(e))
-            self.runlog.log_stage(name, "failed", t0, time.time(), 0,
-                                  error=repr(e))
-            self.runlog.write(os.path.join(self.run_dir, "dedupe_log.parquet"))
+            with self._meta_lock:
+                self.manifest.mark_failed(name, repr(e))
+                self.runlog.log_stage(name, "failed", t0, time.time(), 0,
+                                      error=repr(e))
+                self.runlog.write(
+                    os.path.join(self.run_dir, "dedupe_log.parquet"))
             raise
 
     # -- run --------------------------------------------------------------
@@ -149,12 +160,38 @@ class DedupePipeline:
     def run(self) -> "dict[str, str]":
         cfg = self.cfg
         remap = self._id_remap()
-        docs = self._stage("docs", lambda: ingest_meta(self.files(), cfg, remap))
-        sigs = self._stage("signatures",
-                           lambda: fingerprint(self.files(), cfg, remap))
-        ex = self._stage("edges_exact", lambda: exact_edges(docs, cfg))
-        fuzzy = self._stage("edges_fuzzy", lambda: verify_pairs(
-            candidate_pairs(sigs, cfg), sigs, cfg))
+
+        # Two independent stage chains run on parallel driver threads:
+        #   A: docs (ingest)        → edges_exact   (needs only docs)
+        #   B: signatures (actors)  → edges_fuzzy   (needs only sigs)
+        # Ray's streaming executor time-slices both datasets over the same
+        # CPU pool, so the small/flat stages (docs, exact) hide under the
+        # big worker-parallel ones (fingerprint, LSH+verify) instead of
+        # adding serial barriers to the critical path — part of the
+        # VERDICT-r2 scaling item (serial-term removal). Checkpoint
+        # metadata is lock-guarded; ``cfg.extra['serial_stages']`` forces
+        # the old one-at-a-time order (used by stage-timing comparisons).
+        def chain_docs():
+            docs = self._stage(
+                "docs", lambda: ingest_meta(self.files(), cfg, remap))
+            ex = self._stage("edges_exact", lambda: exact_edges(docs, cfg))
+            return docs, ex
+
+        def chain_sigs():
+            sigs = self._stage(
+                "signatures", lambda: fingerprint(self.files(), cfg, remap))
+            fuzzy = self._stage("edges_fuzzy", lambda: verify_pairs(
+                candidate_pairs(sigs, cfg), sigs, cfg))
+            return sigs, fuzzy
+
+        if cfg.extra.get("serial_stages"):
+            docs, ex = chain_docs()
+            sigs, fuzzy = chain_sigs()
+        else:
+            with concurrent.futures.ThreadPoolExecutor(2) as pool:
+                fa, fb = pool.submit(chain_docs), pool.submit(chain_sigs)
+                docs, ex = fa.result()
+                sigs, fuzzy = fb.result()
 
         edge_sets = [ex, fuzzy]
         if cfg.substring_enabled:
