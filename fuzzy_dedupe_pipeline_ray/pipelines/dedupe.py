@@ -41,7 +41,11 @@ from fuzzy_dedupe_pipeline_ray.stages.ingest import ingest_meta, ingest_meta_bat
 from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
 from fuzzy_dedupe_pipeline_ray.stages.substring import substring_edges
 from fuzzy_dedupe_pipeline_ray.stages.verify import verify_pairs
-from fuzzy_dedupe_pipeline_ray.state.manifest import RunManifest, checkpoint_write
+from fuzzy_dedupe_pipeline_ray.state.manifest import (
+    RunManifest,
+    checkpoint_link_union,
+    checkpoint_write,
+)
 from fuzzy_dedupe_pipeline_ray.state.runlog import RunLog
 
 
@@ -123,9 +127,12 @@ class DedupePipeline:
         os.replace(tmp, path)  # atomic commit, same as stage checkpoints
         return remap_arrays(tbl)
 
-    def _stage(self, name: str, build):
+    def _stage(self, name: str, build, commit=None):
         """Build-or-resume one checkpointed stage; returns a Dataset that
-        reads from the checkpoint (so downstream stages never recompute)."""
+        reads from the checkpoint (so downstream stages never recompute).
+        ``commit``: optional ``(ckpt_dir) -> lineage`` override for stages
+        whose checkpoint is assembled without a full dataset write (the
+        hard-linked edges union)."""
         t0 = time.time()
         ckpt = self.manifest.stage_dir(name)
         if self.resume and self.manifest.is_complete(name):
@@ -135,8 +142,10 @@ class DedupePipeline:
                                       st["rows"])
             return ray.data.read_parquet(ckpt)
         try:
-            ds = build()
-            lineage = checkpoint_write(ds, ckpt)
+            if commit is not None:
+                lineage = commit(ckpt)
+            else:
+                lineage = checkpoint_write(build(), ckpt)
             rows = sum(p["rows"] for p in lineage)
             with self._meta_lock:
                 self.manifest.mark_complete(
@@ -193,7 +202,7 @@ class DedupePipeline:
                 docs, ex = fa.result()
                 sigs, fuzzy = fb.result()
 
-        edge_sets = [ex, fuzzy]
+        sub_extra = None
         if cfg.substring_enabled:
             # known_pairs: skip substring verification for pairs that the
             # exact/fuzzy passes already linked — the near-dup mass (skew
@@ -203,19 +212,21 @@ class DedupePipeline:
             sub = self._stage("edges_substring", lambda: substring_edges(
                 self.files(), sigs, cfg, exclude_pairs=known, remap=remap))
             if cfg.substring_cluster:
-                edge_sets.append(_substring_to_edges(sub, cfg))
+                sub_extra = _substring_to_edges(sub, cfg)
 
-        def build_edges():
-            # plain union — a pair may appear with several match_types
-            # (e.g. exact star + fuzzy J=1.0); duplicates are benign for
-            # connected components and for the per-doc max-confidence
-            # aggregate, and skipping the distinct saves a full shuffle.
-            u = edge_sets[0]
-            for e in edge_sets[1:]:
-                u = u.union(e)
-            return u
-
-        edges = self._stage("edges", build_edges)
+        # edges = plain union of the edge sets — a pair may appear with
+        # several match_types (e.g. exact star + fuzzy J=1.0); duplicates
+        # are benign for connected components and for the per-doc
+        # max-confidence aggregate, and skipping the distinct saves a full
+        # shuffle. The checkpoint hard-links the committed exact/fuzzy
+        # part files and only writes the (converted) substring rows — no
+        # edge row is re-copied (checkpoint_link_union).
+        edge_srcs = [self.manifest.stage_dir("edges_exact"),
+                     self.manifest.stage_dir("edges_fuzzy")]
+        edges = self._stage(
+            "edges", None,
+            commit=lambda ckpt: checkpoint_link_union(
+                edge_srcs, ckpt, sub_extra))
         labels = self._stage("labels", lambda: connected_components(edges, cfg))
         assignments = self._stage(
             "assignments", lambda: finalize(docs, labels, edges, cfg))

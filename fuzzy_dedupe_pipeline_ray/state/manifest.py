@@ -87,3 +87,43 @@ def checkpoint_write(ds, ckpt_dir: str):
         shutil.rmtree(ckpt_dir)
     os.replace(tmp, ckpt_dir)
     return partition_lineage(ckpt_dir)
+
+
+def checkpoint_link_union(src_dirs: "list[str]", ckpt_dir: str,
+                          extra_ds=None):
+    """Atomic union-of-checkpoints: a union of same-schema Parquet
+    checkpoint dirs IS the concatenation of their part files, so the
+    committed sources are HARD-LINKED into the new checkpoint (inode
+    refs — no data moves, and a later rewrite of a source dir creates
+    fresh inodes, never mutating the links) and only ``extra_ds`` (the
+    part of the union that exists nowhere on disk yet) is written.
+    Replaces re-reading and re-writing every edge row through the object
+    store — a measured per-leg fixed cost in the round-2 scaling runs.
+    Returns lineage like :func:`checkpoint_write`."""
+    tmp = ckpt_dir + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for si, src in enumerate(src_dirs):
+        for fname in sorted(os.listdir(src)):
+            if not fname.endswith(".parquet"):
+                continue
+            dst = os.path.join(tmp, f"src{si}_{fname}")
+            try:
+                os.link(os.path.join(src, fname), dst)
+            except OSError:  # cross-device / FS without hard links
+                shutil.copy2(os.path.join(src, fname), dst)
+    if extra_ds is not None:
+        extra_tmp = ckpt_dir + ".extra.tmp"
+        if os.path.isdir(extra_tmp):
+            shutil.rmtree(extra_tmp)
+        extra_ds.write_parquet(extra_tmp)
+        for fname in sorted(os.listdir(extra_tmp)):
+            if fname.endswith(".parquet"):
+                os.replace(os.path.join(extra_tmp, fname),
+                           os.path.join(tmp, f"extra_{fname}"))
+        shutil.rmtree(extra_tmp)
+    if os.path.isdir(ckpt_dir):
+        shutil.rmtree(ckpt_dir)
+    os.replace(tmp, ckpt_dir)
+    return partition_lineage(ckpt_dir)
