@@ -141,17 +141,76 @@ _LANG_MARKERS = {
 }
 
 
+#: distinct marker words across all languages (≤ 64 so one uint64 bitmask
+#: per row records which markers the row contains — shared words, e.g.
+#: "la" in fr+es, get ONE bit that counts for both languages)
+_MARKER_WORDS = sorted({w for s in _LANG_MARKERS.values() for w in s})
+assert len(_MARKER_WORDS) <= 64
+_LANG_CODES = sorted(_LANG_MARKERS)
+_LANG_MASKS = [
+    sum(1 << _MARKER_WORDS.index(w) for w in _LANG_MARKERS[code])
+    for code in _LANG_CODES
+]
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized uint64 population count (SWAR — numpy 1.x has no
+    ``bitwise_count``)."""
+    import numpy as np
+
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def lang_id_array(arr) -> "pa.Array":
+    """Vectorized language ID: the language whose DISTINCT marker-word hit
+    count is highest; ties and zero-hit rows are 'unknown', tie-break by
+    language code order (identical semantics to the per-row reference
+    loop, asserted by ``tests/test_stages.py``).
+
+    Shape: lower+trim → regex split (the same ``_WS`` the DuckDB oracle
+    splits on) → flat ``index_in`` against the marker vocabulary → per-row
+    OR-reduce into one uint64 marker bitmask → per-language popcount of
+    ``mask & lang_mask``. Distinctness is free: a repeated marker sets the
+    same bit. No per-row Python."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(arr)), pattern=_WS)
+    wid = pc.index_in(pc.list_flatten(toks), value_set=pa.array(_MARKER_WORDS))
+    wid_np = wid.to_numpy(zero_copy_only=False)  # float64 with NaN = non-marker
+    hit = ~np.isnan(wid_np)
+    bits = np.zeros(len(wid_np), dtype=np.uint64)
+    bits[hit] = np.uint64(1) << wid_np[hit].astype(np.uint64)
+
+    lengths = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n = len(lengths)
+    masks = np.zeros(n, dtype=np.uint64)
+    nz = lengths > 0
+    if nz.any():
+        starts = np.cumsum(lengths) - lengths
+        # reduceat quirk (see word counting above): only non-empty runs
+        masks[nz] = np.bitwise_or.reduceat(bits, starts[nz])
+
+    best_n = np.zeros(n, dtype=np.int64)
+    best_idx = np.full(n, -1, dtype=np.int64)
+    for i, m in enumerate(_LANG_MASKS):
+        cnt = _popcount64(masks & np.uint64(m)).astype(np.int64)
+        upd = cnt > best_n  # strict > keeps the earlier code on ties
+        best_n[upd] = cnt[upd]
+        best_idx[upd] = i
+    codes = np.array(["unknown"] + _LANG_CODES, dtype=object)
+    return pa.array(codes[best_idx + 1], pa.string())
+
+
 def lang_id(texts: "list[str]") -> "list[str]":
-    """Pick the language whose marker-word hit count is highest; ties and
-    zero-hit rows fall back to 'unknown'. Deterministic tie-break by
-    language code order."""
-    out = []
-    for t in texts:
-        toks = set(t.lower().split())
-        best, best_n = "unknown", 0
-        for code in sorted(_LANG_MARKERS):
-            n = len(toks & _LANG_MARKERS[code])
-            if n > best_n:
-                best, best_n = code, n
-        out.append(best)
-    return out
+    """List-in/list-out wrapper over :func:`lang_id_array` (kept for the
+    reference-shaped scalar API; pipelines use the array form)."""
+    return lang_id_array(pa.array(texts, pa.string())).to_pylist()

@@ -112,8 +112,7 @@ def doc_langid(sf_dir: str):
     def f(b: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "lang_pred": pa.array(
-                textnorm.lang_id(b.column("text").to_pylist()), pa.string()),
+            "lang_pred": textnorm.lang_id_array(b.column("text")),
         })
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(

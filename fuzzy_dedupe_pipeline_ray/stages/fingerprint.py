@@ -68,6 +68,9 @@ class FingerprintActor:
     """
 
     def __init__(self, cfg_json: str, remap=None):
+        from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
+
+        tune_allocator()  # actor-process heap retention (BASELINE.md)
         self.cfg = PipelineConfig.from_json(cfg_json)
         self.mh = MinHasher(self.cfg.num_perms, self.cfg.minhash_seed)
         self.remap = remap  # 128-bit collision remap triple (or None)

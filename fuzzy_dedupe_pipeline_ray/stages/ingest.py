@@ -38,7 +38,10 @@ def ingest_meta_batch(batch: pa.Table, cfg=None, remap=None) -> pa.Table:
     """
     import pyarrow.compute as pc
 
+    from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
     from fuzzy_dedupe_pipeline_ray.stages.identity import batch_doc_ids
+
+    tune_allocator()  # worker-process heap retention (BASELINE.md)
 
     content = batch.column("content")
     ids, ids_hi = batch_doc_ids(batch, cfg, remap)

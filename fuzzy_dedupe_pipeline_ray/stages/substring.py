@@ -231,6 +231,10 @@ def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     rolling-hash search entirely."""
     import pyarrow.compute as pc
 
+    from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
+
+    tune_allocator()  # worker-process heap retention (BASELINE.md)
+
     min_len = pc.min_element_wise(
         pc.binary_length(pc.fill_null(batch.column("content_a"), "")),
         pc.binary_length(pc.fill_null(batch.column("content_b"), "")))

@@ -105,3 +105,33 @@ def test_longest_common_span_matches_brute_force(a, b, min_len):
         assert a[sa:sa + span] == b[sb:sb + span]
     else:
         assert span == 0
+
+
+_LANG_WORDS = ["the", "and", "la", "le", "el", "der", "und", "est", "es",
+               "que", "un", "una", "xyz", "qrs", "", " ", "\t", "THE", "La"]
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(_LANG_WORDS), max_size=25).map(" ".join),
+    max_size=30))
+def test_lang_id_vectorized_matches_reference_loop(texts):
+    """The bitmask/popcount lang_id kernel must be row-for-row identical
+    to the per-row reference loop it replaced (VERDICT r2 anti-pattern 5)."""
+    from fuzzy_dedupe_pipeline_ray.functions.textnorm import (
+        _LANG_MARKERS,
+        lang_id,
+    )
+
+    def ref(ts):
+        out = []
+        for t in ts:
+            toks = set(t.lower().split())
+            best, best_n = "unknown", 0
+            for code in sorted(_LANG_MARKERS):
+                n = len(toks & _LANG_MARKERS[code])
+                if n > best_n:
+                    best, best_n = code, n
+            out.append(best)
+        return out
+
+    assert lang_id(texts) == ref(texts)

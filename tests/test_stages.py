@@ -285,3 +285,39 @@ def test_regex_token_count():
     arr = pa.array(["hello world42!", "", "  a+b=c3  ", "x_1 y-2"])
     # letter runs + digit runs + single punct marks each count once
     assert regex_token_count_array(arr).to_pylist() == [4, 0, 6, 6]
+
+
+def test_verify_fused_and_join_paths_equivalent(ray_session):
+    """The fused bank-lookup verify path (broadcast fast path) must emit
+    row-identical edges to the two-hash-join + batch-scorer path (the
+    100 TB shape, forced via a zero broadcast budget)."""
+    import dataclasses
+
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.stages.fingerprint import fingerprint
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
+    from fuzzy_dedupe_pipeline_ray.stages.verify import verify_pairs
+    from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
+
+    d = corpus_dir("tiny", root="/tmp/fdpr_test_fixtures")
+    files = ray.data.read_parquet(
+        f"{d}/files.parquet",
+        columns=["repo", "path", "commit", "lang", "content"])
+    cfg = PipelineConfig(fingerprint_concurrency=2)
+    sigs = fingerprint(files, cfg).materialize()
+    pairs = candidate_pairs(sigs, cfg).materialize()
+    assert pairs.count() > 0
+
+    fused = verify_pairs(pairs, sigs, cfg).to_pandas()
+    cfg_dist = dataclasses.replace(cfg, broadcast_max_rows=0,
+                                   band_driver_max_rows=0)
+    joined = verify_pairs(pairs, sigs, cfg_dist).to_pandas()
+
+    key = ["id_a", "id_b"]
+    fused = fused.sort_values(key).reset_index(drop=True)
+    joined = joined.sort_values(key).reset_index(drop=True)
+    assert len(fused) == len(joined) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fused, joined)
