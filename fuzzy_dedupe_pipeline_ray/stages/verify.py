@@ -101,9 +101,16 @@ def _prep_sig_bank(block_refs, num_perms: int):
                 np.empty((num_perms, 0), np.uint64),
                 np.empty(0, np.uint64), np.empty(0, "S64"))
     mats = [unpack_signatures(b.column("minhash"), num_perms)
-            for b in blocks]
-    mat = np.vstack(mats) if len(mats) > 1 else mats[0]
-    matT = np.ascontiguousarray(mat.T)
+            for b in blocks]  # zero-copy views into the plasma blocks
+    n = sum(m.shape[0] for m in mats)
+    # fill the perm-major matrix directly from the block views — ONE
+    # strided pass, no intermediate row-major copy (fresh-page mass is
+    # the dominant cost of this task on fault-rate-limited hosts)
+    matT = np.empty((num_perms, n), dtype=np.uint64)
+    ofs = 0
+    for m in mats:
+        matT[:, ofs:ofs + m.shape[0]] = m.T
+        ofs += m.shape[0]
     ids = np.concatenate([b.column("doc_id").to_numpy() for b in blocks])
     order = np.argsort(ids, kind="stable").astype(np.int64)
     simhash = np.concatenate(
