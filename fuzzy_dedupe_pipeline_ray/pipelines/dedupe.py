@@ -40,7 +40,10 @@ from fuzzy_dedupe_pipeline_ray.stages.fingerprint import fingerprint
 from fuzzy_dedupe_pipeline_ray.stages.ingest import ingest_meta, ingest_meta_batch
 from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
 from fuzzy_dedupe_pipeline_ray.stages.substring import substring_edges
-from fuzzy_dedupe_pipeline_ray.stages.verify import verify_pairs
+from fuzzy_dedupe_pipeline_ray.stages.verify import (
+    prepare_sig_bank,
+    verify_pairs,
+)
 from fuzzy_dedupe_pipeline_ray.state.manifest import (
     RunManifest,
     checkpoint_link_union,
@@ -189,8 +192,14 @@ class DedupePipeline:
         def chain_sigs():
             sigs = self._stage(
                 "signatures", lambda: fingerprint(self.files(), cfg, remap))
+            bank = None
+            if not (self.resume and self.manifest.is_complete("edges_fuzzy")):
+                # submit the verify bank build BEFORE candidate generation
+                # so its large-allocation pass overlaps the band shuffle
+                # instead of landing in the post-churn reclaim window
+                bank = prepare_sig_bank(sigs, cfg)
             fuzzy = self._stage("edges_fuzzy", lambda: verify_pairs(
-                candidate_pairs(sigs, cfg), sigs, cfg))
+                candidate_pairs(sigs, cfg), sigs, cfg, bank=bank))
             return sigs, fuzzy
 
         if cfg.extra.get("serial_stages"):

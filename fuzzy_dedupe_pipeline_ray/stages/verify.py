@@ -215,7 +215,25 @@ def _assemble_edges(bank, pidx, count_refs, cfg_json: str):
     }, schema=EDGE_SCHEMA)
 
 
-def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig):
+def prepare_sig_bank(signatures_ds, cfg: PipelineConfig):
+    """Submit the broadcast verify bank build EARLY (it depends only on
+    the signatures) and return ``(bank_ref, n_sigs)``, or None above the
+    broadcast budget. Passing the result to :func:`verify_pairs` overlaps
+    the bank's large-allocation pass with candidate generation — measured
+    1–75 s when run serially right after a heavy phase (the host's
+    post-churn reclaim window), ~free when overlapped."""
+    import ray
+
+    n_sigs = signatures_ds.count()
+    if n_sigs > cfg.broadcast_max_rows:
+        return None
+    sig_narrow = signatures_ds.select_columns(
+        ["doc_id", "minhash", "simhash", "content_sha256"])
+    refs = list(sig_narrow.materialize().to_arrow_refs())
+    return ray.remote(_prep_sig_bank).remote(refs, cfg.num_perms), n_sigs
+
+
+def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig, bank=None):
     """candidate pairs ⋈ signatures ×2 → scored, thresholded edge Dataset.
 
     Fast path (signature table AND pair count within the broadcast
@@ -239,7 +257,7 @@ def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig):
 
     sig_narrow = signatures_ds.select_columns(
         ["doc_id", "minhash", "simhash", "content_sha256"])
-    n_sigs = signatures_ds.count()
+    n_sigs = bank[1] if bank is not None else signatures_ds.count()
 
     if n_sigs <= cfg.broadcast_max_rows:
         import ray
@@ -249,10 +267,13 @@ def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig):
 
         pairs_mat = pairs_ds.materialize()
         if pairs_mat.count() <= cfg.broadcast_max_rows:
-            sig_refs = list(sig_narrow.materialize().to_arrow_refs())
+            if bank is not None:
+                bank_ref = bank[0]
+            else:
+                sig_refs = list(sig_narrow.materialize().to_arrow_refs())
+                bank_ref = ray.remote(_prep_sig_bank).remote(
+                    sig_refs, cfg.num_perms)
             pair_refs = list(pairs_mat.to_arrow_refs())
-            bank_ref = ray.remote(_prep_sig_bank).remote(
-                sig_refs, cfg.num_perms)
             pidx_ref = ray.remote(_prep_pair_index).remote(
                 pair_refs, bank_ref)
             n_tasks = max(1, min(cfg.num_perms, _emit_task_count(cfg)))
