@@ -134,10 +134,14 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_quality": textops.doc_quality,
         "doc_langid": textops.doc_langid,
         "doc_fingerprint": textops.doc_fingerprint,
+        "doc_fingerprint_exact_family_check":
+            textops.doc_fingerprint_exact_family_check,
         # similarity search
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_lsh_recall_check": ann.ann_lsh_recall_check,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "ann_ivf_recall_check": ann.ann_ivf_recall_check,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         # scalar extractors (M6/M7) over the deterministic address fixture
         "addr_extract": addresses.addr_extract,
@@ -200,6 +204,18 @@ def oracle_sql() -> "dict[str, str]":
         "doc_simhash_exact_family_check": """
             SELECT doc_id, TRUE AS same_cluster_as_rep
             FROM documents ORDER BY doc_id
+        """,
+        "doc_fingerprint_exact_family_check": """
+            SELECT doc_id, TRUE AS same_fp_as_rep
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_lsh_recall_check": """
+            SELECT vec_id AS qid, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        """,
+        "ann_ivf_recall_check": """
+            SELECT vec_id AS qid, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 5
         """,
         "files_exact_family_check": f"""
             SELECT repo, path, commit, TRUE AS same_cluster_as_sha_rep

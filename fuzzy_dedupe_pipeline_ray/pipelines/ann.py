@@ -295,6 +295,58 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
         merge, batch_format="pyarrow").sort(["qid", "rank"])
 
 
+def _result_sets(ds) -> "dict[int, set]":
+    out: "dict[int, set]" = {}
+    for b in ds.iter_batches(batch_format="pyarrow"):  # nq·k rows, tiny
+        for qid, vid in zip(b.column("qid").to_pylist(),
+                            b.column("vec_id").to_pylist()):
+            out.setdefault(qid, set()).add(vid)
+    return out
+
+
+def ann_lsh_recall_check(sf_dir: str, n_queries: int = 5, k: int = 10,
+                         floor: float = 0.8):
+    """Oracle-able INVARIANT over the multi-probe cosine-LSH top-k: per
+    query, recall vs the exact ``ann_topk`` must clear ``floor``. The Ray
+    side computes the boolean from the REAL approximate output against the
+    REAL exact output; the DuckDB oracle states the invariant (all-true
+    over the query ids), so a regression that guts the probing (broken
+    bucket key, dead flip set) hash-fails the driver gate even though the
+    approximate semantics are not SQL-expressible. The floor sits below
+    the ≥0.9 mean recall the unit tests assert (tests/test_ann.py) — the
+    oracle pins "the operator works", the tests pin the quality bar."""
+    ex = _result_sets(ann_topk(sf_dir, n_queries, k))
+    ap = _result_sets(ann_lsh_topk(sf_dir, n_queries, k))
+    qids = sorted(ex)
+    ok = [len(ap.get(q, set()) & ex[q]) >= floor * len(ex[q]) for q in qids]
+    return ray.data.from_arrow(pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "recall_ok": pa.array(ok, pa.bool_()),
+    }))
+
+
+def ann_ivf_recall_check(sf_dir: str, n_queries: int = 5, k: int = 10,
+                         n_centroids: int = 16):
+    """Oracle-able INVARIANT over the IVF top-k: at ``nprobe ==
+    n_centroids`` the cell restriction admits every vector, so the result
+    must EQUAL the exact ``ann_topk`` per query (same tie-breaking) — the
+    partition-completeness degeneracy ``tests/test_ann.py`` also asserts.
+    Deterministically all-true, unlike a recall floor at partial nprobe:
+    the synthetic embeddings are near-uniform on the sphere (IVF's
+    worst-case input), so partial-probe recall is data-luck; completeness
+    is not. Pins centroid assignment, cell routing, and the top-k merge."""
+    ex = _result_sets(ann_topk(sf_dir, n_queries, k))
+    ap = _result_sets(ann_ivf_topk(sf_dir, n_queries, k,
+                                   n_centroids=n_centroids,
+                                   nprobe=n_centroids))
+    qids = sorted(ex)
+    ok = [ap.get(q, set()) == ex[q] for q in qids]
+    return ray.data.from_arrow(pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "recall_ok": pa.array(ok, pa.bool_()),
+    }))
+
+
 class _HyperplaneHasher:
     """Actor-pool state: ``n_tables`` independent random hyperplane banks
     (the canonical L-tables × k-planes cosine-LSH layout), drawn once per

@@ -164,6 +164,57 @@ def doc_fingerprint(sf_dir: str, window: int = 32, keep: int = 8):
         f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def doc_fingerprint_exact_family_check(sf_dir: str, window: int = 32,
+                                       keep: int = 8):
+    """Oracle-able INVARIANT over ``doc_fingerprint``: identical texts must
+    produce identical winnowing fingerprints — the sketch is a pure
+    function of content, so any nondeterminism (seed drift across workers,
+    hash instability, batch-boundary effects) splits an exact sha256
+    family. Same all-true pattern as ``doc_dedupe_exact_family_check``:
+    the Ray side computes the boolean from the REAL sketch output, the
+    DuckDB oracle states the invariant, and the driver gate hash-fails on
+    regression even though the sketch itself is not SQL-expressible."""
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import splitmix64
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        # collapse each fingerprint (bottom-k uint64 list, canonical sorted
+        # order) to ONE comparable int64 via an order-sensitive fold
+        fp_hash = np.empty(len(texts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(texts):
+                fp = rolling_fingerprint(t, window, keep)
+                h = np.uint64(0xCBF29CE484222325)
+                for v in fp:
+                    h = (h ^ v) * np.uint64(1099511628211)
+                fp_hash[i] = splitmix64(h[None])[0]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text_sha256": pa.array(sha256_hex(texts), pa.string()),
+            "fp_hash": pa.array(mask_keys(fp_hash), pa.int64()),
+        })
+
+    with_fp = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        add_cols, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    reps = with_fp.groupby("text_sha256").aggregate(
+        Min("doc_id", alias_name="rep_id"))
+    j = lookup_join(with_fp, reps, on="text_sha256", cfg=DOCS_CFG)
+    rep_fp = with_fp.rename_columns(
+        {"doc_id": "rep_id", "fp_hash": "rep_fp_hash"}).select_columns(
+        ["rep_id", "rep_fp_hash"])
+    j = lookup_join(j, rep_fp, on="rep_id", cfg=DOCS_CFG)
+
+    def check(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "same_fp_as_rep": pc.equal(b.column("fp_hash"),
+                                       b.column("rep_fp_hash")),
+        })
+
+    return j.map_batches(check, batch_format="pyarrow").sort("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard pairs (exact, SQL-oracled via inverted-index self-join)
 # ---------------------------------------------------------------------------

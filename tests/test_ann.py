@@ -58,3 +58,14 @@ def test_embedding_pairs_gate_trips(ray_session):
 
     with pytest.raises(ValueError, match="exact all-pairs"):
         ann.embedding_near_dup_pairs(SF_DIR, max_rows=1)
+
+
+def test_recall_check_invariants(ray_session):
+    """The oracle-able invariant queries must be all-true on the fixture:
+    LSH multi-probe recall ≥ 0.8 per query, full-probe IVF == exact."""
+    from fuzzy_dedupe_pipeline_ray.pipelines import ann
+
+    for fn in (ann.ann_lsh_recall_check, ann.ann_ivf_recall_check):
+        df = fn(SF_DIR).to_pandas()
+        assert len(df) == 5
+        assert df["recall_ok"].all(), df

@@ -321,3 +321,14 @@ def test_verify_fused_and_join_paths_equivalent(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(fused, joined)
+
+
+def test_doc_fingerprint_exact_family_check(ray_session):
+    """Identical texts must yield identical winnowing fingerprints — the
+    all-true invariant the driver oracle pins."""
+    from fuzzy_dedupe_pipeline_ray.pipelines import textops
+
+    df = textops.doc_fingerprint_exact_family_check(
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert df["same_fp_as_rep"].all()
