@@ -43,6 +43,11 @@ class PipelineConfig:
     num_bands: int = 32         # b   (b * r must equal P)
     rows_per_band: int = 4      # r
     minhash_seed: int = 0x5EED_CAFE
+    # "classic" = P-permutation bank (O(P·S)/doc); "oph" = one-permutation
+    # hashing + densification (O(S)/doc — Li/Owen/Zhang NIPS'12,
+    # Shrivastava/Li ICML'14). Estimator and banding semantics identical;
+    # signature VALUES differ, so one mode per pipeline run.
+    minhash_mode: str = "oph"
 
     # --- thresholds (reference analogs) ----------------------------------
     jaccard_threshold: float = 0.80

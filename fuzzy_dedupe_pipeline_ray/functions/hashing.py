@@ -100,26 +100,58 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+#: multiplicative inverse of the (odd) FNV prime mod 2^64 — the window
+#: polynomial hash telescopes into an O(n) prefix-product form because
+#: every odd number is invertible in Z/2^64.
+_FNV_INV = np.uint64(pow(int(_FNV_PRIME), -1, 1 << 64))
+
+
+@_wrap_errstate
+def _window_poly_hashes(b: np.ndarray, k: int) -> np.ndarray:
+    """uint64 polynomial hash of every k-byte window of ``b`` —
+    ``h[i] = Σ_j b[i+j]·prime^(k−1−j) mod 2^64`` — in O(n) total work via
+    the prefix form ``h[i] = (Q[i+k] − Q[i]) · prime^(i+k−1)`` with
+    ``Q[m] = Σ_{j<m} b[j]·prime^(−j)``. Bit-identical to the O(n·k)
+    sliding-window matmul it replaces (wraparound arithmetic is exact);
+    ~k/3 fewer multiplies — the fingerprint stage's dominant kernel at
+    ``anchor_k = 48``."""
+    n = len(b)
+    invpow = np.full(n, _FNV_INV, dtype=np.uint64)
+    invpow[0] = 1
+    np.cumprod(invpow, out=invpow)                    # prime^(−j)
+    q = np.empty(n + 1, dtype=np.uint64)
+    q[0] = 0
+    np.cumsum(b.astype(np.uint64) * invpow, out=q[1:])
+    pw = np.full(n - k + 1, _FNV_PRIME, dtype=np.uint64)
+    pw[0] = np.uint64(pow(int(_FNV_PRIME), k - 1, 1 << 64))
+    np.cumprod(pw, out=pw)                            # prime^(i+k−1)
+    return (q[k:] - q[: n - k + 1]) * pw
+
+
 @_wrap_errstate
 def char_shingle_hashes(text: str, k: int, unique: bool = True) -> np.ndarray:
     """uint64 polynomial hash of every k-char window of ``text``.
 
-    Vectorized: utf-8 bytes → sliding windows (stride tricks, zero copy)
-    → dot with FNV-prime powers under uint64 wraparound → splitmix mix.
-    Returns the *set* (np.unique) when ``unique`` — MinHash operates on
-    shingle sets.
+    Vectorized: utf-8 bytes → O(n) prefix-product window hashes (see
+    ``_window_poly_hashes``) → splitmix mix. Returns the *set*
+    (np.unique) when ``unique`` — MinHash operates on shingle sets.
     """
     b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
     if len(b) < k:
         # whole-text single shingle
-        win = b[None, :].astype(np.uint64)
         powers = _FNV_PRIME ** np.arange(len(b) - 1, -1, -1, dtype=np.uint64)
-    else:
+        wh = (b.astype(np.uint64) * powers).sum(dtype=np.uint64)[None]
+    elif k <= 12:
+        # small windows: the fused k·n matmul beats the prefix form's
+        # three O(n) memory passes (measured crossover ~k=12)
         win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
         powers = _FNV_PRIME ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-    h = splitmix64(win @ powers)
+        wh = win @ powers
+    else:
+        wh = _window_poly_hashes(b, k)
+    h = splitmix64(wh)
     return np.unique(h) if unique else h
 
 
@@ -200,6 +232,66 @@ class MinHasher:
         return (sigs_a == sigs_b).mean(axis=1)
 
 
+class OnePermMinHasher:
+    """One-permutation MinHash with densification (public technique: Li,
+    Owen & Zhang, NIPS'12; densification Shrivastava & Li, ICML'14): the
+    shingle hash space is split into P bins by the TOP bits of a seeded
+    remix; ``sig[p] = min`` of the remixed values landing in bin p; empty
+    bins borrow from the nearest non-empty bin to the left (cyclic) —
+    deterministic, so identical shingle sets always yield identical
+    signatures. ``E[sig_a[p] == sig_b[p]] ≈ J`` exactly as for the
+    P-permutation bank, at O(S) work per doc instead of O(P·S) — the
+    fingerprint stage's dominant term at P=128.
+
+    Drop-in for :class:`MinHasher` (same ``signature`` /
+    ``estimate_jaccard*`` surface, same all-max empty-set convention);
+    selected by ``PipelineConfig.minhash_mode``. Signatures from the two
+    modes are NOT comparable with each other — one mode per pipeline run.
+    """
+
+    def __init__(self, num_perms: int, seed: int):
+        if num_perms & (num_perms - 1):
+            raise ValueError("OPH requires power-of-two num_perms")
+        self.num_perms = num_perms
+        self._bin_shift = np.uint64(64 - int(num_perms).bit_length() + 1)
+        # seeded remix decorrelates binning from the raw shingle hashes
+        # (which also seed the band keys downstream)
+        rng = np.random.RandomState(seed & 0x7FFFFFFF)
+        self._salt = rng.randint(0, 2**63, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        P = self.num_perms
+        mx = np.iinfo(np.uint64).max
+        if len(shingle_hashes) == 0:
+            return np.full(P, mx, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            v = splitmix64(shingle_hashes ^ self._salt)
+        bins = (v >> self._bin_shift).astype(np.int64)
+        sig = np.full(P, mx, dtype=np.uint64)
+        np.minimum.at(sig, bins, v)
+        empty = sig == mx
+        if empty.any():
+            pos = np.where(~empty, np.arange(P), -1)
+            fill = np.maximum.accumulate(pos)   # nearest non-empty ≤ p
+            nonempty = np.flatnonzero(~empty)
+            if len(nonempty) == 0:
+                return sig
+            fill = np.where(fill < 0, nonempty[-1], fill)  # cyclic wrap
+            sig = sig[fill]
+        return sig
+
+    estimate_jaccard = staticmethod(MinHasher.estimate_jaccard)
+    estimate_jaccard_matrix = staticmethod(MinHasher.estimate_jaccard_matrix)
+
+
+def make_minhasher(cfg) -> "MinHasher | OnePermMinHasher":
+    """Config-selected MinHash scheme (``minhash_mode``: 'classic' = the
+    P-permutation bank, 'oph' = one-permutation + densification)."""
+    if getattr(cfg, "minhash_mode", "classic") == "oph":
+        return OnePermMinHasher(cfg.num_perms, cfg.minhash_seed)
+    return MinHasher(cfg.num_perms, cfg.minhash_seed)
+
+
 def pack_signatures(sigs: np.ndarray) -> "pa.Array":
     """(m, P) uint64 signature matrix → Arrow binary column (8·P bytes per
     row). Binary (not fixed_size_list) so the column survives Acero hash
@@ -245,12 +337,23 @@ def simhash64(hashes: np.ndarray, weights: "np.ndarray | None" = None) -> np.uin
     Second, bit-level signal — the analog of the reference's address
     embedding (``dedupe_logic/processor.py:98-103,155-160``).
     """
+    import sys
+
     if len(hashes) == 0:
         return np.uint64(0)
     shifts = np.arange(64, dtype=np.uint64)
-    bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    if sys.byteorder == "little":
+        # exact same bit counts as the shift matrix, built 8× narrower:
+        # on little-endian, byte m bit j of the uint64 view is bit 8m+j,
+        # which is unpackbits' little bitorder — one uint8 (S, 64) matrix
+        # instead of an int64 one
+        bits = np.unpackbits(
+            np.ascontiguousarray(hashes, dtype=np.uint64).view(np.uint8)
+            .reshape(-1, 8), axis=1, bitorder="little")
+    else:  # big-endian fallback: the original shift matrix
+        bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
     if weights is None:
-        counts = bits.sum(axis=0)
+        counts = bits.sum(axis=0, dtype=np.int64)
         n = len(hashes)
     else:
         counts = (bits * weights[:, None]).sum(axis=0)
@@ -300,8 +403,28 @@ def bottom_k(hashes: np.ndarray, k: int) -> np.ndarray:
 
 
 @_wrap_errstate
+def bottom_k_distinct(hashes: np.ndarray, k: int) -> np.ndarray:
+    """``bottom_k`` over a RAW (possibly duplicated) hash array without the
+    full O(n log n) sort: an O(n) ``np.partition`` prefilter keeps the
+    m+1 globally smallest raw values; if they contain ≥ k distinct values,
+    those are exactly the k smallest distinct overall (any missing smaller
+    distinct value would itself be among the m+1 smallest — contradiction).
+    Heavy-duplicate underflow falls back to the full sort. Bit-identical
+    to ``bottom_k(hashes, k)``."""
+    n = len(hashes)
+    m = max(4 * k, k + 32)
+    if n <= m + 1:
+        return bottom_k(hashes, k)
+    part = np.partition(hashes, m)[: m + 1]
+    u = np.unique(part)
+    if len(u) >= k:
+        return u[:k]
+    return bottom_k(hashes, k)
+
+
+@_wrap_errstate
 def rolling_fingerprint(text: str, window: int = 64, keep: int = 8) -> np.ndarray:
     """Document fingerprint: bottom-``keep`` of the rolling ``window``-gram
     hashes (a winnowing-style sketch). Deterministic; mergeable by min."""
-    h = char_shingle_hashes(text, window, unique=True)
-    return bottom_k(h, keep)
+    h = char_shingle_hashes(text, window, unique=False)
+    return bottom_k_distinct(h, keep)

@@ -26,11 +26,11 @@ import pyarrow as pa
 
 from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
 from fuzzy_dedupe_pipeline_ray.functions.hashing import (
-    MinHasher,
     band_keys_batch,
-    bottom_k,
+    bottom_k_distinct,
     char_shingle_hashes,
     hash_tokens,
+    make_minhasher,
     mask_keys,
     pack_signatures,
     sha256_hex,
@@ -72,7 +72,7 @@ class FingerprintActor:
 
         tune_allocator()  # actor-process heap retention (BASELINE.md)
         self.cfg = PipelineConfig.from_json(cfg_json)
-        self.mh = MinHasher(self.cfg.num_perms, self.cfg.minhash_seed)
+        self.mh = make_minhasher(self.cfg)
         self.remap = remap  # 128-bit collision remap triple (or None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -106,9 +106,11 @@ class FingerprintActor:
             n_shingles[out_i] = len(sh)
             if cfg.substring_enabled:
                 big = char_shingle_hashes(
-                    normalize_for_shingles(content[i], cfg), cfg.anchor_k)
+                    normalize_for_shingles(content[i], cfg), cfg.anchor_k,
+                    unique=False)  # bottom_k_distinct dedups via partition
                 # masked to 63-bit int64: anchors become groupby keys
-                anchors.append(mask_keys(bottom_k(big, cfg.anchors_per_doc)))
+                anchors.append(mask_keys(
+                    bottom_k_distinct(big, cfg.anchors_per_doc)))
             else:
                 anchors.append(np.empty(0, dtype=np.int64))
 

@@ -149,3 +149,51 @@ def test_lsh_catch_probability_shape(p, b, r):
     lo = 1 - (1 - s_lo**r) ** b
     assert hi > 0.999
     assert lo < 0.25
+
+
+def test_oph_estimator_accuracy():
+    """One-permutation MinHash (densified) estimator error within ~4σ of
+    exact Jaccard for P=128 on large sets (σ ≈ sqrt(J(1−J)/P))."""
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import OnePermMinHasher
+
+    rng = np.random.RandomState(11)
+    mh = OnePermMinHasher(128, seed=123)
+    universe = splitmix64(rng.randint(0, 2**63, 4000, dtype=np.uint64))
+    a = universe[:3000]
+    for overlap in (0.9, 0.7, 0.5, 0.2):
+        n_common = int(3000 * overlap)
+        b = np.concatenate([a[:n_common], universe[3000: 3000 + (3000 - n_common)]])
+        jt = exact_jaccard(a, b)
+        est = OnePermMinHasher.estimate_jaccard(mh.signature(a), mh.signature(b))
+        sigma = np.sqrt(jt * (1 - jt) / 128) + 1e-9
+        assert abs(est - jt) < 4 * sigma + 0.02, (overlap, jt, est)
+
+
+def test_oph_identical_empty_and_sparse():
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import OnePermMinHasher
+
+    mh = OnePermMinHasher(64, seed=1)
+    s = char_shingle_hashes("some text to hash here", 4)
+    # deterministic: identical sets → identical signatures (densification
+    # is a pure function of the bin occupancy)
+    assert np.array_equal(mh.signature(s), mh.signature(s.copy()))
+    assert OnePermMinHasher.estimate_jaccard(mh.signature(s), mh.signature(s)) == 1.0
+    empty = mh.signature(np.empty(0, dtype=np.uint64))
+    assert (empty == np.iinfo(np.uint64).max).all()
+    # sparse set (fewer shingles than bins): every bin densified, no MAX left
+    tiny = char_shingle_hashes("ab", 4)
+    sig = mh.signature(tiny)
+    assert (sig != np.iinfo(np.uint64).max).all()
+
+
+def test_bottom_k_distinct_matches_bottom_k():
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (bottom_k,
+                                                             bottom_k_distinct)
+
+    rng = np.random.RandomState(2)
+    for trial in range(200):
+        # every third trial is heavy-duplicate (values from a tiny range)
+        hi = 40 if trial % 3 == 0 else 2**50
+        h = rng.randint(0, hi, size=rng.randint(1, 5000)).astype(np.uint64)
+        k = int(rng.choice([4, 8, 16]))
+        assert np.array_equal(bottom_k(h, k), bottom_k_distinct(h, k))
