@@ -154,8 +154,10 @@ def grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str = "band_key"):
         n_tasks = _emit_task_count(cfg)
         n_slices = 2 * n_tasks
         groups = [list(range(t, n_slices, n_tasks)) for t in range(n_tasks)]
-        emit = ray.remote(_emit_key_slices)
-        result_refs = [emit.remote(refs, key, g, n_slices, cap)
+        emit = ray.remote(_emit_key_slices).options(num_returns=n_tasks)
+        result_refs = [list(emit.remote(refs, key, g, n_slices, cap,
+                                        n_tasks)) if n_tasks > 1 else
+                       [emit.remote(refs, key, g, n_slices, cap, n_tasks)]
                        for g in groups]
         return _pairs_ds_from_partial_refs(result_refs)
 
@@ -202,46 +204,64 @@ def _emit_task_count(cfg: PipelineConfig) -> int:
     return max(8, min(32, cpus))
 
 
-def _merge_pair_partials(*parts):
-    """Ray task body: merge several partial (id_a, id_b) pair sets into one
-    distinct set — a node of the off-driver reduce tree."""
+def _shard_pair_partial(a: np.ndarray, b: np.ndarray, n_shards: int):
+    """Split one (a, b) pair partial into ``n_shards`` disjoint
+    ``(a_s, b_s)`` tuples by a hash of the PAIR (both endpoints), so
+    identical pairs emitted by different tasks always land in the same
+    shard (flat list for Ray ``num_returns``)."""
+    e = np.empty(0, dtype=np.int64)
+    if len(a) == 0:
+        return [(e, e)] * n_shards
+    if n_shards == 1:
+        return [(a, b)]
+    with np.errstate(over="ignore"):
+        mix = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               ^ b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+    sl = ((mix >> np.uint64(33)) % np.uint64(n_shards)).astype(np.int64)
+    order = np.argsort(sl, kind="stable")
+    a_s, b_s, sl_s = a[order], b[order], sl[order]
+    bounds = np.searchsorted(sl_s, np.arange(n_shards + 1))
+    return [(a_s[bounds[s]:bounds[s + 1]], b_s[bounds[s]:bounds[s + 1]])
+            for s in range(n_shards)]
+
+
+def _merge_pair_shard(*parts):
+    """Ray task body: merge one SHARD's partials from every emit task into
+    that shard's distinct pair table. Shards partition the pair space, so
+    per-shard distinct == global distinct restricted to the shard — no
+    further cross-shard reduction is needed."""
     pa_list = [p[0] for p in parts if len(p[0])]
     pb_list = [p[1] for p in parts if len(p[1])]
-    e = np.empty(0, dtype=np.int64)
     if not pa_list:
-        return e, e
-    return _dedup_pairs_np(np.concatenate(pa_list), np.concatenate(pb_list))
+        return PAIR_SCHEMA.empty_table()
+    a, b = _dedup_pairs_np(np.concatenate(pa_list), np.concatenate(pb_list))
+    return pa.table({"id_a": pa.array(a, pa.int64()),
+                     "id_b": pa.array(b, pa.int64())}, schema=PAIR_SCHEMA)
 
 
-def _pairs_table_blocks(part, n_blocks: int):
-    """Final reduce task: one (a, b) partial → ``n_blocks`` Arrow table
-    slices returned as separate objects, so the pair set enters Ray Data
-    via ``from_arrow_refs`` without ever landing on the driver."""
-    a, b = part
-    out = pa.table({"id_a": pa.array(a, pa.int64()),
-                    "id_b": pa.array(b, pa.int64())}, schema=PAIR_SCHEMA)
-    step = -(-out.num_rows // n_blocks) if out.num_rows else 1
-    slices = [out.slice(i * step, step) for i in range(n_blocks)]
-    return slices
+def _pairs_ds_from_partial_refs(result_refs):
+    """Sharded emit outputs → distinct-pairs Dataset via a PARALLEL
+    shard-wise reduce (round 2's driver merge was a measured serial term;
+    round 3's first fix — a fan-in-8 reduce tree — still bottlenecked on
+    its root node, which re-sorted the full pair volume once per run:
+    measured 9.8 s at 32 CPUs vs 6.7 s at 8, i.e. ANTI-scaling, because
+    task count multiplied the duplicate volume entering the tree). Each
+    emit task pre-shards its output by pair hash (``num_returns``); merge
+    task j touches only shard j from every emit task, so reduction
+    parallelism equals the shard count and no single task ever sees the
+    full pair set. The driver only holds refs.
 
-
-def _pairs_ds_from_partial_refs(result_refs, fanin: int = 8,
-                                n_blocks: int = 32):
-    """Partial pair-set ObjectRefs → distinct-pairs Dataset via an
-    OFF-DRIVER reduce tree (round 2's driver ``np.concatenate`` merge was
-    a measured serial term in the scaling runs — VERDICT r2 #1b). The
-    driver only holds refs; merge compute and the final table build run as
-    Ray tasks, so the reduction scales with the cluster."""
+    ``result_refs``: one list of ``n_shards`` ObjectRefs per emit task
+    (each resolving to that task's ``(a, b)`` partial for the shard)."""
     import ray
     import ray.data as rd
 
-    merge = ray.remote(_merge_pair_partials)
-    while len(result_refs) > 1:
-        result_refs = [merge.remote(*result_refs[i:i + fanin])
-                       for i in range(0, len(result_refs), fanin)]
-    split = ray.remote(_pairs_table_blocks).options(num_returns=n_blocks)
-    block_refs = split.remote(result_refs[0], n_blocks)
-    return rd.from_arrow_refs(list(block_refs))
+    n_shards = len(result_refs[0])
+    merge = ray.remote(_merge_pair_shard)
+    table_refs = [
+        merge.remote(*[task_refs[s] for task_refs in result_refs])
+        for s in range(n_shards)]
+    return rd.from_arrow_refs(table_refs)
 
 
 def _dedup_pairs_np(id_a: np.ndarray,
@@ -388,7 +408,7 @@ def _small_group_pairs(small_ds, key: str, cfg: PipelineConfig):
 
 
 def _emit_key_slices(block_refs, key: str, slice_indices, n_slices: int,
-                     cap: int):
+                     cap: int, n_shards: int = 1):
     """Ray task body: distinct pairs for SEVERAL hash-slices of the key
     space of an exploded (key, doc_id) table, processed sequentially so
     one worker pays its (expensive — perf.py) first-touch warmup once.
@@ -403,7 +423,7 @@ def _emit_key_slices(block_refs, key: str, slice_indices, n_slices: int,
     blocks = [t for t in ray.get(list(block_refs)) if t.num_rows]
     e = np.empty(0, dtype=np.int64)
     if not blocks:
-        return e, e
+        return _shard_pair_partial(e, e, n_shards)
     # Filter PER BLOCK, never concatenating the full keyed table: the
     # round-2 shape concatenated all rows in EVERY task, so 32 concurrent
     # tasks allocated 32× the table (measured 14× slowdown of the anchor
@@ -427,7 +447,7 @@ def _emit_key_slices(block_refs, key: str, slice_indices, n_slices: int,
         doc_parts.append(b.column("doc_id").to_numpy()[m])
         slice_parts.append(sl[m])
     if not key_parts:
-        return e, e
+        return _shard_pair_partial(e, e, n_shards)
     keys = np.concatenate(key_parts)
     docs = np.concatenate(doc_parts)
     slice_of = np.concatenate(slice_parts)
@@ -440,10 +460,11 @@ def _emit_key_slices(block_refs, key: str, slice_indices, n_slices: int,
         a, b = _local_grouped_pairs(keys[mask], docs[mask], cap)
         parts_a.append(a)
         parts_b.append(b)
-    return (np.concatenate(parts_a), np.concatenate(parts_b))
+    return _shard_pair_partial(np.concatenate(parts_a),
+                               np.concatenate(parts_b), n_shards)
 
 
-def _emit_band_group(block_refs, band_indices, cap: int):
+def _emit_band_group(block_refs, band_indices, cap: int, n_shards: int = 1):
     """Ray task body: distinct pairs for a handful of bands of the
     band-key matrix. Reads the matrix blocks zero-copy from plasma and
     concatenates ONLY the doc_id column and its own band columns (never
@@ -456,7 +477,7 @@ def _emit_band_group(block_refs, band_indices, cap: int):
     blocks = [t for t in ray.get(list(block_refs)) if t.num_rows]
     if not blocks:
         e = np.empty(0, dtype=np.int64)
-        return e, e
+        return _shard_pair_partial(e, e, n_shards)
     docs = np.concatenate([b.column("doc_id").to_numpy() for b in blocks])
     parts_a: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
     parts_b: "list[np.ndarray]" = [np.empty(0, dtype=np.int64)]
@@ -475,7 +496,8 @@ def _emit_band_group(block_refs, band_indices, cap: int):
                                      np.concatenate(parts_b))
             parts_a, parts_b = [merged[0]], [merged[1]]
             pending = 0
-    return _dedup_pairs_np(np.concatenate(parts_a), np.concatenate(parts_b))
+    a, b = _dedup_pairs_np(np.concatenate(parts_a), np.concatenate(parts_b))
+    return _shard_pair_partial(a, b, n_shards)
 
 
 def _band_key_table(cfg_json: str):
@@ -581,8 +603,12 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig):
         per_task = max(1, -(-cfg.num_bands // n_tasks))
         groups = [list(range(j, min(j + per_task, cfg.num_bands)))
                   for j in range(0, cfg.num_bands, per_task)]
-        emit = ray.remote(_emit_band_group)
-        result_refs = [emit.remote(refs, g, cfg.band_group_pair_cap)
+        n_shards = len(groups)
+        emit = ray.remote(_emit_band_group).options(num_returns=n_shards)
+        result_refs = [list(emit.remote(refs, g, cfg.band_group_pair_cap,
+                                        n_shards)) if n_shards > 1 else
+                       [emit.remote(refs, g, cfg.band_group_pair_cap,
+                                    n_shards)]
                        for g in groups]
         return _pairs_ds_from_partial_refs(result_refs)
 

@@ -166,29 +166,37 @@ class _RollState:
                     * self.bpow[L - 1: self.n])
 
 
-def longest_common_span(a: str, b: str, min_len: int) -> "tuple[int, int, int]":
+def longest_common_span(a: str, b: str, min_len: int,
+                        ra: "_RollState | None" = None,
+                        rb: "_RollState | None" = None,
+                        ) -> "tuple[int, int, int]":
     """(span_len, start_a, start_b) of the longest common substring if it is
     ≥ min_len, else (0, -1, -1). Rolling-hash binary search (O(n log n))
     with direct slice-equality confirmation (hash-collision guard).
 
     Byte-level spans (utf-8); inputs here are the ws-normalized contents,
-    effectively ASCII for source code."""
+    effectively ASCII for source code. ``ra``/``rb``: optional prebuilt
+    roll states for ``a``/``b`` (the batch verifier caches one per doc —
+    docs recur across many candidate pairs)."""
     if not a or not b:
         return 0, -1, -1
     if len(a) > len(b):
-        n, sa, sb = _lcs_inner(b, a, min_len)
+        n, sa, sb = _lcs_inner(b, a, min_len, rb, ra)
         return n, sb, sa
-    return _lcs_inner(a, b, min_len)
+    return _lcs_inner(a, b, min_len, ra, rb)
 
 
-def _lcs_inner(a: str, b: str, min_len: int) -> "tuple[int, int, int]":
+def _lcs_inner(a: str, b: str, min_len: int,
+               ra: "_RollState | None" = None,
+               rb: "_RollState | None" = None) -> "tuple[int, int, int]":
     # fast path: full containment (C-speed substring search)
     if len(a) >= min_len:
         pos = b.find(a)
         if pos >= 0:
             return len(a), 0, pos
 
-    ra, rb = _RollState(a), _RollState(b)
+    ra = ra if ra is not None else _RollState(a)
+    rb = rb if rb is not None else _RollState(b)
 
     def probe(L: int) -> "tuple[int, int] | None":
         ha = ra.window_hashes(L)
@@ -241,13 +249,43 @@ def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     batch = batch.filter(
         pc.greater_equal(min_len, cfg.min_substring_span))
     out = {k: [] for k in ("id_a", "id_b", "span_len", "span_frac")}
+    # Per-doc caches: candidate docs recur across many pairs of a batch
+    # (pairs arrive sorted by (id_a, id_b)), so the O(n) roll-state prep
+    # and the min-window hash SET are built once per doc, not per pair.
+    # The sorted-unique min-window sets give a certain-reject pre-probe:
+    # rolling hashes are deterministic, so a shared span ≥ min_len implies
+    # a shared window hash — an empty intersection rejects the (majority)
+    # non-matching pairs without touching the binary search. Collisions
+    # only create false candidates, which the full search then re-checks
+    # with its slice-equality guard.
+    span_w = cfg.min_substring_span
+    states: "dict[int, _RollState]" = {}
+    probes: "dict[int, np.ndarray]" = {}
+
+    def doc_state(i: int, s: str) -> _RollState:
+        st = states.get(i)
+        if st is None:
+            st = states[i] = _RollState(s)
+        return st
+
+    def doc_probe(i: int, st: _RollState) -> np.ndarray:
+        h = probes.get(i)
+        if h is None:
+            h = probes[i] = np.unique(st.window_hashes(span_w))
+        return h
+
     for ida, idb, a, b in zip(batch.column("id_a").to_pylist(),
                               batch.column("id_b").to_pylist(),
                               batch.column("content_a").to_pylist(),
                               batch.column("content_b").to_pylist()):
         if a is None or b is None:
             continue
-        span, _, _ = longest_common_span(a, b, cfg.min_substring_span)
+        ra, rb = doc_state(ida, a), doc_state(idb, b)
+        ha, hb = doc_probe(ida, ra), doc_probe(idb, rb)
+        if not len(np.intersect1d(ha, hb, assume_unique=True)):
+            continue
+        span, _, _ = longest_common_span(a, b, cfg.min_substring_span,
+                                         ra=ra, rb=rb)
         if span >= cfg.min_substring_span:
             out["id_a"].append(ida)
             out["id_b"].append(idb)
@@ -387,8 +425,11 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     # Stateless task pool, not actors: per-pair span verification is
     # sub-millisecond (rolling-hash LCS), so elastic tasks over small
     # batches beat an autoscaling actor pool whose spin-up dominates.
+    # Batch size trades task granularity against per-doc cache reuse in
+    # verify_span_batch (pairs arrive sorted, docs recur across pairs);
+    # 1024 pairs × 2 × ~KB contents stays ~MBs per task.
     return with_content.map_batches(
         lambda b: verify_span_batch(b, cfg),
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=1024,
     )

@@ -73,20 +73,14 @@ def score_pairs_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     }, schema=EDGE_SCHEMA)
 
 
-def _prep_sig_bank(block_refs, num_perms: int):
-    """Ray task body: signature blocks → the broadcast verify bank
+def _prep_bank_narrow(block_refs):
+    """Ray task body: signature blocks → the NARROW verify-bank arrays
 
-    ``(ids_sorted, order, matT, simhash, sha)``
+    ``(ids_sorted, order, simhash, sha)``
 
-    * ``matT`` — the signature matrix PERM-MAJOR (``(P, n)`` C-order): a
-      permutation slice is a CONTIGUOUS region, so each perm-slice count
-      task touches only its own ``(hi-lo)·n·8`` bytes of the (plasma
-      mmap-shared) bank. Row-major gathers measured 4.3× slower (random
-      access over the whole 437 MB matrix) and forced every worker to
-      fault the full bank.
-    * narrow arrays stay in ORIGINAL row order; pairs address rows via
-      ``order[searchsorted(ids_sorted, id)]`` — skipping a 437 MB
-      sort-gather of the matrix.
+    * arrays stay in ORIGINAL row order; pairs address rows via
+      ``order[searchsorted(ids_sorted, id)]`` — skipping a sort-gather of
+      the (separately built) signature matrix.
     * sha as fixed-width S64 (contiguous buffer, zero-copy via plasma; an
       object-dtype string array would re-unpickle on every ``ray.get``).
     """
@@ -98,19 +92,7 @@ def _prep_sig_bank(block_refs, num_perms: int):
     blocks = [t for t in ray.get(list(block_refs)) if t.num_rows]
     if not blocks:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
-                np.empty((num_perms, 0), np.uint64),
                 np.empty(0, np.uint64), np.empty(0, "S64"))
-    mats = [unpack_signatures(b.column("minhash"), num_perms)
-            for b in blocks]  # zero-copy views into the plasma blocks
-    n = sum(m.shape[0] for m in mats)
-    # fill the perm-major matrix directly from the block views — ONE
-    # strided pass, no intermediate row-major copy (fresh-page mass is
-    # the dominant cost of this task on fault-rate-limited hosts)
-    matT = np.empty((num_perms, n), dtype=np.uint64)
-    ofs = 0
-    for m in mats:
-        matT[:, ofs:ofs + m.shape[0]] = m.T
-        ofs += m.shape[0]
     ids = np.concatenate([b.column("doc_id").to_numpy() for b in blocks])
     order = np.argsort(ids, kind="stable").astype(np.int64)
     simhash = np.concatenate(
@@ -118,7 +100,35 @@ def _prep_sig_bank(block_refs, num_perms: int):
     sha = np.concatenate([np.asarray(
         b.column("content_sha256").to_numpy(zero_copy_only=False),
         dtype="S64") for b in blocks])
-    return ids[order], order, matT, simhash, sha
+    return ids[order], order, simhash, sha
+
+
+def _transpose_block_group(block_refs, num_perms: int):
+    """Ray task body: a GROUP of signature blocks → one perm-major
+    ``(P, n_group)`` C-order piece of the signature matrix (original row
+    order within the group). Each task reads only its own blocks once
+    (zero-copy plasma views) and writes only its own piece, so the (at
+    scale ~0.5 GB) matrix build parallelizes by block group with total
+    traffic O(matrix) — the single-task build was a measured ~10 s Amdahl
+    term, and a per-PERM-slice parallel build was 3× worse still (every
+    task stride-read the FULL block set: K× read amplification)."""
+    import ray
+
+    from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
+
+    tune_allocator()
+    blocks = [t for t in ray.get(list(block_refs)) if t.num_rows]
+    if not blocks:
+        return np.empty((num_perms, 0), np.uint64)
+    mats = [unpack_signatures(b.column("minhash"), num_perms)
+            for b in blocks]  # zero-copy views into the plasma blocks
+    n = sum(m.shape[0] for m in mats)
+    out = np.empty((num_perms, n), dtype=np.uint64)
+    ofs = 0
+    for m in mats:
+        out[:, ofs:ofs + m.shape[0]] = m.T
+        ofs += m.shape[0]
+    return out
 
 
 def _prep_pair_index(pair_refs, bank):
@@ -131,7 +141,8 @@ def _prep_pair_index(pair_refs, bank):
     from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
 
     tune_allocator()
-    # `bank` arrives auto-resolved (top-level ObjectRef task arg)
+    # `bank` arrives auto-resolved (top-level ObjectRef task arg) — the
+    # NARROW bank tuple from _prep_bank_narrow
     ids_sorted, order = bank[0], bank[1]
     blocks = [t for t in ray.get(list(pair_refs)) if t.num_rows]
     e = np.empty(0, np.int64)
@@ -147,26 +158,32 @@ def _prep_pair_index(pair_refs, bank):
             order[pa_[found]], order[pb_[found]])
 
 
-def _count_perm_slice(bank, pidx, lo: int, hi: int):
+def _count_perm_slice(piece_refs, pidx, lo: int, hi: int):
     """Ray task body: per-pair signature-agreement count over perms
-    [lo, hi) — touches ONLY that contiguous slice of ``matT``. Chunked so
-    each per-perm gather's temporaries stay cache/heap-resident."""
+    ``[lo, hi)``. The matrix lives as per-block-group perm-major PIECES;
+    for each perm this task concatenates that perm's (contiguous) row
+    across the pieces — so it faults only ``(hi-lo)·n·8`` bytes of the
+    (plasma mmap-shared) matrix, never the whole thing. Chunked so each
+    per-perm gather's temporaries stay cache/heap-resident."""
     import ray
 
     from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
 
     tune_allocator()
-    matT = bank[2]          # auto-resolved task args; matT is a plasma
-    ja, jb = pidx[2], pidx[3]  # mmap view — slicing touches only [lo:hi)
+    pieces = [p for p in ray.get(list(piece_refs)) if p.shape[1]]
+    ja, jb = pidx[2], pidx[3]
     n = len(ja)
     out = np.zeros(n, dtype=np.uint8)
+    if not pieces:
+        return out
     CH = 1 << 20
     for s in range(0, n, CH):
         t = min(s + CH, n)
         sa, sb = ja[s:t], jb[s:t]
         c = np.zeros(t - s, dtype=np.uint8)
         for p in range(lo, hi):
-            col = matT[p]
+            col = (pieces[0][p] if len(pieces) == 1 else
+                   np.concatenate([pc_[p] for pc_ in pieces]))
             c += col[sa] == col[sb]
         out[s:t] = c
     return out
@@ -182,7 +199,7 @@ def _assemble_edges(bank, pidx, count_refs, cfg_json: str):
 
     tune_allocator()
     cfg = PipelineConfig.from_json(cfg_json)
-    _, _, _, simhash, sha = bank
+    _, _, simhash, sha = bank
     id_a, id_b, ja, jb = pidx
     if len(id_a) == 0:
         return EDGE_SCHEMA.empty_table()
@@ -215,22 +232,50 @@ def _assemble_edges(bank, pidx, count_refs, cfg_json: str):
     }, schema=EDGE_SCHEMA)
 
 
-def prepare_sig_bank(signatures_ds, cfg: PipelineConfig):
-    """Submit the broadcast verify bank build EARLY (it depends only on
-    the signatures) and return ``(bank_ref, n_sigs)``, or None above the
-    broadcast budget. Passing the result to :func:`verify_pairs` overlaps
-    the bank's large-allocation pass with candidate generation — measured
-    1–75 s when run serially right after a heavy phase (the host's
-    post-churn reclaim window), ~free when overlapped."""
+def _mat_slice_bounds(cfg: PipelineConfig) -> "list[tuple[int, int]]":
+    """Perm-slice boundaries of the count tasks."""
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import _emit_task_count
+
+    n_tasks = max(1, min(cfg.num_perms, _emit_task_count(cfg)))
+    step = -(-cfg.num_perms // n_tasks)
+    return [(lo, min(lo + step, cfg.num_perms))
+            for lo in range(0, cfg.num_perms, step)]
+
+
+def _submit_bank_tasks(sig_refs, cfg: PipelineConfig):
+    """(narrow_ref, piece_refs): the narrow-array task plus one perm-major
+    transpose task per CONTIGUOUS block group (order preserved — global
+    row index = concatenation of the pieces in list order, exactly how
+    ``_prep_bank_narrow`` concatenates the same blocks)."""
     import ray
 
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import _emit_task_count
+
+    narrow_ref = ray.remote(_prep_bank_narrow).remote(sig_refs)
+    n_groups = max(1, min(len(sig_refs), _emit_task_count(cfg)))
+    step = -(-len(sig_refs) // n_groups)
+    tr = ray.remote(_transpose_block_group)
+    piece_refs = [tr.remote(sig_refs[i:i + step], cfg.num_perms)
+                  for i in range(0, len(sig_refs), step)]
+    return narrow_ref, piece_refs
+
+
+def prepare_sig_bank(signatures_ds, cfg: PipelineConfig):
+    """Submit the broadcast verify-bank build EARLY (it depends only on
+    the signatures) and return ``(narrow_ref, piece_refs, n_sigs)``, or
+    None above the broadcast budget. The perm-major matrix builds as one
+    transpose task per block group (parallel — the single-task build was
+    a measured ~10 s Amdahl term at scale-corpus size); passing the
+    result to :func:`verify_pairs` additionally overlaps the build with
+    candidate generation."""
     n_sigs = signatures_ds.count()
     if n_sigs > cfg.broadcast_max_rows:
         return None
     sig_narrow = signatures_ds.select_columns(
         ["doc_id", "minhash", "simhash", "content_sha256"])
     refs = list(sig_narrow.materialize().to_arrow_refs())
-    return ray.remote(_prep_sig_bank).remote(refs, cfg.num_perms), n_sigs
+    narrow_ref, piece_refs = _submit_bank_tasks(refs, cfg)
+    return narrow_ref, piece_refs, n_sigs
 
 
 def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig, bank=None):
@@ -257,33 +302,28 @@ def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig, bank=None):
 
     sig_narrow = signatures_ds.select_columns(
         ["doc_id", "minhash", "simhash", "content_sha256"])
-    n_sigs = bank[1] if bank is not None else signatures_ds.count()
+    n_sigs = bank[2] if bank is not None else signatures_ds.count()
 
     if n_sigs <= cfg.broadcast_max_rows:
         import ray
         import ray.data as rd
 
-        from fuzzy_dedupe_pipeline_ray.stages.lsh import _emit_task_count
-
         pairs_mat = pairs_ds.materialize()
         if pairs_mat.count() <= cfg.broadcast_max_rows:
             if bank is not None:
-                bank_ref = bank[0]
+                narrow_ref, piece_refs = bank[0], bank[1]
             else:
                 sig_refs = list(sig_narrow.materialize().to_arrow_refs())
-                bank_ref = ray.remote(_prep_sig_bank).remote(
-                    sig_refs, cfg.num_perms)
+                narrow_ref, piece_refs = _submit_bank_tasks(sig_refs, cfg)
             pair_refs = list(pairs_mat.to_arrow_refs())
             pidx_ref = ray.remote(_prep_pair_index).remote(
-                pair_refs, bank_ref)
-            n_tasks = max(1, min(cfg.num_perms, _emit_task_count(cfg)))
-            step = -(-cfg.num_perms // n_tasks)
+                pair_refs, narrow_ref)
             count_refs = [
                 ray.remote(_count_perm_slice).remote(
-                    bank_ref, pidx_ref, lo, min(lo + step, cfg.num_perms))
-                for lo in range(0, cfg.num_perms, step)]
+                    piece_refs, pidx_ref, lo, hi)
+                for lo, hi in _mat_slice_bounds(cfg)]
             edges_ref = ray.remote(_assemble_edges).remote(
-                bank_ref, pidx_ref, count_refs, cfg.to_json())
+                narrow_ref, pidx_ref, count_refs, cfg.to_json())
             return rd.from_arrow_refs([edges_ref])
         pairs_ds = pairs_mat
 

@@ -228,3 +228,22 @@ def test_cc_strategies_equivalent(ray_session, tmp_path):
     ufd = uf.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (lp["doc_id"].to_numpy() == ufd["doc_id"].to_numpy()).all()
     assert (lp["label"].to_numpy() == ufd["label"].to_numpy()).all()
+
+
+def test_minhash_modes_agree_on_planted_families(ray_session, tmp_path):
+    """The two MinHash schemes ('classic' P-permutation bank vs 'oph'
+    one-permutation + densification) are different estimators of the same
+    Jaccard, so on the fixture's clearly-separated families (near-dups
+    J >> 0.8, negatives J << 0.8) they must produce identical final
+    cluster assignments."""
+    d = corpus_dir("tiny", root=CORPUS_ROOT)
+    outs = []
+    for mode in ("classic", "oph"):
+        run_dir = str(tmp_path / f"run_{mode}")
+        cfg = PipelineConfig(minhash_mode=mode)
+        p = DedupePipeline(f"{d}/files.parquet", run_dir, cfg)
+        paths = p.run()
+        outs.append(_load(paths, "assignments")
+                    .select(["doc_id", "cluster_id", "duplicate_count",
+                             "is_representative"]).sort_by("doc_id"))
+    assert outs[0].equals(outs[1])
