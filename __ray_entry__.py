@@ -183,7 +183,9 @@ def oracle_sql() -> "dict[str, str]":
     # here guarantees the file exists whichever of (query, oracle) the
     # driver runs first (both generators are deterministic + cached)
     media_path = multimodal.media_fixture_path()
-    small_files = f"{corpus_dir('small')}/files.parquet"
+    # files.parquet is a part DIRECTORY (fixtures.CORPUS_PARTS); DuckDB
+    # needs the glob form, Ray's read_parquet takes the directory itself
+    small_files = f"{corpus_dir('small')}/files.parquet/*.parquet"
 
     return {
         "addr_extract": addresses.addr_extract_oracle_sql(),

@@ -89,9 +89,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # ---- headline: flagship dedupe, best-of-N calm-gated attempts -------
     d = corpus_dir("bench")
     cfg = _bench_cfg(num_cpus)
-    import pyarrow.parquet as pq
+    from fuzzy_dedupe_pipeline_ray.fixtures import corpus_num_rows
 
-    n_files = pq.read_metadata(f"{d}/files.parquet").num_rows
+    n_files = corpus_num_rows(d)
     max_attempts = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "3"))
     attempts: list[dict] = []
     headline = None
@@ -194,12 +194,12 @@ def main() -> None:
 
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         _init_ray(num_cpus)
-        from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
-        import pyarrow.parquet as pq
+        from fuzzy_dedupe_pipeline_ray.fixtures import (corpus_dir,
+                                                        corpus_num_rows)
 
         corpus = os.environ.get("GRAFT_BENCH_CORPUS", "bench")
         d = corpus_dir(corpus)
-        n_files = pq.read_metadata(f"{d}/files.parquet").num_rows
+        n_files = corpus_num_rows(d)
         dt, rec = _timed_flagship(
             d, f"/tmp/fdpr_runs/bench_{corpus}_{num_cpus}",
             _bench_cfg(num_cpus))

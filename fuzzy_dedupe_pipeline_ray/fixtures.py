@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str
 
-FIXTURE_VERSION = "v2"
+FIXTURE_VERSION = "v3"  # v3: files.parquet became a part directory
 
 _LANGS = ["py", "js", "go", "java", "c", "md"]
 
@@ -249,22 +249,42 @@ def generate_corpus(size: str = "tiny", seed: int = 42) -> "tuple[pa.Table, pa.T
     return files, truth_t
 
 
+#: part files per fixture corpus. Ray's parquet datasource parallelizes
+#: reads at FILE granularity (a single file reads as ONE task no matter
+#: the row-group count — measured as an 11 s serial term at the head of
+#: EVERY stage that scans the corpus), so the corpus is written as a
+#: directory of parts: the shape any at-scale input actually has.
+CORPUS_PARTS = 32
+
+
+def corpus_num_rows(d: str) -> int:
+    """Total rows of a corpus's ``files.parquet`` part directory."""
+    parts = sorted(os.listdir(os.path.join(d, "files.parquet")))
+    return sum(pq.read_metadata(os.path.join(d, "files.parquet", p)).num_rows
+               for p in parts)
+
+
 def corpus_dir(size: str = "tiny", seed: int = 42,
                root: str = "/tmp/fdpr_fixtures") -> str:
     """Generate-and-cache the corpus as Parquet; returns the directory.
 
-    Layout: ``{root}/{version}_{size}_{seed}/files.parquet`` +
-    ``truth_clusters.parquet``. Multi-fragment files.parquet (row groups)
-    so read_parquet parallelizes.
+    Layout: ``{root}/{version}_{size}_{seed}/files.parquet/part-*.parquet``
+    (a DIRECTORY of ``CORPUS_PARTS`` files so every corpus scan reads
+    task-parallel) + ``truth_clusters.parquet``.
     """
     d = os.path.join(root, f"{FIXTURE_VERSION}_{size}_{seed}")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
     files, truth = generate_corpus(size, seed)
-    os.makedirs(d, exist_ok=True)
-    pq.write_table(files, os.path.join(d, "files.parquet"),
-                   row_group_size=max(1024, files.num_rows // 32))
+    fdir = os.path.join(d, "files.parquet")
+    os.makedirs(fdir, exist_ok=True)
+    n = files.num_rows
+    n_parts = min(CORPUS_PARTS, max(1, n // 64))
+    step = -(-n // n_parts)
+    for i in range(n_parts):
+        pq.write_table(files.slice(i * step, step),
+                       os.path.join(fdir, f"part-{i:04d}.parquet"))
     pq.write_table(truth, os.path.join(d, "truth_clusters.parquet"))
     with open(done, "w") as f:
         f.write(FIXTURE_VERSION)

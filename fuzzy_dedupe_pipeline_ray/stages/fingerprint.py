@@ -3,10 +3,10 @@
 The direct analog of the reference's embedding stage
 (``dedupe_logic/processor.py:29-45,88-108``): the SentenceTransformer
 weights loaded once per process become a MinHash permutation bank built
-once per **actor** (``__init__``), and the per-record encode becomes a
-vectorized per-batch signature computation. Run as an actor-pool
-``map_batches(FingerprintActor, concurrency=N, batch_format="pyarrow",
-zero_copy_batch=True)``.
+once per **worker** (task pool with per-worker cached state by default;
+the actor-pool form is kept behind ``cfg.extra['fingerprint_actor_pool']``
+— see :func:`fingerprint` for the measured trade), and the per-record
+encode becomes a vectorized per-batch signature computation.
 
 Batch-local exact dedup: within a batch, identical ``content_sha256``
 values are fingerprinted ONCE and only one signature row (the batch-local
@@ -128,16 +128,46 @@ class FingerprintActor:
 
 def fingerprint(files_ds, cfg: PipelineConfig, remap=None):
     """files Dataset → signatures Dataset (one row per batch-local distinct
-    content). Actor pool sized by ``cfg.fingerprint_concurrency``."""
+    content).
+
+    Default execution is a TASK pool with once-per-worker cached state:
+    the per-batch closure lazily builds one :class:`FingerprintActor` in
+    each worker process and reuses it for every batch that worker runs —
+    the same "build the bank once" economics as the actor pool, WITHOUT
+    the pool's per-execution spawn ramp. (Measured on the 490k-file scale
+    corpus at 32 CPUs: actor pool 32.4 s at ~36% utilization — a fresh
+    30-process pool spawns and re-imports on every execution — vs task
+    pool 11.3 s, ~ideal; identical output rows.) Fingerprint state here
+    is cheap to build (OPH seeds + config), so worker-local rebuild costs
+    ~ms; a stage whose state is genuinely expensive (a model, a large
+    index) should still use the actor form — set
+    ``cfg.extra['fingerprint_actor_pool']`` to force it (kept for
+    reference-shape parity, SURVEY.md §2.3 ST1)."""
+    if (cfg.extra or {}).get("fingerprint_actor_pool"):
+        return files_ds.map_batches(
+            FingerprintActor,
+            fn_constructor_args=(cfg.to_json(), remap),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.fingerprint_batch_size,
+            # autoscaling (1, N) pool: a fixed pool of N×1 CPU can reserve
+            # the whole allotment and starve the upstream read task
+            # (observed deadlock at num_cpus=4); min=1 keeps draining.
+            concurrency=(1, cfg.fingerprint_concurrency),
+            num_cpus=1,
+        )
+
+    cfg_json = cfg.to_json()
+    holder: list = []  # one FingerprintActor per worker per execution
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if not holder:
+            holder.append(FingerprintActor(cfg_json, remap))
+        return holder[0](batch)
+
     return files_ds.map_batches(
-        FingerprintActor,
-        fn_constructor_args=(cfg.to_json(), remap),
+        fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.fingerprint_batch_size,
-        # autoscaling (1, N) pool: a fixed pool of N×1 CPU can reserve the
-        # whole allotment and starve the upstream read task (observed
-        # deadlock at num_cpus=4); min=1 keeps the pipeline draining.
-        concurrency=(1, cfg.fingerprint_concurrency),
-        num_cpus=1,
     )
