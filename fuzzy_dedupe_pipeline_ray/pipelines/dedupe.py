@@ -88,10 +88,6 @@ class DedupePipeline:
         # guards manifest/runlog mutation when independent stage chains
         # run on parallel driver threads (see run())
         self._meta_lock = threading.Lock()
-        # async checkpoint commits: stage name → writer thread (run()
-        # joins them all before returning; see _stage)
-        self._commits: "dict[str, threading.Thread]" = {}
-        self._commit_errors: "list[BaseException]" = []
 
     # -- helpers ----------------------------------------------------------
 
@@ -135,20 +131,11 @@ class DedupePipeline:
         return remap_arrays(tbl)
 
     def _stage(self, name: str, build, commit=None):
-        """Build-or-resume one checkpointed stage; returns the MATERIALIZED
-        Dataset (downstream stages consume it from the object store and
-        never recompute). The Parquet checkpoint is committed by a
-        BACKGROUND driver thread — the atomic tmp-rename semantics are
-        unchanged, but the (measured, seconds-per-stage) write no longer
-        sits on the critical path between stages; ``run()`` joins every
-        writer before returning, so a returned run is always fully
-        checkpointed and a crash mid-run merely loses resumability for
-        stages whose commit hadn't finished. Stage ``duration_ms`` covers
-        the build; the commit thread logs its own failure.
-
+        """Build-or-resume one checkpointed stage; returns a Dataset that
+        reads from the checkpoint (so downstream stages never recompute).
         ``commit``: optional ``(ckpt_dir) -> lineage`` override for stages
         whose checkpoint is assembled without a full dataset write (the
-        hard-linked edges union) — runs synchronously."""
+        hard-linked edges union)."""
         t0 = time.time()
         ckpt = self.manifest.stage_dir(name)
         if self.resume and self.manifest.is_complete(name):
@@ -160,16 +147,17 @@ class DedupePipeline:
         try:
             if commit is not None:
                 lineage = commit(ckpt)
-                rows = sum(p["rows"] for p in lineage)
-                with self._meta_lock:
-                    self.manifest.mark_complete(
-                        name, rows=rows,
-                        duration_ms=int((time.time() - t0) * 1000),
-                        partitions=lineage)
-                    self.runlog.log_stage(name, "success", t0, time.time(),
-                                          rows, partitions=lineage)
-                return ray.data.read_parquet(ckpt)
-            mat = build().materialize()
+            else:
+                lineage = checkpoint_write(build(), ckpt)
+            rows = sum(p["rows"] for p in lineage)
+            with self._meta_lock:
+                self.manifest.mark_complete(
+                    name, rows=rows,
+                    duration_ms=int((time.time() - t0) * 1000),
+                    partitions=lineage)
+                self.runlog.log_stage(name, "success", t0, time.time(), rows,
+                                      partitions=lineage)
+            return ray.data.read_parquet(ckpt)
         except Exception as e:  # noqa: BLE001 — recorded, then re-raised
             with self._meta_lock:
                 self.manifest.mark_failed(name, repr(e))
@@ -178,40 +166,6 @@ class DedupePipeline:
                 self.runlog.write(
                     os.path.join(self.run_dir, "dedupe_log.parquet"))
             raise
-        built_at = time.time()
-
-        def _commit() -> None:
-            try:
-                lineage = checkpoint_write(mat, ckpt)
-                rows = sum(p["rows"] for p in lineage)
-                with self._meta_lock:
-                    self.manifest.mark_complete(
-                        name, rows=rows,
-                        duration_ms=int((built_at - t0) * 1000),
-                        partitions=lineage)
-                    self.runlog.log_stage(name, "success", t0, built_at,
-                                          rows, partitions=lineage)
-            except BaseException as e:  # noqa: BLE001 — surfaced by run()
-                with self._meta_lock:
-                    self.manifest.mark_failed(name, repr(e))
-                    self.runlog.log_stage(name, "failed", t0, time.time(), 0,
-                                          error=repr(e))
-                self._commit_errors.append(e)
-
-        th = threading.Thread(target=_commit, name=f"commit-{name}")
-        th.start()
-        self._commits[name] = th
-        return mat
-
-    def _join_commit(self, *names: str) -> None:
-        """Block until the named stages' checkpoint files are on disk
-        (needed by consumers of the FILES, e.g. the hard-link union)."""
-        for n in names:
-            th = self._commits.get(n)
-            if th is not None:
-                th.join()
-        if self._commit_errors:
-            raise self._commit_errors[0]
 
     # -- run --------------------------------------------------------------
 
@@ -278,19 +232,14 @@ class DedupePipeline:
         # edge row is re-copied (checkpoint_link_union).
         edge_srcs = [self.manifest.stage_dir("edges_exact"),
                      self.manifest.stage_dir("edges_fuzzy")]
-
-        def _link_union(ckpt):
-            # the union hard-links the exact/fuzzy checkpoint FILES — wait
-            # for their (async) commits to land on disk first
-            self._join_commit("edges_exact", "edges_fuzzy")
-            return checkpoint_link_union(edge_srcs, ckpt, sub_extra)
-
-        edges = self._stage("edges", None, commit=_link_union)
+        edges = self._stage(
+            "edges", None,
+            commit=lambda ckpt: checkpoint_link_union(
+                edge_srcs, ckpt, sub_extra))
         labels = self._stage("labels", lambda: connected_components(edges, cfg))
         assignments = self._stage(
             "assignments", lambda: finalize(docs, labels, edges, cfg))
 
-        self._join_commit(*list(self._commits))
         self.runlog.write(os.path.join(self.run_dir, "dedupe_log.parquet"))
         return {name: self.manifest.stage_dir(name)
                 for name in ("docs", "signatures", "edges", "labels",
