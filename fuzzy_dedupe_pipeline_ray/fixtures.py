@@ -264,6 +264,26 @@ def corpus_num_rows(d: str) -> int:
                for p in parts)
 
 
+def _write_corpus_half(size: str, seed: int, fdir: str, half: int,
+                       tmp_truth: str) -> None:
+    """Child-process body for ``scale2x``: generate one deterministic half
+    and write its file parts + truth table (cluster ids offset per half so
+    the union's labels stay disjoint)."""
+    files, truth = generate_corpus(size, seed)
+    n = files.num_rows
+    n_parts = min(CORPUS_PARTS // 2, max(1, n // 64))
+    step = -(-n // n_parts)
+    for i in range(n_parts):
+        pq.write_table(files.slice(i * step, step),
+                       os.path.join(fdir, f"part-h{half}-{i:04d}.parquet"))
+    import pyarrow.compute as pc
+
+    truth = truth.set_column(
+        truth.schema.get_field_index("truth_cluster_id"), "truth_cluster_id",
+        pc.add(truth.column("truth_cluster_id"), half * 100_000_000))
+    pq.write_table(truth, tmp_truth)
+
+
 def corpus_dir(size: str = "tiny", seed: int = 42,
                root: str = "/tmp/fdpr_fixtures") -> str:
     """Generate-and-cache the corpus as Parquet; returns the directory.
@@ -271,21 +291,43 @@ def corpus_dir(size: str = "tiny", seed: int = 42,
     Layout: ``{root}/{version}_{size}_{seed}/files.parquet/part-*.parquet``
     (a DIRECTORY of ``CORPUS_PARTS`` files so every corpus scan reads
     task-parallel) + ``truth_clusters.parquet``.
+
+    ``size="scale2x"`` is the union of two deterministic ``scale``
+    generations (seeds ``seed`` and ``seed+1000``, generated in parallel
+    processes — generation is pure per (size, seed), so the union is as
+    reproducible as any single corpus): ~980k files, used to evidence how
+    scaling efficiency trends with input size (BASELINE.md).
     """
     d = os.path.join(root, f"{FIXTURE_VERSION}_{size}_{seed}")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
-    files, truth = generate_corpus(size, seed)
     fdir = os.path.join(d, "files.parquet")
     os.makedirs(fdir, exist_ok=True)
-    n = files.num_rows
-    n_parts = min(CORPUS_PARTS, max(1, n // 64))
-    step = -(-n // n_parts)
-    for i in range(n_parts):
-        pq.write_table(files.slice(i * step, step),
-                       os.path.join(fdir, f"part-{i:04d}.parquet"))
-    pq.write_table(truth, os.path.join(d, "truth_clusters.parquet"))
+    if size == "scale2x":
+        import multiprocessing as mp
+
+        truth_tmp = [os.path.join(d, f"_truth_h{h}.parquet") for h in (0, 1)]
+        procs = [mp.Process(target=_write_corpus_half,
+                            args=("scale", seed + 1000 * h, fdir, h,
+                                  truth_tmp[h]))
+                 for h in (0, 1)]
+        [p.start() for p in procs]
+        [p.join() for p in procs]
+        if any(p.exitcode != 0 for p in procs):
+            raise RuntimeError("scale2x generation failed")
+        truth = pa.concat_tables([pq.read_table(t) for t in truth_tmp])
+        pq.write_table(truth, os.path.join(d, "truth_clusters.parquet"))
+        [os.remove(t) for t in truth_tmp]
+    else:
+        files, truth = generate_corpus(size, seed)
+        n = files.num_rows
+        n_parts = min(CORPUS_PARTS, max(1, n // 64))
+        step = -(-n // n_parts)
+        for i in range(n_parts):
+            pq.write_table(files.slice(i * step, step),
+                           os.path.join(fdir, f"part-{i:04d}.parquet"))
+        pq.write_table(truth, os.path.join(d, "truth_clusters.parquet"))
     with open(done, "w") as f:
         f.write(FIXTURE_VERSION)
     return d
