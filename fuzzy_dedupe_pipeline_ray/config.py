@@ -86,17 +86,28 @@ class PipelineConfig:
     # that dwarfs the work when the lookup side is small. Above the
     # threshold the distributed hash join is used (the 100 TB path).
     broadcast_max_rows: int = 16_000_000
+    # Separate, larger gate for NARROW keyed tables (16 B/row: band_key /
+    # anchor + doc_id) feeding the sliced pair-emission tiers. Plasma
+    # blocks are shared mmaps, so the working set is one table copy in the
+    # object store plus ~table/n_tasks of kept rows per task — 64M rows ≈
+    # 1 GB shared + ~32 MB/task at 32 tasks. Above it the exploded
+    # groupby-shuffle path runs (the 100 TB shape, equivalence-tested).
+    keyed_broadcast_max_rows: int = 64_000_000
     # candidate_pairs tiering: band-matrix rows (n_docs × num_bands) at or
     # below this run the per-band emission as ONE driver pass; between
     # this and broadcast_max_rows the bands fan out as parallel Ray tasks
     # (scales with CPUs); above broadcast_max_rows the exploded
     # distributed shuffle path runs (the 100 TB shape).
     band_driver_max_rows: int = 1_000_000
-    # Separate, much smaller gate for broadcasting WIDE rows (rows that
-    # carry content strings — KBs each, vs the 8-byte keys the row gate
-    # above was sized for): 250k × ~2 KB ≈ 500 MB worst-case residency.
-    # Above it, wide tables move through the distributed hash join only.
+    # Gates for broadcasting WIDE rows (rows that carry content strings —
+    # KBs each, vs the 8-byte keys the row gate above was sized for).
+    # The BYTE gate is authoritative when the table's size is known (the
+    # plasma broadcast is ONE shared mmap copy; per-batch lookups gather
+    # only their own rows, so bytes — not rows — bound the residency);
+    # the row gate is the fallback proxy when size_bytes is unavailable.
+    # Above either, wide tables move through the distributed hash join.
     wide_broadcast_max_rows: int = 250_000
+    wide_broadcast_max_bytes: int = 2 << 30
     # Document-identity width. 64 (default): doc_id = first 8 sha bytes,
     # enough below ~10^10 rows and cheapest. 128: the scale path
     # (``stages/identity.py``) — ids are derived from 126 bits and a

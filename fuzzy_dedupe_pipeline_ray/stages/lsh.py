@@ -122,7 +122,7 @@ def grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str = "band_key"):
     # a tiny threshold).
     keyed_mat = keyed_ds.materialize()
     n_rows = keyed_mat.count()
-    if n_rows <= cfg.broadcast_max_rows:
+    if n_rows <= cfg.keyed_broadcast_max_rows:
         import ray
         import ray.data as rd
 
@@ -541,7 +541,7 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig):
     signatures_ds = signatures_ds.materialize()
     n_docs = signatures_ds.count()
     n_keyed = n_docs * cfg.num_bands
-    if n_keyed <= cfg.broadcast_max_rows:
+    if n_keyed <= cfg.keyed_broadcast_max_rows:
         import ray
         import ray.data as rd
 

@@ -409,18 +409,29 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     contents = _candidate_contents(files_ds, pairs, cfg,
                                    remap=remap).materialize()
     n_contents = contents.count()
+    # contents are WIDE rows: gate the broadcast fast path on BYTES (the
+    # materialized size is known here) — the plasma broadcast is one
+    # SHARED mmap copy and per-batch lookups gather only their own rows,
+    # so bytes bound the residency, not rows. (The row-proxy gate tripped
+    # at ~281k candidate docs on the 2× scale corpus and pushed both wide
+    # joins onto distributed hash joins: substring stage 27 → 151 s.)
+    try:
+        c_bytes = contents.size_bytes()
+    except Exception:  # noqa: BLE001 — fall back to the row proxy
+        c_bytes = None
+    if c_bytes is not None:
+        gate = (n_contents if c_bytes <= cfg.wide_broadcast_max_bytes
+                else 0)
+    else:
+        gate = cfg.wide_broadcast_max_rows
     ca = contents.rename_columns({"doc_id": "id_a",
                                   "norm_content": "content_a"})
     cb = contents.rename_columns({"doc_id": "id_b",
                                   "norm_content": "content_b"})
-    # contents are WIDE rows: the broadcast fast path is gated on the
-    # dedicated wide-row budget; above it both joins run distributed
     with_content = lookup_join(pairs, ca, on="id_a", cfg=cfg,
-                               right_count=n_contents,
-                               gate_rows=cfg.wide_broadcast_max_rows)
+                               right_count=n_contents, gate_rows=gate)
     with_content = lookup_join(with_content, cb, on="id_b", cfg=cfg,
-                               right_count=n_contents,
-                               gate_rows=cfg.wide_broadcast_max_rows)
+                               right_count=n_contents, gate_rows=gate)
 
     # Stateless task pool, not actors: per-pair span verification is
     # sub-millisecond (rolling-hash LCS), so elastic tasks over small

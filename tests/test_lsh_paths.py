@@ -51,7 +51,8 @@ def test_local_vs_distributed_paths(ray_session, cap):
         "doc_id": pa.array(docs, pa.int64())}))
 
     local_cfg = PipelineConfig(band_group_pair_cap=cap)
-    dist_cfg = PipelineConfig(band_group_pair_cap=cap, broadcast_max_rows=0)
+    dist_cfg = PipelineConfig(band_group_pair_cap=cap, broadcast_max_rows=0,
+                              keyed_broadcast_max_rows=0)
 
     def collect(out_ds):
         df = out_ds.to_pandas()
@@ -129,7 +130,7 @@ def test_candidate_pairs_band_matrix_path_matches_exploded(ray_session):
 
     fast = collect(candidate_pairs(ds, cfg))
     dist = collect(candidate_pairs(
-        ds, PipelineConfig(broadcast_max_rows=0)))
+        ds, PipelineConfig(broadcast_max_rows=0, keyed_broadcast_max_rows=0)))
     assert fast == dist
     assert len(fast) > 0
 
