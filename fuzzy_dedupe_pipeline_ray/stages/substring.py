@@ -217,7 +217,24 @@ def _lcs_inner(a: str, b: str, min_len: int,
     if first is None:
         return 0, -1, -1
     best = (min_len, *first)
-    lo, hi = min_len + 1, len(a)
+    # exponential bracketing from the min window, then binary search
+    # inside the bracket: spans near min_len (the common case) resolve in
+    # ~2-4 probes instead of log2(len_a - min_len); containment-sized
+    # spans pay the same probe count as a plain binary search. Identical
+    # result (the search invariant — largest L with a common window — is
+    # unchanged; exactness is pinned by the brute-force property test).
+    hi = len(a)
+    L = min_len
+    while L < hi:
+        L2 = min(2 * L, hi)
+        hit = probe(L2)
+        if hit is not None:
+            best = (L2, *hit)
+            L = L2
+        else:
+            hi = L2 - 1
+            break
+    lo = best[0] + 1
     while lo <= hi:
         mid = (lo + hi) // 2
         hit = probe(mid)
