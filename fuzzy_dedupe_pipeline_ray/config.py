@@ -101,11 +101,15 @@ class PipelineConfig:
     band_driver_max_rows: int = 1_000_000
     # Gates for broadcasting WIDE rows (rows that carry content strings —
     # KBs each, vs the 8-byte keys the row gate above was sized for).
-    # The BYTE gate is authoritative when the table's size is known (the
-    # plasma broadcast is ONE shared mmap copy; per-batch lookups gather
-    # only their own rows, so bytes — not rows — bound the residency);
-    # the row gate is the fallback proxy when size_bytes is unavailable.
-    # Above either, wide tables move through the distributed hash join.
+    # The BYTE gate is authoritative when the table's size is known; the
+    # row gate is the fallback proxy when size_bytes is unavailable.
+    # Residency model at the gate: the substring content join probes BOTH
+    # pair endpoints against ONE shared plasma mmap copy
+    # (``substring._broadcast_pair_contents``), so steady-state residency
+    # is ~1× the gated bytes plus a transient driver-heap staging copy
+    # while ``ray.put`` serializes (peak ~2× briefly). Hosts whose object
+    # store is smaller than 2× this gate should lower it. Above either
+    # gate, wide tables move through the distributed hash join.
     wide_broadcast_max_rows: int = 250_000
     wide_broadcast_max_bytes: int = 2 << 30
     # Document-identity width. 64 (default): doc_id = first 8 sha bytes,

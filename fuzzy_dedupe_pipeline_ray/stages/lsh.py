@@ -208,12 +208,15 @@ def _shard_pair_partial(a: np.ndarray, b: np.ndarray, n_shards: int):
     """Split one (a, b) pair partial into ``n_shards`` disjoint
     ``(a_s, b_s)`` tuples by a hash of the PAIR (both endpoints), so
     identical pairs emitted by different tasks always land in the same
-    shard (flat list for Ray ``num_returns``)."""
+    shard (flat list for Ray ``num_returns``). With ``n_shards == 1`` the
+    caller uses ``num_returns=1``, so the single ref must resolve to the
+    bare ``(a, b)`` tuple — a one-element list would make the merge task
+    see ``[(a, b)]`` and fail indexing ``p[1]``."""
     e = np.empty(0, dtype=np.int64)
+    if n_shards == 1:
+        return (a, b)
     if len(a) == 0:
         return [(e, e)] * n_shards
-    if n_shards == 1:
-        return [(a, b)]
     with np.errstate(over="ignore"):
         mix = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                ^ b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))

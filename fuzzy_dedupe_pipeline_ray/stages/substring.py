@@ -395,6 +395,45 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
         batch_format="pyarrow")
 
 
+def _broadcast_pair_contents(pairs_ds, contents_ds):
+    """Attach ``content_a``/``content_b`` to the pair table via ONE shared
+    plasma copy of the candidate-contents table probed for BOTH endpoints
+    (inner-join semantics on each). Two renamed ``lookup_join`` calls
+    would ``ray.put`` two full copies of the wide contents table — peak
+    residency near the byte gate was ~3× the gated bytes once the
+    per-join driver-heap staging copies were counted."""
+    import pyarrow.compute as pc
+    import ray
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import (_prepared_lookup,
+                                                      to_local_table)
+
+    tbl = to_local_table(contents_ds)
+    if tbl is None or tbl.num_rows == 0:
+        return pairs_ds.limit(0)
+    ref = ray.put((tbl, "doc_id"))
+
+    def merge(b: pa.Table) -> pa.Table:
+        rkeys, rtbl = _prepared_lookup(ref)
+        pos_a = pc.index_in(b.column("id_a"), value_set=rkeys)
+        pos_b = pc.index_in(b.column("id_b"), value_set=rkeys)
+        if isinstance(pos_a, pa.ChunkedArray):
+            pos_a = pos_a.combine_chunks()
+        if isinstance(pos_b, pa.ChunkedArray):
+            pos_b = pos_b.combine_chunks()
+        keep = pc.and_(pc.is_valid(pos_a), pc.is_valid(pos_b))
+        out = b.filter(keep)
+        content = rtbl.column("norm_content")
+        out = out.append_column("content_a",
+                                content.take(pos_a.filter(keep)))
+        out = out.append_column("content_b",
+                                content.take(pos_b.filter(keep)))
+        return out
+
+    return pairs_ds.map_batches(merge, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
                     exclude_pairs=None, remap=None):
     """files + signatures → substring-duplicate edge Dataset (SUB_EDGE_SCHEMA).
@@ -437,18 +476,22 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     except Exception:  # noqa: BLE001 — fall back to the row proxy
         c_bytes = None
     if c_bytes is not None:
-        gate = (n_contents if c_bytes <= cfg.wide_broadcast_max_bytes
-                else 0)
+        broadcast_ok = c_bytes <= cfg.wide_broadcast_max_bytes
     else:
-        gate = cfg.wide_broadcast_max_rows
-    ca = contents.rename_columns({"doc_id": "id_a",
-                                  "norm_content": "content_a"})
-    cb = contents.rename_columns({"doc_id": "id_b",
-                                  "norm_content": "content_b"})
-    with_content = lookup_join(pairs, ca, on="id_a", cfg=cfg,
-                               right_count=n_contents, gate_rows=gate)
-    with_content = lookup_join(with_content, cb, on="id_b", cfg=cfg,
-                               right_count=n_contents, gate_rows=gate)
+        broadcast_ok = n_contents <= cfg.wide_broadcast_max_rows
+    if broadcast_ok:
+        # one shared plasma copy probed for BOTH endpoints (see
+        # _broadcast_pair_contents for the residency math)
+        with_content = _broadcast_pair_contents(pairs, contents)
+    else:
+        ca = contents.rename_columns({"doc_id": "id_a",
+                                      "norm_content": "content_a"})
+        cb = contents.rename_columns({"doc_id": "id_b",
+                                      "norm_content": "content_b"})
+        with_content = lookup_join(pairs, ca, on="id_a", cfg=cfg,
+                                   right_count=n_contents, gate_rows=0)
+        with_content = lookup_join(with_content, cb, on="id_b", cfg=cfg,
+                                   right_count=n_contents, gate_rows=0)
 
     # Stateless task pool, not actors: per-pair span verification is
     # sub-millisecond (rolling-hash LCS), so elastic tasks over small

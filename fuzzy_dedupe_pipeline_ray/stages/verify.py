@@ -177,15 +177,17 @@ def _count_perm_slice(piece_refs, pidx, lo: int, hi: int):
     if not pieces:
         return out
     CH = 1 << 20
-    for s in range(0, n, CH):
-        t = min(s + CH, n)
-        sa, sb = ja[s:t], jb[s:t]
-        c = np.zeros(t - s, dtype=np.uint8)
-        for p in range(lo, hi):
-            col = (pieces[0][p] if len(pieces) == 1 else
-                   np.concatenate([pc_[p] for pc_ in pieces]))
-            c += col[sa] == col[sb]
-        out[s:t] = c
+    # perms OUTER, chunks inner: each perm's row is concatenated across
+    # the pieces exactly ONCE (the chunks-inner shape re-concatenated it
+    # per 1M-pair chunk — chunks-fold copy amplification of precisely the
+    # fresh-page mass this DAG exists to avoid); chunking still bounds the
+    # gather temporaries to cache/heap-resident sizes.
+    for p in range(lo, hi):
+        col = (pieces[0][p] if len(pieces) == 1 else
+               np.concatenate([pc_[p] for pc_ in pieces]))
+        for s in range(0, n, CH):
+            t = min(s + CH, n)
+            out[s:t] += col[ja[s:t]] == col[jb[s:t]]
     return out
 
 
@@ -252,8 +254,10 @@ def _submit_bank_tasks(sig_refs, cfg: PipelineConfig):
     from fuzzy_dedupe_pipeline_ray.stages.lsh import _emit_task_count
 
     narrow_ref = ray.remote(_prep_bank_narrow).remote(sig_refs)
+    if not sig_refs:  # empty signature table: narrow task handles [],
+        return narrow_ref, []  # and zero pieces means zero agreement counts
     n_groups = max(1, min(len(sig_refs), _emit_task_count(cfg)))
-    step = -(-len(sig_refs) // n_groups)
+    step = max(1, -(-len(sig_refs) // n_groups))
     tr = ray.remote(_transpose_block_group)
     piece_refs = [tr.remote(sig_refs[i:i + step], cfg.num_perms)
                   for i in range(0, len(sig_refs), step)]

@@ -245,3 +245,75 @@ def test_grouped_pairs_key_slice_tier_matches(ray_session, cap):
         band_group_pair_cap=cap, band_driver_max_rows=0)))
     assert driver == sliced
     assert len(driver) > 0
+
+
+def test_shard_pair_partial_single_shard_is_bare_tuple():
+    """n_shards==1 callers use num_returns=1, so the single ref must
+    resolve to the bare (a, b) tuple — the one-element-list shape made
+    _merge_pair_shard index p[1] off the end (ADVICE r3 regression)."""
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import _shard_pair_partial
+
+    a = np.array([1, 2, 3], dtype=np.int64)
+    b = np.array([4, 5, 6], dtype=np.int64)
+    out = _shard_pair_partial(a, b, 1)
+    assert isinstance(out, tuple) and len(out) == 2
+    np.testing.assert_array_equal(out[0], a)
+    np.testing.assert_array_equal(out[1], b)
+    empty = _shard_pair_partial(np.empty(0, np.int64),
+                                np.empty(0, np.int64), 1)
+    assert isinstance(empty, tuple) and len(empty[0]) == 0
+
+
+def test_candidate_pairs_num_bands_one_parallel_tier(ray_session):
+    """num_bands=1 collapses the mid-tier emit fan-out to ONE group
+    (n_shards=1); it must run (ADVICE r3 IndexError) and match the
+    driver-pass tier exactly."""
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        MinHasher,
+        pack_signatures,
+    )
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
+
+    def cfg1(**kw):
+        return PipelineConfig(num_perms=16, num_bands=1, rows_per_band=16,
+                              **kw)
+
+    rng = np.random.RandomState(17)
+    mh = MinHasher(16, PipelineConfig().minhash_seed)
+    sigs, ids = [], []
+    doc = 0
+    for _ in range(20):  # families of 3 EXACT copies → full-band collisions
+        s = np.unique(rng.randint(0, 1 << 60, 60).astype(np.uint64))
+        sig = mh.signature(s)
+        for _ in range(3):
+            sigs.append(sig)
+            ids.append(doc)
+            doc += 1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "minhash": pack_signatures(np.vstack(sigs)),
+    }))
+
+    def collect(out_ds):
+        df = out_ds.to_pandas()
+        return set(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+    driver = collect(candidate_pairs(ds, cfg1()))
+    par = collect(candidate_pairs(ds, cfg1(band_driver_max_rows=0)))
+    assert driver == par
+    assert len(driver) >= 20 * 3
+
+
+def test_submit_bank_tasks_empty_refs(ray_session):
+    """An empty signature-block list must yield an empty (non-crashing)
+    bank — ADVICE r3: step=0 made range() raise ValueError."""
+    import ray
+
+    from fuzzy_dedupe_pipeline_ray.stages.verify import _submit_bank_tasks
+
+    narrow_ref, piece_refs = _submit_bank_tasks([], PipelineConfig())
+    ids_sorted, order, simhash, sha = ray.get(narrow_ref)
+    assert len(ids_sorted) == 0
+    assert piece_refs == []
