@@ -42,6 +42,46 @@ def sha256_hex(values: "list[str] | np.ndarray") -> list[str]:
     return [hashlib.sha256(v.encode("utf-8", "surrogatepass")).hexdigest() for v in values]
 
 
+def _string_slices(arr):
+    """Arrow string/binary array → ``(memoryview, offsets_list)`` over the
+    value buffer, zero-copy. Offsets come back as Python ints (one C-level
+    ``tolist``) so the per-row slice loop pays no numpy scalar boxing."""
+    import pyarrow as pa
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if len(a) == 0:
+        return memoryview(b""), [0]
+    big = (pa.types.is_large_string(a.type) or pa.types.is_large_binary(a.type))
+    dt = np.int64 if big else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=dt, count=len(a) + 1,
+                         offset=a.offset * dt().itemsize)
+    return memoryview(a.buffers()[2]), offs.tolist()
+
+
+def sha256_hex_arrow(arr) -> list[str]:
+    """Hex sha256 per element of an Arrow string/binary array — hashes the
+    value-buffer slices directly (no Python-string materialization, no
+    re-encode; Arrow strings are valid UTF-8 so the buffer bytes equal
+    ``str.encode("utf-8")`` — identical digests to :func:`sha256_hex`)."""
+    mv, o = _string_slices(arr)
+    sha = hashlib.sha256
+    return [sha(mv[s:e]).hexdigest() for s, e in zip(o, o[1:])]
+
+
+def sha256_u64_arrow(arr, words: int = 1) -> np.ndarray:
+    """First ``words`` big-endian uint64 words of sha256 per element of an
+    Arrow string/binary array, as an ``(m, words)`` uint64 matrix — the
+    batched C path for id derivation (VERDICT r3 #4): digest prefixes are
+    joined into ONE buffer and decoded with a single ``frombuffer``
+    instead of a per-row ``int.from_bytes``. Column ``0`` masked by
+    ``mask_keys`` equals ``hash64_str`` of the same strings."""
+    mv, o = _string_slices(arr)
+    w = 8 * words
+    sha = hashlib.sha256
+    joined = b"".join([sha(mv[s:e]).digest()[:w] for s, e in zip(o, o[1:])])
+    return np.frombuffer(joined, dtype=">u8").astype(np.uint64).reshape(-1, words)
+
+
 #: Shuffle keys (doc_id, band_key, anchors, CC labels) are 63-bit NON-NEGATIVE
 #: int64: Ray Data's hash aggregates coerce key columns through int64, so a
 #: uint64 with the top bit set either overflows or degrades the block to a

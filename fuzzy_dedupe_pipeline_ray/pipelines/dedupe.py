@@ -108,19 +108,21 @@ class DedupePipeline:
             return None
         import pyarrow.parquet as pq
 
-        from fuzzy_dedupe_pipeline_ray.functions.hashing import hash128_str
+        from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+            mask_keys, sha256_u64_arrow)
         from fuzzy_dedupe_pipeline_ray.stages.identity import (
             build_id_remap, remap_arrays)
-        from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_keys
+        from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_key_array
 
         path = os.path.join(self.run_dir, "id_remap.parquet")
         if self.resume and os.path.exists(path):
             return remap_arrays(pq.read_table(path))
 
         def raw_ids(b: pa.Table) -> pa.Table:
-            lo, hi = hash128_str(_doc_keys(b))
-            return pa.table({"doc_id": pa.array(lo, pa.int64()),
-                             "doc_id_hi": pa.array(hi, pa.int64())})
+            d = sha256_u64_arrow(_doc_key_array(b), 2)
+            return pa.table({
+                "doc_id": pa.array(mask_keys(d[:, 0]), pa.int64()),
+                "doc_id_hi": pa.array(mask_keys(d[:, 1]), pa.int64())})
 
         tbl = build_id_remap(
             self.files().map_batches(raw_ids, batch_format="pyarrow",

@@ -26,6 +26,8 @@ from fuzzy_dedupe_pipeline_ray.functions.hashing import (
     mask_keys,
     rolling_fingerprint,
     sha256_hex,
+    sha256_hex_arrow,
+    sha256_u64_arrow,
 )
 from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
 from fuzzy_dedupe_pipeline_ray.stages.cc import connected_components
@@ -56,7 +58,7 @@ def doc_normalize(sf_dir: str):
         return pa.table({
             "doc_id": b.column("doc_id"),
             "norm_text": norm,
-            "text_sha256": pa.array(sha256_hex(b.column("text").to_pylist()),
+            "text_sha256": pa.array(sha256_hex_arrow(b.column("text")),
                                     pa.string()),
         })
 
@@ -132,7 +134,7 @@ def doc_exact_dedupe(sf_dir: str):
     def add_sha(b: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "text_sha256": pa.array(sha256_hex(b.column("text").to_pylist()),
+            "text_sha256": pa.array(sha256_hex_arrow(b.column("text")),
                                     pa.string()),
         })
 
@@ -455,15 +457,14 @@ def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema):
     """
     import pyarrow.compute as pcm
 
-    from fuzzy_dedupe_pipeline_ray.functions.hashing import hash64_str
     from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
     from fuzzy_dedupe_pipeline_ray.stages.lsh import distinct_pairs
 
     def to_hashed(b: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "sh": pa.array(hash64_str(
-                b.column("shingle").to_pylist()), pa.int64()),
+            "sh": pa.array(mask_keys(
+                sha256_u64_arrow(b.column("shingle"), 1)[:, 0]), pa.int64()),
         })
 
     hashed = ds.map_batches(to_hashed, batch_format="pyarrow").materialize()
@@ -563,7 +564,7 @@ def doc_minhash_lsh_dedupe(sf_dir: str, cfg: "PipelineConfig | None" = None):
         lambda b: pa.table({
             "doc_id": b.column("doc_id"),
             "content_sha256": pa.array(
-                sha256_hex(b.column("content").to_pylist()), pa.string()),
+                sha256_hex_arrow(b.column("content")), pa.string()),
             "n_chars": b.column("n_chars"),
         }), batch_format="pyarrow", zero_copy_batch=True).materialize()
     sigs = fingerprint(corpus, cfg).materialize()
@@ -597,7 +598,7 @@ def doc_dedupe_exact_family_check(sf_dir: str,
     def add_sha(b: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "text_sha256": pa.array(sha256_hex(b.column("text").to_pylist()),
+            "text_sha256": pa.array(sha256_hex_arrow(b.column("text")),
                                     pa.string()),
         })
 
@@ -640,7 +641,7 @@ def doc_simhash_exact_family_check(sf_dir: str,
     def add_sha(b: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "text_sha256": pa.array(sha256_hex(b.column("text").to_pylist()),
+            "text_sha256": pa.array(sha256_hex_arrow(b.column("text")),
                                     pa.string()),
         })
 

@@ -33,7 +33,7 @@ from fuzzy_dedupe_pipeline_ray.functions.hashing import (
     make_minhasher,
     mask_keys,
     pack_signatures,
-    sha256_hex,
+    sha256_hex_arrow,
     simhash64,
     token_shingle_hashes,
 )
@@ -82,7 +82,7 @@ class FingerprintActor:
             doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
         else:
             doc_ids, _ = batch_doc_ids(batch, cfg, self.remap)
-        shas = sha256_hex(content)
+        shas = sha256_hex_arrow(batch.column("content"))
 
         # batch-local exact dedup: fingerprint each distinct sha once,
         # emit the signature under the batch-local min doc_id (vectorized:

@@ -36,9 +36,8 @@ import pyarrow as pa
 
 from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
 from fuzzy_dedupe_pipeline_ray.functions.hashing import (
-    hash64_str,
-    hash128_str,
     mask_keys,
+    sha256_u64_arrow,
     splitmix64,
 )
 
@@ -101,12 +100,13 @@ def batch_doc_ids(batch: pa.Table, cfg: "PipelineConfig | None",
     under ``doc_id_bits=128`` (remap applied). ``doc_id_hi`` is None in
     64-bit mode; in 128-bit mode the ingest stage persists it in the docs
     table (and hence the final assignments) as the id's upper half."""
-    from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_keys
+    from fuzzy_dedupe_pipeline_ray.stages.ingest import _doc_key_array
 
-    keys = _doc_keys(batch)
+    keys = _doc_key_array(batch)
     if cfg is None or cfg.doc_id_bits == 64:
-        return hash64_str(keys), None
-    lo, hi = hash128_str(keys)
+        return mask_keys(sha256_u64_arrow(keys, 1)[:, 0]), None
+    d = sha256_u64_arrow(keys, 2)
+    lo, hi = mask_keys(d[:, 0]), mask_keys(d[:, 1])
     return apply_id_remap(lo, hi, remap), hi
 
 

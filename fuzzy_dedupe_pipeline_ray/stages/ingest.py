@@ -13,15 +13,24 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from fuzzy_dedupe_pipeline_ray.functions.hashing import sha256_hex
+from fuzzy_dedupe_pipeline_ray.functions.hashing import sha256_hex_arrow
 from fuzzy_dedupe_pipeline_ray.functions.textnorm import sentinels_to_null
 
 
+def _doc_key_array(batch: pa.Table):
+    """Arrow-native ``repo\\x00path\\x00commit`` identity key per row
+    (``binary_join_element_wise`` — one C kernel; byte-identical to the
+    former per-row f-string, so every derived doc_id is unchanged)."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        batch.column("repo"), batch.column("path"), batch.column("commit"),
+        "\x00")
+
+
 def _doc_keys(batch: pa.Table) -> "list[str]":
-    repo = batch.column("repo").to_pylist()
-    path = batch.column("path").to_pylist()
-    commit = batch.column("commit").to_pylist()
-    return [f"{r}\x00{p}\x00{c}" for r, p, c in zip(repo, path, commit)]
+    """Python-list form of :func:`_doc_key_array` (test/fixture surface)."""
+    return _doc_key_array(batch).to_pylist()
 
 
 def ingest_meta_batch(batch: pa.Table, cfg=None, remap=None) -> pa.Table:
@@ -53,8 +62,7 @@ def ingest_meta_batch(batch: pa.Table, cfg=None, remap=None) -> pa.Table:
         "path": batch.column("path"),
         "commit": batch.column("commit"),
         "lang": sentinels_to_null(batch.column("lang")),
-        "content_sha256": pa.array(sha256_hex(content.to_pylist()),
-                                   pa.string()),
+        "content_sha256": pa.array(sha256_hex_arrow(content), pa.string()),
         "n_chars": pc.cast(pc.utf8_length(content), pa.int64()),
     })
     return pa.table(cols)

@@ -197,3 +197,35 @@ def test_bottom_k_distinct_matches_bottom_k():
         h = rng.randint(0, hi, size=rng.randint(1, 5000)).astype(np.uint64)
         k = int(rng.choice([4, 8, 16]))
         assert np.array_equal(bottom_k(h, k), bottom_k_distinct(h, k))
+
+
+def test_arrow_sha_kernels_match_list_forms():
+    """sha256_hex_arrow / sha256_u64_arrow over an Arrow column must equal
+    the per-row list kernels (including sliced and chunked arrays) — the
+    ingest identity path depends on byte-identical digests."""
+    import pyarrow as pa
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        hash64_str,
+        hash128_str,
+        mask_keys,
+        sha256_hex,
+        sha256_hex_arrow,
+        sha256_u64_arrow,
+    )
+
+    vals = ["", "x", "hello world", "répo\x00päth\x00commit", "a" * 5000]
+    arr = pa.array(vals, pa.string())
+    assert sha256_hex_arrow(arr) == sha256_hex(vals)
+    d = sha256_u64_arrow(arr, 2)
+    np.testing.assert_array_equal(mask_keys(d[:, 0]), hash64_str(vals))
+    lo, hi = hash128_str(vals)
+    np.testing.assert_array_equal(mask_keys(d[:, 1]), hi)
+    # sliced + chunked views must respect offsets
+    sliced = arr.slice(1, 3)
+    assert sha256_hex_arrow(sliced) == sha256_hex(vals[1:4])
+    chunked = pa.chunked_array([arr.slice(0, 2), arr.slice(2)])
+    assert sha256_hex_arrow(chunked) == sha256_hex(vals)
+    empty = pa.array([], pa.string())
+    assert sha256_hex_arrow(empty) == []
+    assert sha256_u64_arrow(empty, 2).shape == (0, 2)
