@@ -24,7 +24,6 @@ from fuzzy_dedupe_pipeline_ray.functions import textnorm
 from fuzzy_dedupe_pipeline_ray.functions.hashing import (
     hamming64,
     mask_keys,
-    rolling_fingerprint,
     sha256_hex,
     sha256_hex_arrow,
     sha256_u64_arrow,
@@ -154,12 +153,18 @@ def doc_exact_dedupe(sf_dir: str):
 def doc_fingerprint(sf_dir: str, window: int = 32, keep: int = 8):
     """doc_id, fingerprint: bottom-k winnowing sketch of rolling
     window-gram hashes (list<int64>). Deterministic; not SQL-expressible."""
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        rolling_fingerprint_batch,
+    )
+
     def f(b: pa.Table) -> pa.Table:
-        fps = [mask_keys(rolling_fingerprint(t, window, keep)).tolist()
-               for t in b.column("text").to_pylist()]
+        vals, offs = rolling_fingerprint_batch(b.column("text"), window, keep)
+        fp = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)),
+            pa.array(mask_keys(vals), pa.int64()))
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "fingerprint": pa.array(fps, pa.list_(pa.int64())),
+            "fingerprint": fp,
         })
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -179,21 +184,29 @@ def doc_fingerprint_exact_family_check(sf_dir: str, window: int = 32,
     from fuzzy_dedupe_pipeline_ray.functions.hashing import splitmix64
     from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
 
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        rolling_fingerprint_batch,
+    )
+
     def add_cols(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
         # collapse each fingerprint (bottom-k uint64 list, canonical sorted
-        # order) to ONE comparable int64 via an order-sensitive fold
-        fp_hash = np.empty(len(texts), dtype=np.uint64)
+        # order) to ONE comparable int64 via an order-sensitive fold —
+        # vectorized by fold RANK (≤ keep rounds over aligned positions)
+        vals, offs = rolling_fingerprint_batch(b.column("text"), window,
+                                               keep)
+        m = b.num_rows
+        lens = np.diff(offs)
+        h = np.full(m, 0xCBF29CE484222325, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            for i, t in enumerate(texts):
-                fp = rolling_fingerprint(t, window, keep)
-                h = np.uint64(0xCBF29CE484222325)
-                for v in fp:
-                    h = (h ^ v) * np.uint64(1099511628211)
-                fp_hash[i] = splitmix64(h[None])[0]
+            for r in range(int(lens.max()) if m else 0):
+                sel = lens > r
+                h[sel] = ((h[sel] ^ vals[offs[:-1][sel] + r])
+                          * np.uint64(1099511628211))
+            fp_hash = splitmix64(h)
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "text_sha256": pa.array(sha256_hex(texts), pa.string()),
+            "text_sha256": pa.array(sha256_hex_arrow(b.column("text")),
+                                    pa.string()),
             "fp_hash": pa.array(mask_keys(fp_hash), pa.int64()),
         })
 

@@ -123,8 +123,8 @@ def anti_join_pairs(pairs_ds, exclude_ds, cfg: PipelineConfig):
         batch_format="pyarrow")
 
 
-_B = np.uint64(1099511628211)               # FNV prime, odd → invertible mod 2^64
-_BINV = np.uint64(pow(int(_B), -1, 1 << 64))
+#: rolling-hash base: hashing.py's FNV prime (odd → invertible mod 2^64);
+#: the power tables come from hashing.py's per-worker cache.
 
 
 class _RollState:
@@ -136,26 +136,24 @@ class _RollState:
     """
 
     def __init__(self, text: str):
+        from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+            inv_prime_powers,
+            prime_powers,
+        )
+
         b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
         self.text = text
         self.n = len(b)
         with np.errstate(over="ignore"):
-            binv_pow = np.empty(self.n, dtype=np.uint64)
-            bpow = np.empty(self.n + 1, dtype=np.uint64)
-            if self.n:
-                binv_pow[0] = np.uint64(1)
-                if self.n > 1:
-                    binv_pow[1:] = np.multiply.accumulate(
-                        np.full(self.n - 1, _BINV, dtype=np.uint64))
-            bpow[0] = np.uint64(1)
-            if self.n:
-                bpow[1:] = np.multiply.accumulate(
-                    np.full(self.n, _B, dtype=np.uint64))
             s = np.zeros(self.n + 1, dtype=np.uint64)
             if self.n:
-                np.cumsum(b.astype(np.uint64) * binv_pow, out=s[1:])
+                # power tables are per-worker cached READ-ONLY views (_B is
+                # the same FNV prime hashing.py caches) — only the
+                # data-dependent cumsum is paid per doc
+                np.cumsum(b.astype(np.uint64) * inv_prime_powers(self.n),
+                          out=s[1:])
             self.s = s
-            self.bpow = bpow
+            self.bpow = prime_powers(self.n + 1)
 
     def window_hashes(self, L: int) -> np.ndarray:
         """uint64 hash of every L-byte window (empty if n < L)."""

@@ -229,3 +229,41 @@ def test_arrow_sha_kernels_match_list_forms():
     empty = pa.array([], pa.string())
     assert sha256_hex_arrow(empty) == []
     assert sha256_u64_arrow(empty, 2).shape == (0, 2)
+
+
+def test_rolling_fingerprint_batch_matches_per_row():
+    """The batched flat-buffer fingerprint kernel must be bit-identical to
+    the per-row rolling_fingerprint on every shape: empty docs, sub-window
+    docs, exact-window docs, long docs, duplicate contents."""
+    import pyarrow as pa
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        rolling_fingerprint,
+        rolling_fingerprint_batch,
+    )
+
+    w, keep = 32, 8
+    texts = ["", "tiny", "x" * (w - 1), "y" * w, "z" * (w + 1),
+             "the quick brown fox jumps over the lazy dog " * 40,
+             "the quick brown fox jumps over the lazy dog " * 40,  # dup
+             "short again", "m" * 500]
+    arr = pa.array(texts, pa.string())
+    vals, offs = rolling_fingerprint_batch(arr, w, keep)
+    assert len(offs) == len(texts) + 1
+    for i, t in enumerate(texts):
+        got = vals[offs[i]:offs[i + 1]]
+        np.testing.assert_array_equal(got, rolling_fingerprint(t, w, keep),
+                                      err_msg=f"doc {i}")
+    # sliced + chunked views
+    sl = arr.slice(2, 4)
+    v2, o2 = rolling_fingerprint_batch(sl, w, keep)
+    for i in range(4):
+        np.testing.assert_array_equal(
+            v2[o2[i]:o2[i + 1]], rolling_fingerprint(texts[2 + i], w, keep))
+    ch = pa.chunked_array([arr.slice(0, 3), arr.slice(3)])
+    v3, o3 = rolling_fingerprint_batch(ch, w, keep)
+    np.testing.assert_array_equal(v3, vals)
+    np.testing.assert_array_equal(o3, offs)
+    # all-empty batch
+    v4, o4 = rolling_fingerprint_batch(pa.array([], pa.string()), w, keep)
+    assert len(v4) == 0 and list(o4) == [0]
