@@ -67,7 +67,10 @@ class PipelineConfig:
     substring_cluster: bool = True  # substring edges join components
 
     # --- connected components -------------------------------------------
-    cc_strategy: str = "auto"       # "auto" | "labelprop" | "unionfind"
+    # "auto" = driver numpy_cc under cc_unionfind_max_edges, else the
+    # "forest" reduce tree (per-partition DSU forests, BTS shape);
+    # "labelprop" is the no-single-node-bottleneck fallback.
+    cc_strategy: str = "auto"  # "auto"|"forest"|"labelprop"|"unionfind"
     cc_unionfind_max_edges: int = 5_000_000
     cc_max_rounds: int = 64
 
@@ -129,7 +132,8 @@ class PipelineConfig:
             )
         if self.shingle_mode not in ("char", "token"):
             raise ValueError(f"bad shingle_mode {self.shingle_mode!r}")
-        if self.cc_strategy not in ("auto", "labelprop", "unionfind"):
+        if self.cc_strategy not in ("auto", "forest", "labelprop",
+                                    "unionfind"):
             raise ValueError(f"bad cc_strategy {self.cc_strategy!r}")
         if self.doc_id_bits not in (64, 128):
             raise ValueError(f"bad doc_id_bits {self.doc_id_bits!r}")

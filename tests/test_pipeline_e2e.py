@@ -215,19 +215,26 @@ def test_determinism_across_batch_sizes(ray_session, tmp_path):
 def test_cc_strategies_equivalent(ray_session, tmp_path):
     import ray.data
 
-    from fuzzy_dedupe_pipeline_ray.stages.cc import cc_labelprop, cc_unionfind
+    from fuzzy_dedupe_pipeline_ray.stages.cc import (
+        cc_forest,
+        cc_labelprop,
+        cc_unionfind,
+    )
 
     d = corpus_dir("tiny", root=CORPUS_ROOT)
     run_dir = str(tmp_path / "run_cc")
     p = DedupePipeline(f"{d}/files.parquet", run_dir)
     paths = p.run()
     edges = ray.data.read_parquet(paths["edges"])
-    uf = cc_unionfind(edges)
+    ufd = cc_unionfind(edges).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
     lp = (cc_labelprop(edges, PipelineConfig())
           .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    ufd = uf.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    assert (lp["doc_id"].to_numpy() == ufd["doc_id"].to_numpy()).all()
-    assert (lp["label"].to_numpy() == ufd["label"].to_numpy()).all()
+    fo = (cc_forest(edges, PipelineConfig())
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for other, name in ((lp, "labelprop"), (fo, "forest")):
+        assert (other["doc_id"].to_numpy() == ufd["doc_id"].to_numpy()).all(), name
+        assert (other["label"].to_numpy() == ufd["label"].to_numpy()).all(), name
 
 
 def test_minhash_modes_agree_on_planted_families(ray_session, tmp_path):
@@ -247,3 +254,27 @@ def test_minhash_modes_agree_on_planted_families(ray_session, tmp_path):
                     .select(["doc_id", "cluster_id", "duplicate_count",
                              "is_representative"]).sort_by("doc_id"))
     assert outs[0].equals(outs[1])
+
+
+def test_cc_forest_many_partitions_cross_partition_chain(ray_session):
+    """The forest reduce tree must link components that only connect ACROSS
+    partitions: a chain 0-1, 1-2, ..., spread one edge per block, collapses
+    to a single min-label component regardless of merge order."""
+    import pyarrow as pa
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.stages.cc import cc_forest, cc_unionfind
+
+    n = 40
+    tables = [pa.table({"id_a": pa.array([i], pa.int64()),
+                        "id_b": pa.array([i + 1], pa.int64())})
+              for i in range(n)]
+    edges = ray.data.from_arrow(tables)  # one edge per block
+    fo = (cc_forest(edges, PipelineConfig())
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(fo) == n + 1
+    assert (fo["label"] == 0).all()
+    ufd = cc_unionfind(edges).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (fo["doc_id"].to_numpy() == ufd["doc_id"].to_numpy()).all()
+    assert (fo["label"].to_numpy() == ufd["label"].to_numpy()).all()
