@@ -278,3 +278,84 @@ def test_cc_forest_many_partitions_cross_partition_chain(ray_session):
         "doc_id").reset_index(drop=True)
     assert (fo["doc_id"].to_numpy() == ufd["doc_id"].to_numpy()).all()
     assert (fo["label"].to_numpy() == ufd["label"].to_numpy()).all()
+
+
+def test_hard_kill_resume_from_manifest(ray_session, tmp_path):
+    """Hard-kill durability (VERDICT r3 #3): a SEPARATE driver process is
+    SIGKILLed (no atexit, no cleanup) immediately after the ``signatures``
+    checkpoint commits, mid-pipeline; a fresh driver resuming from the
+    on-disk manifest alone must complete and produce assignments
+    byte-identical to an uninterrupted run. Proves the manifest's atomic
+    ``os.replace`` commit story end-to-end."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import pyarrow.dataset as pds2
+
+    d = corpus_dir("tiny", root=CORPUS_ROOT)
+    run_dir = str(tmp_path / "killed_run")
+    script = textwrap.dedent("""
+        import json, os, signal, sys, threading, time
+
+        run_dir = sys.argv[2]
+        mpath = os.path.join(run_dir, "manifest.json")
+
+        def killer():
+            while True:
+                try:
+                    with open(mpath) as f:
+                        m = json.load(f)
+                    st = m["stages"].get("signatures", {})
+                    if st.get("status") == "success":
+                        os.kill(os.getpid(), signal.SIGKILL)
+                except Exception:
+                    pass
+                time.sleep(0.005)
+
+        threading.Thread(target=killer, daemon=True).start()
+        sys.path.insert(0, "/root/repo")  # script runs from tmp_path
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
+        DedupePipeline(sys.argv[1], run_dir).run()
+    """)
+    sp = str(tmp_path / "kill_driver.py")
+    with open(sp, "w") as f:
+        f.write(script)
+    proc = subprocess.Popen(
+        [sys.executable, sp, f"{d}/files.parquet", run_dir],
+        cwd="/root/repo", start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        rc = proc.wait(timeout=600)
+    finally:
+        import signal as _sig
+        try:  # reap the child's orphaned Ray procs (own session group)
+            os.killpg(proc.pid, _sig.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+    assert rc == -9, f"driver exited {rc}, expected SIGKILL"
+
+    import json
+    with open(os.path.join(run_dir, "manifest.json")) as f:
+        m = json.load(f)
+    done = {k for k, v in m["stages"].items() if v.get("status") == "success"}
+    assert "signatures" in done
+    assert "assignments" not in done, "pipeline finished before the kill"
+
+    # fresh driver (this process), resume from the on-disk state alone
+    p2 = DedupePipeline(f"{d}/files.parquet", run_dir)
+    paths = p2.run()
+    statuses = {r["stage_name"]: r["status"]
+                for r in p2.runlog.to_table().to_pylist()
+                if r["partition_id"] == -1}
+    assert statuses["signatures"] == "resumed"
+    assert statuses["assignments"] == "success"
+
+    clean_dir = str(tmp_path / "clean_run")
+    clean = DedupePipeline(f"{d}/files.parquet", clean_dir).run()
+    a = pds2.dataset(paths["assignments"]).to_table().sort_by("doc_id")
+    b = pds2.dataset(clean["assignments"]).to_table().sort_by("doc_id")
+    assert a.equals(b)
