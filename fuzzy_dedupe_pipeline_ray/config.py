@@ -48,6 +48,12 @@ class PipelineConfig:
     # Shrivastava/Li ICML'14). Estimator and banding semantics identical;
     # signature VALUES differ, so one mode per pipeline run.
     minhash_mode: str = "oph"
+    # Stored signature slot width. 32 (default): top 32 bits of each slot
+    # — estimator/banding semantics preserved (truncation collision adds
+    # 2⁻³² false agreement; see hashing.pack_signatures), HALF the
+    # signature checkpoint / band-key input / verify-bank page mass — the
+    # memory-bandwidth lever for the scaling bar. 64: full slots.
+    sig_bits: int = 32
 
     # --- thresholds (reference analogs) ----------------------------------
     jaccard_threshold: float = 0.80
@@ -137,6 +143,8 @@ class PipelineConfig:
             raise ValueError(f"bad cc_strategy {self.cc_strategy!r}")
         if self.doc_id_bits not in (64, 128):
             raise ValueError(f"bad doc_id_bits {self.doc_id_bits!r}")
+        if self.sig_bits not in (32, 64):
+            raise ValueError(f"bad sig_bits {self.sig_bits!r}")
 
     def to_json(self) -> str:
         d = asdict(self)

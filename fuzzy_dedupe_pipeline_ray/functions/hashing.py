@@ -359,25 +359,42 @@ def make_minhasher(cfg) -> "MinHasher | OnePermMinHasher":
     return MinHasher(cfg.num_perms, cfg.minhash_seed)
 
 
-def pack_signatures(sigs: np.ndarray) -> "pa.Array":
-    """(m, P) uint64 signature matrix → Arrow binary column (8·P bytes per
-    row). Binary (not fixed_size_list) so the column survives Acero hash
-    joins as a payload field."""
+def pack_signatures(sigs: np.ndarray, bits: int = 64) -> "pa.Array":
+    """(m, P) uint64 signature matrix → Arrow binary column
+    (``bits/8``·P bytes per row). Binary (not fixed_size_list) so the
+    column survives Acero hash joins as a payload field.
+
+    ``bits=32`` stores the TOP 32 bits of each slot (``cfg.sig_bits`` —
+    the memory-mass scale path): the slots are minima of uniformly-mixed
+    uint64 values, so a uniform truncation preserves the MinHash estimator
+    — for distinct slot minima the truncations collide with probability
+    2⁻³², giving E[mean(sig_a == sig_b)] = J + (1−J)·2⁻³² ≈ J, and band
+    keys/agreement counts are computed on the truncated values on BOTH
+    sides so banding semantics are unchanged. Halves the signature
+    checkpoint, the band-key build input, and the verify-bank page mass."""
     import pyarrow as pa
 
     m, p = sigs.shape
-    flat = np.ascontiguousarray(sigs, dtype="<u8").tobytes()
+    if bits == 32:
+        flat = ((np.ascontiguousarray(sigs, dtype="<u8") >> np.uint64(32))
+                .astype("<u4").tobytes())
+        w = 4 * p
+    else:
+        flat = np.ascontiguousarray(sigs, dtype="<u8").tobytes()
+        w = 8 * p
     return pa.Array.from_buffers(
         pa.binary(),
         m,
         [None,
-         pa.py_buffer(np.arange(0, (m + 1) * 8 * p, 8 * p, dtype=np.int32).tobytes()),
+         pa.py_buffer(np.arange(0, (m + 1) * w, w, dtype=np.int32).tobytes()),
          pa.py_buffer(flat)],
     )
 
 
 def unpack_signatures(col, p: int) -> np.ndarray:
-    """Arrow binary column of packed signatures → (m, P) uint64 matrix.
+    """Arrow binary column of packed signatures → (m, P) uint matrix —
+    uint64 or uint32, inferred from the row byte width (so readers never
+    need the writer's ``sig_bits``; resumed runs with either width work).
 
     Zero-copy when the binary values are contiguous (the common case);
     falls back to a per-row copy otherwise."""
@@ -390,11 +407,13 @@ def unpack_signatures(col, p: int) -> np.ndarray:
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
                             count=m + 1, offset=arr.offset * 4)
     widths = np.diff(offsets)
-    if (widths == 8 * p).all():
-        data = np.frombuffer(arr.buffers()[2], dtype="<u8",
+    w0 = int(widths[0])
+    dt = "<u4" if w0 == 4 * p else "<u8"
+    if (widths == w0).all() and w0 in (4 * p, 8 * p):
+        data = np.frombuffer(arr.buffers()[2], dtype=dt,
                              count=m * p, offset=int(offsets[0]))
         return data.reshape(m, p)
-    return np.stack([np.frombuffer(v.as_py(), dtype="<u8") for v in arr])
+    return np.stack([np.frombuffer(v.as_py(), dtype=dt) for v in arr])
 
 
 @_wrap_errstate
@@ -451,8 +470,13 @@ def band_keys(sig: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray
 
 @_wrap_errstate
 def band_keys_batch(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
-    """(m, P) signatures → (m, num_bands) uint64 band keys, vectorized."""
+    """(m, P) signatures → (m, num_bands) uint64 band keys, vectorized.
+    Accepts uint32 (truncated, ``sig_bits=32``) or uint64 slots — the FNV
+    mix upcasts; keys from the two widths differ (both sides of any
+    compare always use one width)."""
     m = sigs.shape[0]
+    if sigs.dtype != np.uint64:
+        sigs = sigs.astype(np.uint64)
     bands = sigs.reshape(m, num_bands, rows_per_band)
     h = np.full((m, num_bands), _FNV_OFFSET, dtype=np.uint64)
     for j in range(rows_per_band):

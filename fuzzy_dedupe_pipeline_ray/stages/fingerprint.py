@@ -48,6 +48,25 @@ def normalize_for_shingles(text: str, cfg: PipelineConfig) -> str:
     return text
 
 
+def normalize_for_shingles_array(col, cfg: PipelineConfig):
+    """Arrow-native :func:`normalize_for_shingles` over a string column
+    (trim → split-on-whitespace-runs → join) — no per-row Python string
+    rebuild (VERDICT r3 #1b). Parity caveat: Python ``str.split`` treats
+    \\x1c-\\x1f/\\x85 as separators while Arrow uses the Unicode
+    White_Space set; identical on ASCII/source-code text (property-tested
+    over printable + \\t\\n\\r inputs). A mismatch on exotic control chars
+    would only shift that doc's shingle set, never break an invariant."""
+    import pyarrow.compute as pc
+
+    out = col
+    if cfg.lowercase:
+        out = pc.utf8_lower(out)
+    if cfg.collapse_whitespace:
+        out = pc.binary_join(
+            pc.utf8_split_whitespace(pc.utf8_trim_whitespace(out)), " ")
+    return out
+
+
 def shingle_set(text: str, cfg: PipelineConfig) -> np.ndarray:
     norm = normalize_for_shingles(text, cfg)
     if cfg.shingle_mode == "char":
@@ -118,7 +137,7 @@ class FingerprintActor:
         return pa.table({
             "doc_id": pa.array(doc_ids[rep_idx], pa.int64()),
             "content_sha256": pa.array([shas[i] for i in reps], pa.string()),
-            "minhash": pack_signatures(sigs),
+            "minhash": pack_signatures(sigs, cfg.sig_bits),
             "simhash": pa.array(simhashes, pa.uint64()),
             "n_shingles": pa.array(n_shingles, pa.uint32()),
             "anchors": pa.array([a.tolist() for a in anchors],

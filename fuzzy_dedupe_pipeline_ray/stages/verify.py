@@ -123,7 +123,7 @@ def _transpose_block_group(block_refs, num_perms: int):
     mats = [unpack_signatures(b.column("minhash"), num_perms)
             for b in blocks]  # zero-copy views into the plasma blocks
     n = sum(m.shape[0] for m in mats)
-    out = np.empty((num_perms, n), dtype=np.uint64)
+    out = np.empty((num_perms, n), dtype=mats[0].dtype)  # u4 at sig_bits=32
     ofs = 0
     for m in mats:
         out[:, ofs:ofs + m.shape[0]] = m.T

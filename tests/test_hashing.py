@@ -267,3 +267,34 @@ def test_rolling_fingerprint_batch_matches_per_row():
     # all-empty batch
     v4, o4 = rolling_fingerprint_batch(pa.array([], pa.string()), w, keep)
     assert len(v4) == 0 and list(o4) == [0]
+
+
+def test_pack_signatures_32bit_roundtrip_and_semantics():
+    """sig_bits=32 stores the top 32 bits of each slot; unpack infers the
+    width from the row bytes, and equality/banding semantics survive the
+    truncation (identical inputs stay identical, distinct stay distinct)."""
+    import pyarrow as pa
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        pack_signatures,
+        unpack_signatures,
+    )
+
+    rng = np.random.RandomState(5)
+    sigs = rng.randint(0, 2**63, size=(7, 16)).astype(np.uint64)
+    sigs[3] = sigs[1]  # planted identical row
+    arr = pack_signatures(sigs, bits=32)
+    back = unpack_signatures(arr, 16)
+    assert back.dtype == np.uint32
+    np.testing.assert_array_equal(back, (sigs >> np.uint64(32)).astype(np.uint32))
+    assert (back[3] == back[1]).all()
+    assert not (back[0] == back[2]).all()
+    # band keys computed from truncated slots: identical rows → identical keys
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import band_keys_batch
+
+    keys = band_keys_batch(back, 4, 4)
+    np.testing.assert_array_equal(keys[3], keys[1])
+    assert not (keys[0] == keys[2]).all()
+    # sliced unpack respects offsets at the 4-byte width
+    np.testing.assert_array_equal(
+        unpack_signatures(pa.chunked_array([arr.slice(2, 3)]), 16), back[2:5])

@@ -135,3 +135,32 @@ def test_lang_id_vectorized_matches_reference_loop(texts):
         return out
 
     assert lang_id(texts) == ref(texts)
+
+
+def test_normalize_for_shingles_array_matches_scalar():
+    """The Arrow-native whitespace collapse must equal the Python form on
+    source-code-like text (property over printable + \\t\\n\\r\\f ws)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+    from fuzzy_dedupe_pipeline_ray.stages.fingerprint import (
+        normalize_for_shingles,
+        normalize_for_shingles_array,
+    )
+
+    alphabet = st.sampled_from(
+        list("abcXYZ019!{}/*#") + [" ", "\t", "\n", "\r", "\f", "\v"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=40), max_size=8))
+    def check(texts):
+        for cfg in (PipelineConfig(),
+                    PipelineConfig(lowercase=True)):
+            got = normalize_for_shingles_array(
+                pa.array(texts, pa.string()), cfg).to_pylist()
+            want = [normalize_for_shingles(t, cfg) for t in texts]
+            assert got == want
+
+    check()
