@@ -77,8 +77,18 @@ def _timed_flagship(corpus_dir_path: str, run_dir: str, cfg) -> "tuple[float, di
 def _bench_cfg(num_cpus: int):
     from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
 
+    kw = {}
+    if os.environ.get("GRAFT_FORCE_DISTRIBUTED"):
+        # the 100 TB tiers: every broadcast/local fast path gated OFF —
+        # exploded groupby LSH, distributed hash-join verify and content
+        # gather, forest CC. What a user whose tables exceed the gates
+        # actually experiences (VERDICT r3 #2); correctness of these tiers
+        # is equivalence-tested in tests/test_lsh_paths.py.
+        kw = dict(broadcast_max_rows=0, keyed_broadcast_max_rows=0,
+                  band_driver_max_rows=0, wide_broadcast_max_rows=0,
+                  wide_broadcast_max_bytes=0, cc_unionfind_max_edges=0)
     return PipelineConfig(fingerprint_concurrency=max(2, num_cpus - 2),
-                          num_partitions=max(8, num_cpus // 2))
+                          num_partitions=max(8, num_cpus // 2), **kw)
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
@@ -180,6 +190,8 @@ def main() -> None:
         print(json.dumps({
             "metric": "scaling efficiency 8→32 CPUs, flagship dedupe",
             "corpus": corpus,
+            "forced_distributed": bool(
+                os.environ.get("GRAFT_FORCE_DISTRIBUTED")),
             "sec_8": lo["value"], "sec_32": hi["value"],
             "files_per_sec_8": lo["files_per_sec"],
             "files_per_sec_32": hi["files_per_sec"],

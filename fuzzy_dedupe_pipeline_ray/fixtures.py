@@ -265,13 +265,13 @@ def corpus_num_rows(d: str) -> int:
 
 
 def _write_corpus_half(size: str, seed: int, fdir: str, half: int,
-                       tmp_truth: str) -> None:
-    """Child-process body for ``scale2x``: generate one deterministic half
-    and write its file parts + truth table (cluster ids offset per half so
-    the union's labels stay disjoint)."""
+                       tmp_truth: str, n_way: int = 2) -> None:
+    """Child-process body for ``scale{N}x``: generate one deterministic
+    slice and write its file parts + truth table (cluster ids offset per
+    slice so the union's labels stay disjoint)."""
     files, truth = generate_corpus(size, seed)
     n = files.num_rows
-    n_parts = min(CORPUS_PARTS // 2, max(1, n // 64))
+    n_parts = min(max(8, CORPUS_PARTS // n_way), max(1, n // 64))
     step = -(-n // n_parts)
     for i in range(n_parts):
         pq.write_table(files.slice(i * step, step),
@@ -292,11 +292,12 @@ def corpus_dir(size: str = "tiny", seed: int = 42,
     (a DIRECTORY of ``CORPUS_PARTS`` files so every corpus scan reads
     task-parallel) + ``truth_clusters.parquet``.
 
-    ``size="scale2x"`` is the union of two deterministic ``scale``
-    generations (seeds ``seed`` and ``seed+1000``, generated in parallel
-    processes — generation is pure per (size, seed), so the union is as
-    reproducible as any single corpus): ~980k files, used to evidence how
-    scaling efficiency trends with input size (BASELINE.md).
+    ``size="scale{N}x"`` (scale2x, scale4x, ...) is the union of N
+    deterministic ``scale`` generations (seeds ``seed + 1000·i``,
+    generated in parallel processes — generation is pure per (size, seed),
+    so the union is as reproducible as any single corpus): ~490k·N files,
+    used to evidence how scaling efficiency trends with input size
+    (BASELINE.md).
     """
     d = os.path.join(root, f"{FIXTURE_VERSION}_{size}_{seed}")
     done = os.path.join(d, "_DONE")
@@ -304,18 +305,22 @@ def corpus_dir(size: str = "tiny", seed: int = 42,
         return d
     fdir = os.path.join(d, "files.parquet")
     os.makedirs(fdir, exist_ok=True)
-    if size == "scale2x":
+    n_way = (int(size[5:-1])
+             if size.startswith("scale") and size.endswith("x")
+             and size[5:-1].isdigit() else 0)
+    if n_way:
         import multiprocessing as mp
 
-        truth_tmp = [os.path.join(d, f"_truth_h{h}.parquet") for h in (0, 1)]
+        truth_tmp = [os.path.join(d, f"_truth_h{h}.parquet")
+                     for h in range(n_way)]
         procs = [mp.Process(target=_write_corpus_half,
                             args=("scale", seed + 1000 * h, fdir, h,
-                                  truth_tmp[h]))
-                 for h in (0, 1)]
+                                  truth_tmp[h], n_way))
+                 for h in range(n_way)]
         [p.start() for p in procs]
         [p.join() for p in procs]
         if any(p.exitcode != 0 for p in procs):
-            raise RuntimeError("scale2x generation failed")
+            raise RuntimeError(f"{size} generation failed")
         truth = pa.concat_tables([pq.read_table(t) for t in truth_tmp])
         pq.write_table(truth, os.path.join(d, "truth_clusters.parquet"))
         [os.remove(t) for t in truth_tmp]

@@ -204,7 +204,23 @@ class DedupePipeline:
                 candidate_pairs(sigs, cfg), sigs, cfg, bank=bank))
             return sigs, fuzzy
 
-        if cfg.extra.get("serial_stages"):
+        # Guard: each hash join pins num_partitions aggregator ACTORS
+        # (num_cpus each) for its whole lifetime. With both chains joining
+        # concurrently that is 2 x num_partitions x join_aggregator_num_cpus
+        # CPUs held by (mostly idle) actors; if that leaves <1 CPU for the
+        # map tasks FEEDING the joins, the executor livelocks (observed at
+        # num_cpus=4 with num_partitions=8: >590 s vs 41 s serial). Fall
+        # back to the serial chain order on such small CPU budgets.
+        serial = cfg.extra.get("serial_stages")
+        if serial is None:
+            import ray
+
+            total_cpus = ray.cluster_resources().get("CPU", 0)
+            join_actor_cpus = (2 * cfg.num_partitions
+                               * cfg.join_aggregator_num_cpus)
+            serial = total_cpus - join_actor_cpus < 1.0
+
+        if serial:
             docs, ex = chain_docs()
             sigs, fuzzy = chain_sigs()
         else:

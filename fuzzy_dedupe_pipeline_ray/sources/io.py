@@ -5,6 +5,45 @@ from __future__ import annotations
 from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
 
 
+def _compact_blocks(ds):
+    """(materialized dataset) → (same data without empty blocks, num_rows).
+
+    Works around a Ray 2.49 hash-shuffle edge that breaks ``Dataset.join``:
+    ``_shuffle_block`` returns early for an EMPTY input block
+    (hash_shuffle.py:223-225) without sending the schema-broadcast empty
+    shards, and the schema broadcast rides only on the FIRST submitted
+    shuffle task per input (hash_shuffle.py:584). So if a join input's
+    first block happens to be empty AND some hash partition receives no
+    nonempty shard of that input, ``JoinAggregation.finalize`` builds a
+    schema-less empty table and Acero raises ``No match or multiple
+    matches for key field reference ... side of the join``. Empty blocks
+    must therefore never reach a hash-join input. Ref-level rebuild: no
+    data is moved or copied, only block refs filtered.
+    """
+    import ray.data
+
+    bundles = list(ds.iter_internal_ref_bundles())
+    refs, total, n_blocks = [], 0, 0
+    for b in bundles:
+        for ref, meta in zip(b.block_refs, b.metadata):
+            n_blocks += 1
+            if meta.num_rows:
+                refs.append(ref)
+                total += meta.num_rows
+    if len(refs) == n_blocks:
+        return ds, total
+    if not refs:
+        return ds, 0
+    return ray.data.from_arrow_refs(refs), total
+
+
+def _empty_arrow(ds) -> "pa.Table":  # noqa: F821
+    import pyarrow as pa
+
+    sch = ds.schema(fetch_if_missing=True)
+    return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+
+
 def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
               cfg: PipelineConfig):
     """``Dataset.join`` with the pipeline's partition/actor sizing.
@@ -19,14 +58,56 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
     and lazy datasets make it far too easy to compose exactly that plan.
     The barrier pins one narrow intermediate in the (spillable) object
     store — the safe default; fuse joins manually only with profiling.
+
+    Inputs are guarded against the Ray empty-first-block schema-broadcast
+    edge (see ``_compact_blocks``): the right side is always materialized
+    and compacted; the left side is compacted when already materialized
+    (lazy left sides stay streaming — at scale every partition of a big
+    left receives data, so the edge cannot trigger there). A side known
+    to be EMPTY short-circuits the distributed join entirely.
     """
+    import pyarrow as pa
+    import ray.data
+    from ray.data.dataset import MaterializedDataset
+
+    on_t = on if isinstance(on, tuple) else (on,)
+    r_on_t = (on_t if right_on is None
+              else right_on if isinstance(right_on, tuple) else (right_on,))
+
+    if not isinstance(right, MaterializedDataset):
+        right = right.materialize()
+    right, n_right = _compact_blocks(right)
+    n_left = None
+    if isinstance(left, MaterializedDataset):
+        left, n_left = _compact_blocks(left)
+
+    if n_right == 0 or n_left == 0:
+        # Acero on the two empty tables yields the exact joined schema
+        arrow_type = {"inner": "inner", "left_outer": "left outer"}[join_type]
+        joined_empty = _empty_arrow(left).join(
+            _empty_arrow(right), join_type=arrow_type,
+            keys=list(on_t), right_keys=list(r_on_t))
+        if join_type == "inner" or n_left == 0:
+            return ray.data.from_arrow(joined_empty).materialize()
+        # left_outer with an empty right: left rows + null right columns,
+        # appended streaming — no shuffle needed
+        extra = [f for f in joined_empty.schema
+                 if f.name not in _empty_arrow(left).schema.names]
+
+        def add_nulls(b: pa.Table) -> pa.Table:
+            for f in extra:
+                b = b.append_column(f, pa.nulls(b.num_rows, f.type))
+            return b
+
+        return left.map_batches(add_nulls,
+                                batch_format="pyarrow").materialize()
+
     return left.join(
         right,
         join_type=join_type,
         num_partitions=cfg.num_partitions,
-        on=on if isinstance(on, tuple) else (on,),
-        right_on=(None if right_on is None
-                  else right_on if isinstance(right_on, tuple) else (right_on,)),
+        on=on_t,
+        right_on=(None if right_on is None else r_on_t),
         aggregator_ray_remote_args={"num_cpus": cfg.join_aggregator_num_cpus},
     ).materialize()
 

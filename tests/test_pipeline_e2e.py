@@ -359,3 +359,30 @@ def test_hard_kill_resume_from_manifest(ray_session, tmp_path):
     a = pds2.dataset(paths["assignments"]).to_table().sort_by("doc_id")
     b = pds2.dataset(clean["assignments"]).to_table().sort_by("doc_id")
     assert a.equals(b)
+
+
+def test_forced_distributed_tiers_match_fastpath(tiny_run, tmp_path):
+    """The 100 TB configuration — every broadcast/local fast path gated
+    OFF (exploded groupby LSH, distributed hash-join verify + content
+    gather, forest/labelprop CC) — must produce identical assignments to
+    the default gate configuration on the same input. This is the
+    all-gates-at-once end-to-end variant of the per-stage equivalences in
+    test_lsh_paths.py (which individually missed the hash-join
+    empty-first-block edge fixed in sources/io.py)."""
+    d, _, _, paths = tiny_run
+    cols = ["doc_id", "cluster_id", "duplicate_count", "is_representative"]
+    fast = _load(paths, "assignments").select(cols).sort_by("doc_id")
+    run_dir = str(tmp_path / "forced")
+    # serial_stages + num_partitions=4: at the suite's num_cpus=4, two
+    # CONCURRENT joins' aggregator pools (2 x 8 x 0.25 CPU) would pin the
+    # whole CPU budget in idle actors and starve the map tasks feeding
+    # them — a sizing constraint, not a correctness one (bench runs the
+    # parallel chains at >=8 CPUs).
+    cfg = PipelineConfig(broadcast_max_rows=0, keyed_broadcast_max_rows=0,
+                         band_driver_max_rows=0, wide_broadcast_max_rows=0,
+                         wide_broadcast_max_bytes=0, cc_unionfind_max_edges=0,
+                         num_partitions=4, extra={"serial_stages": True})
+    p = DedupePipeline(f"{d}/files.parquet", run_dir, cfg)
+    forced = (pds.dataset(p.run()["assignments"]).to_table()
+              .select(cols).sort_by("doc_id"))
+    assert fast.equals(forced)
