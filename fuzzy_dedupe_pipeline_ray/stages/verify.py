@@ -132,10 +132,13 @@ def _transpose_block_group(block_refs, num_perms: int):
 
 
 def _prep_pair_index(pair_refs, bank):
-    """Ray task body: candidate-pair blocks → ``(id_a, id_b, ja, jb)``
-    with ja/jb the ORIGINAL bank row index per endpoint. Pairs whose id is
-    absent from the signature table are dropped here (the inner-join
-    semantics of the distributed two-join path)."""
+    """Ray task body: a SHARD of candidate-pair blocks → ``(id_a, id_b,
+    ja, jb)`` with ja/jb the ORIGINAL bank row index per endpoint. Pairs
+    whose id is absent from the signature table are dropped here (the
+    inner-join semantics of the distributed two-join path). One task per
+    contiguous pair-block group: the single-task form was a measured
+    ~6 s serial term at 5M pairs — the whole-DAG flat floor that kept
+    edges_fuzzy parallelism-independent (r4 per-stage split)."""
     import ray
 
     from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
@@ -158,12 +161,32 @@ def _prep_pair_index(pair_refs, bank):
             order[pa_[found]], order[pb_[found]])
 
 
-def _count_perm_slice(piece_refs, pidx, lo: int, hi: int):
+def _submit_pair_index_shards(pair_refs, narrow_ref, cfg: PipelineConfig):
+    """Fan the pair-index build out as one ``_prep_pair_index`` task per
+    contiguous pair-block group (shard order = block order, so the
+    concatenation of shard results is exactly the old single-task
+    output). Returns the list of shard refs."""
+    import ray
+
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import _emit_task_count
+
+    if not pair_refs:
+        return [ray.remote(_prep_pair_index).remote([], narrow_ref)]
+    n_shards = max(1, min(len(pair_refs), _emit_task_count(cfg)))
+    step = max(1, -(-len(pair_refs) // n_shards))
+    prep = ray.remote(_prep_pair_index)
+    return [prep.remote(pair_refs[i:i + step], narrow_ref)
+            for i in range(0, len(pair_refs), step)]
+
+
+def _count_perm_slice(piece_refs, pidx_refs, lo: int, hi: int):
     """Ray task body: per-pair signature-agreement count over perms
     ``[lo, hi)``. The matrix lives as per-block-group perm-major PIECES;
     for each perm this task concatenates that perm's (contiguous) row
     across the pieces — so it faults only ``(hi-lo)·n·8`` bytes of the
-    (plasma mmap-shared) matrix, never the whole thing. Chunked so each
+    (plasma mmap-shared) matrix, never the whole thing. The pair index
+    arrives as SHARD refs (``_submit_pair_index_shards``); the output is
+    the per-shard counts concatenated in shard order. Chunked so each
     per-perm gather's temporaries stay cache/heap-resident."""
     import ray
 
@@ -171,30 +194,37 @@ def _count_perm_slice(piece_refs, pidx, lo: int, hi: int):
 
     tune_allocator()
     pieces = [p for p in ray.get(list(piece_refs)) if p.shape[1]]
-    ja, jb = pidx[2], pidx[3]
-    n = len(ja)
+    shards = ray.get(list(pidx_refs))  # zero-copy plasma views
+    n = sum(len(s[2]) for s in shards)
     out = np.zeros(n, dtype=np.uint8)
-    if not pieces:
+    if not pieces or n == 0:
         return out
     CH = 1 << 20
-    # perms OUTER, chunks inner: each perm's row is concatenated across
-    # the pieces exactly ONCE (the chunks-inner shape re-concatenated it
-    # per 1M-pair chunk — chunks-fold copy amplification of precisely the
-    # fresh-page mass this DAG exists to avoid); chunking still bounds the
-    # gather temporaries to cache/heap-resident sizes.
+    # perms OUTER, shards/chunks inner: each perm's row is concatenated
+    # across the pieces exactly ONCE (the chunks-inner shape
+    # re-concatenated it per 1M-pair chunk — chunks-fold copy
+    # amplification of precisely the fresh-page mass this DAG exists to
+    # avoid); chunking still bounds the gather temporaries to
+    # cache/heap-resident sizes.
     for p in range(lo, hi):
         col = (pieces[0][p] if len(pieces) == 1 else
                np.concatenate([pc_[p] for pc_ in pieces]))
-        for s in range(0, n, CH):
-            t = min(s + CH, n)
-            out[s:t] += col[ja[s:t]] == col[jb[s:t]]
+        ofs = 0
+        for sh in shards:
+            ja, jb = sh[2], sh[3]
+            m = len(ja)
+            for s in range(0, m, CH):
+                t = min(s + CH, m)
+                out[ofs + s:ofs + t] += col[ja[s:t]] == col[jb[s:t]]
+            ofs += m
     return out
 
 
-def _assemble_edges(bank, pidx, count_refs, cfg_json: str):
-    """Ray task body: partial counts → thresholded edge table (the same
-    decision table as ``score_pairs_batch``; sha equality checked only for
-    KEPT rows — ``exact`` influences nothing but emitted rows)."""
+def _assemble_edges(bank, pidx_refs, count_refs, cfg_json: str):
+    """Ray task body: pair-index shards + partial counts → thresholded
+    edge table (the same decision table as ``score_pairs_batch``; sha
+    equality checked only for KEPT rows — ``exact`` influences nothing
+    but emitted rows)."""
     import ray
 
     from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
@@ -202,7 +232,12 @@ def _assemble_edges(bank, pidx, count_refs, cfg_json: str):
     tune_allocator()
     cfg = PipelineConfig.from_json(cfg_json)
     _, _, simhash, sha = bank
-    id_a, id_b, ja, jb = pidx
+    shards = ray.get(list(pidx_refs))
+    e = np.empty(0, np.int64)
+    id_a = np.concatenate([s[0] for s in shards]) if shards else e
+    id_b = np.concatenate([s[1] for s in shards]) if shards else e
+    ja = np.concatenate([s[2] for s in shards]) if shards else e
+    jb = np.concatenate([s[3] for s in shards]) if shards else e
     if len(id_a) == 0:
         return EDGE_SCHEMA.empty_table()
     cnt = np.zeros(len(id_a), dtype=np.int16)
@@ -320,14 +355,14 @@ def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig, bank=None):
                 sig_refs = list(sig_narrow.materialize().to_arrow_refs())
                 narrow_ref, piece_refs = _submit_bank_tasks(sig_refs, cfg)
             pair_refs = list(pairs_mat.to_arrow_refs())
-            pidx_ref = ray.remote(_prep_pair_index).remote(
-                pair_refs, narrow_ref)
+            pidx_refs = _submit_pair_index_shards(pair_refs, narrow_ref,
+                                                  cfg)
             count_refs = [
                 ray.remote(_count_perm_slice).remote(
-                    piece_refs, pidx_ref, lo, hi)
+                    piece_refs, pidx_refs, lo, hi)
                 for lo, hi in _mat_slice_bounds(cfg)]
             edges_ref = ray.remote(_assemble_edges).remote(
-                narrow_ref, pidx_ref, count_refs, cfg.to_json())
+                narrow_ref, pidx_refs, count_refs, cfg.to_json())
             return rd.from_arrow_refs([edges_ref])
         pairs_ds = pairs_mat
 
