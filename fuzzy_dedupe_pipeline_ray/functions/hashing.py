@@ -24,12 +24,27 @@ _FNV_PRIME = np.uint64(1099511628211)
 _FNV_OFFSET = np.uint64(14695981039346656037)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
-_OLD_ERR = np.seterr(over="ignore")  # uint64 wraparound is intentional
-np.seterr(**_OLD_ERR)
+_ERR_PINNED = False
+
+
+def pin_overflow_ignore() -> None:
+    """Set ``over="ignore"`` PROCESS-WIDE (numpy errstate is per-thread
+    global) so the per-call ``np.errstate`` context in ``_wrap_errstate``
+    short-circuits. Every uint64 kernel in this module relies on mod-2^64
+    wraparound, and the errstate enter/exit dance was a measured 28% of
+    the fingerprint hot loop (153k ``seterr`` calls per 10k docs).
+    Called from ``perf.tune_allocator`` — i.e. once per worker process at
+    task/actor setup; overflow WARNINGS (never errors) are the only
+    behavior suppressed for other code in the worker."""
+    global _ERR_PINNED
+    np.seterr(over="ignore")
+    _ERR_PINNED = True
 
 
 def _wrap_errstate(fn):
     def inner(*a, **kw):
+        if _ERR_PINNED:
+            return fn(*a, **kw)
         with np.errstate(over="ignore"):
             return fn(*a, **kw)
 
@@ -196,18 +211,17 @@ def _window_poly_hashes(b: np.ndarray, k: int) -> np.ndarray:
 
 
 @_wrap_errstate
-def char_shingle_hashes(text: str, k: int, unique: bool = True) -> np.ndarray:
-    """uint64 polynomial hash of every k-char window of ``text``.
-
-    Vectorized: utf-8 bytes → O(n) prefix-product window hashes (see
-    ``_window_poly_hashes``) → splitmix mix. Returns the *set*
-    (np.unique) when ``unique`` — MinHash operates on shingle sets.
-    """
-    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+def char_shingle_hashes_bytes(b: np.ndarray, k: int,
+                              unique: bool = True) -> np.ndarray:
+    """uint64 polynomial hash of every k-byte window of a uint8 array —
+    the zero-copy core of :func:`char_shingle_hashes`. Callers pass
+    VIEWS into an Arrow string column's data buffer (utf-8 bytes), so a
+    whole batch is shingled without materializing one Python string or
+    encode copy; window semantics are byte windows of the utf-8
+    encoding, bit-identical to the str form."""
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
     if len(b) < k:
-        # whole-text single shingle
         powers = _FNV_PRIME ** np.arange(len(b) - 1, -1, -1, dtype=np.uint64)
         wh = (b.astype(np.uint64) * powers).sum(dtype=np.uint64)[None]
     elif k <= 12:
@@ -220,6 +234,18 @@ def char_shingle_hashes(text: str, k: int, unique: bool = True) -> np.ndarray:
         wh = _window_poly_hashes(b, k)
     h = splitmix64(wh)
     return np.unique(h) if unique else h
+
+
+@_wrap_errstate
+def char_shingle_hashes(text: str, k: int, unique: bool = True) -> np.ndarray:
+    """uint64 polynomial hash of every k-char window of ``text``.
+
+    Vectorized: utf-8 bytes → O(n) prefix-product window hashes (see
+    ``_window_poly_hashes``) → splitmix mix. Returns the *set*
+    (np.unique) when ``unique`` — MinHash operates on shingle sets.
+    """
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    return char_shingle_hashes_bytes(b, k, unique)
 
 
 @_wrap_errstate

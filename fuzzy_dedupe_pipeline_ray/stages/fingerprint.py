@@ -29,6 +29,7 @@ from fuzzy_dedupe_pipeline_ray.functions.hashing import (
     band_keys_batch,
     bottom_k_distinct,
     char_shingle_hashes,
+    char_shingle_hashes_bytes,
     hash_tokens,
     make_minhasher,
     mask_keys,
@@ -78,6 +79,32 @@ def shingle_set(text: str, cfg: PipelineConfig) -> np.ndarray:
     return h
 
 
+def _normalized_byte_views(col, cfg: PipelineConfig):
+    """content column → ``(data, offsets)`` for zero-copy per-row uint8
+    views of the NORMALIZED utf-8 bytes: ONE Arrow C++ normalization pass
+    per batch, then pure offset arithmetic. The previous per-doc path
+    (``to_pylist`` + ``normalize_for_shingles`` + ``str.encode`` — and a
+    SECOND normalize+encode for the anchor pass) faulted ~4× the batch's
+    content bytes in fresh Python-heap pages per batch; on this host
+    class concurrent first-touch traffic is the measured scaling cap
+    (BASELINE.md), so the page mass is the cost that matters, not the
+    instructions."""
+    import pyarrow.compute as pc
+
+    arr = normalize_for_shingles_array(col, cfg)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    bufs = arr.buffers()
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    return data, offs
+
+
 class FingerprintActor:
     """Stateful per-batch fingerprinter (actor pool).
 
@@ -96,7 +123,24 @@ class FingerprintActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        content = batch.column("content").to_pylist()
+        use_bytes = cfg.shingle_mode == "char"
+        if use_bytes:  # zero-copy normalized byte views (no Python strs)
+            data, offs = _normalized_byte_views(batch.column("content"),
+                                                cfg)
+            content = None
+            # ONE window-hash pass over the whole batch buffer per k —
+            # window hashes are position-independent (hashing.py
+            # _window_poly_hashes), so the per-doc hash vector is a pure
+            # SLICE h_all[start : end-k+1]; replaces 2 kernel calls per
+            # doc with 2 per batch (cross-boundary windows are simply
+            # never sliced out; ≤k-1 wasted lanes per doc)
+            h_sh_all = char_shingle_hashes_bytes(data, cfg.shingle_k,
+                                                 unique=False)
+            h_an_all = (char_shingle_hashes_bytes(data, cfg.anchor_k,
+                                                  unique=False)
+                        if cfg.substring_enabled else None)
+        else:  # token mode: per-doc Python tokenization path
+            content = batch.column("content").to_pylist()
         if "doc_id" in batch.schema.names:  # caller-supplied ids (e.g. documents table)
             doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
         else:
@@ -118,15 +162,32 @@ class FingerprintActor:
         simhashes = np.empty(m, dtype=np.uint64)
         n_shingles = np.empty(m, dtype=np.uint32)
         anchors: list[np.ndarray] = []
+        k_sh, k_an = cfg.shingle_k, cfg.anchor_k
         for out_i, i in enumerate(reps):
-            sh = shingle_set(content[i], cfg)
+            if use_bytes:
+                s, e = offs[i], offs[i + 1]
+                if e - s >= k_sh:
+                    sh = np.unique(h_sh_all[s:e - k_sh + 1])
+                else:  # short doc: whole-text single shingle (or empty)
+                    sh = char_shingle_hashes_bytes(data[s:e], k_sh)
+                if len(sh) > cfg.max_shingles_per_doc:
+                    sh = sh[: cfg.max_shingles_per_doc]  # sorted → deterministic
+            else:
+                sh = shingle_set(content[i], cfg)
             sigs[out_i] = self.mh.signature(sh)
             simhashes[out_i] = simhash64(sh)
             n_shingles[out_i] = len(sh)
             if cfg.substring_enabled:
-                big = char_shingle_hashes(
-                    normalize_for_shingles(content[i], cfg), cfg.anchor_k,
-                    unique=False)  # bottom_k_distinct dedups via partition
+                # anchors reuse the SAME normalized bytes — the str path
+                # re-normalized + re-encoded every doc a second time
+                if use_bytes:
+                    big = (h_an_all[s:e - k_an + 1] if e - s >= k_an else
+                           char_shingle_hashes_bytes(data[s:e], k_an,
+                                                     unique=False))
+                else:
+                    big = char_shingle_hashes(
+                        normalize_for_shingles(content[i], cfg),
+                        k_an, unique=False)
                 # masked to 63-bit int64: anchors become groupby keys
                 anchors.append(mask_keys(
                     bottom_k_distinct(big, cfg.anchors_per_doc)))
