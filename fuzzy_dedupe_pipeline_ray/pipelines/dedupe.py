@@ -39,7 +39,10 @@ from fuzzy_dedupe_pipeline_ray.stages.finalize import finalize
 from fuzzy_dedupe_pipeline_ray.stages.fingerprint import fingerprint
 from fuzzy_dedupe_pipeline_ray.stages.ingest import ingest_meta, ingest_meta_batch
 from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
-from fuzzy_dedupe_pipeline_ray.stages.substring import substring_edges
+from fuzzy_dedupe_pipeline_ray.stages.substring import (
+    substring_edges,
+    substring_prep,
+)
 from fuzzy_dedupe_pipeline_ray.stages.verify import (
     prepare_sig_bank,
     verify_pairs,
@@ -191,7 +194,7 @@ class DedupePipeline:
             ex = self._stage("edges_exact", lambda: exact_edges(docs, cfg))
             return docs, ex
 
-        def chain_sigs():
+        def chain_sigs(overlap_prep: bool):
             sigs = self._stage(
                 "signatures", lambda: fingerprint(self.files(), cfg, remap))
             bank = None
@@ -200,9 +203,31 @@ class DedupePipeline:
                 # so its large-allocation pass overlaps the band shuffle
                 # instead of landing in the post-churn reclaim window
                 bank = prepare_sig_bank(sigs, cfg)
-            fuzzy = self._stage("edges_fuzzy", lambda: verify_pairs(
-                candidate_pairs(sigs, cfg), sigs, cfg, bank=bank))
-            return sigs, fuzzy
+
+            def run_fuzzy():
+                return self._stage("edges_fuzzy", lambda: verify_pairs(
+                    candidate_pairs(sigs, cfg), sigs, cfg, bank=bank))
+
+            # The substring HEAD (anchor candidates + content gather)
+            # depends only on signatures — overlap it with the fuzzy
+            # stage so its ~2-3 s of fixed-shape work leaves the serial
+            # critical path (skipped when the substring checkpoint will
+            # be resumed, or in the serial small-CPU order).
+            prep = None
+            want_prep = (overlap_prep and cfg.substring_enabled
+                         and not (self.resume and
+                                  self.manifest.is_complete(
+                                      "edges_substring")))
+            if want_prep:
+                with concurrent.futures.ThreadPoolExecutor(2) as p2:
+                    ff = p2.submit(run_fuzzy)
+                    fp = p2.submit(substring_prep, self.files(), sigs,
+                                   cfg, remap)
+                    fuzzy = ff.result()
+                    prep = fp.result()
+            else:
+                fuzzy = run_fuzzy()
+            return sigs, fuzzy, prep
 
         # Guard: each hash join pins num_partitions aggregator ACTORS
         # (num_cpus each) for its whole lifetime. With both chains joining
@@ -222,12 +247,13 @@ class DedupePipeline:
 
         if serial:
             docs, ex = chain_docs()
-            sigs, fuzzy = chain_sigs()
+            sigs, fuzzy, prep = chain_sigs(False)
         else:
             with concurrent.futures.ThreadPoolExecutor(2) as pool:
-                fa, fb = pool.submit(chain_docs), pool.submit(chain_sigs)
+                fa = pool.submit(chain_docs)
+                fb = pool.submit(chain_sigs, True)
                 docs, ex = fa.result()
-                sigs, fuzzy = fb.result()
+                sigs, fuzzy, prep = fb.result()
 
         sub_extra = None
         if cfg.substring_enabled:
@@ -237,7 +263,8 @@ class DedupePipeline:
             # per-pair span search for zero extra connectivity.
             known = ex.union(fuzzy).select_columns(["id_a", "id_b"])
             sub = self._stage("edges_substring", lambda: substring_edges(
-                self.files(), sigs, cfg, exclude_pairs=known, remap=remap))
+                self.files(), sigs, cfg, exclude_pairs=known, remap=remap,
+                prep=prep))
             if cfg.substring_cluster:
                 sub_extra = _substring_to_edges(sub, cfg)
 

@@ -435,8 +435,29 @@ def _broadcast_pair_contents(pairs_ds, contents_ds):
                                 zero_copy_batch=True)
 
 
+def substring_prep(files_ds, signatures_ds, cfg: PipelineConfig,
+                   remap=None):
+    """The signature-only HEAD of the substring pass: anchor-blocked
+    candidate pairs + the gathered normalized contents for their doc set.
+    Depends on nothing but signatures + files, so the driver runs it
+    CONCURRENTLY with the fuzzy verify stage (dedupe.py) — at 32 CPUs
+    these ~2-3 s of fixed-shape work otherwise sit serially on the
+    critical path. The content set is gathered for the PRE-anti-join
+    pair set (a slight superset of what the post-anti-join gather would
+    fetch — extra rows only pad the byte-gated content broadcast, never
+    the verification work)."""
+    import ray
+
+    pairs_pre = anchor_candidates(signatures_ds, cfg).materialize()
+    if pairs_pre.count() == 0:
+        return pairs_pre, None
+    contents = _candidate_contents(files_ds, pairs_pre, cfg,
+                                   remap=remap).materialize()
+    return pairs_pre, contents
+
+
 def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
-                    exclude_pairs=None, remap=None):
+                    exclude_pairs=None, remap=None, prep=None):
     """files + signatures → substring-duplicate edge Dataset (SUB_EDGE_SCHEMA).
 
     ``exclude_pairs``: pairs already linked by the exact/fuzzy passes —
@@ -454,7 +475,11 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     """
     import ray
 
-    pairs = anchor_candidates(signatures_ds, cfg)
+    contents = None
+    if prep is not None:  # head precomputed concurrently with fuzzy
+        pairs, contents = prep
+    else:
+        pairs = anchor_candidates(signatures_ds, cfg)
     if exclude_pairs is not None:
         pairs = anti_join_pairs(pairs, exclude_pairs, cfg)
     pairs = pairs.materialize()
@@ -463,8 +488,9 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
 
     from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
 
-    contents = _candidate_contents(files_ds, pairs, cfg,
-                                   remap=remap).materialize()
+    if contents is None:
+        contents = _candidate_contents(files_ds, pairs, cfg,
+                                       remap=remap).materialize()
     n_contents = contents.count()
     # contents are WIDE rows: gate the broadcast fast path on BYTES (the
     # materialized size is known here) — the plasma broadcast is one
