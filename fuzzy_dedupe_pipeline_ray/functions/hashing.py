@@ -386,9 +386,14 @@ def make_minhasher(cfg) -> "MinHasher | OnePermMinHasher":
 
 
 def pack_signatures(sigs: np.ndarray, bits: int = 64) -> "pa.Array":
-    """(m, P) uint64 signature matrix → Arrow binary column
-    (``bits/8``·P bytes per row). Binary (not fixed_size_list) so the
-    column survives Acero hash joins as a payload field.
+    """(m, P) uint64 signature matrix → Arrow ``fixed_size_binary`` column
+    (``bits/8``·P bytes per row). Fixed-size binary has NO offsets
+    buffer, so a gathered/joined block of any row count can never
+    overflow the plain-binary type's int32 offsets — a 4×-corpus run hit
+    exactly that ("Negative offsets in binary array") when ~20M verify
+    pairs × 512 B of gathered signatures crossed 2 GiB in one take();
+    it also survives Acero hash joins as a payload field and round-trips
+    parquet as FIXED_LEN_BYTE_ARRAY.
 
     ``bits=32`` stores the TOP 32 bits of each slot (``cfg.sig_bits`` —
     the memory-mass scale path): the slots are minima of uniformly-mixed
@@ -409,27 +414,30 @@ def pack_signatures(sigs: np.ndarray, bits: int = 64) -> "pa.Array":
         flat = np.ascontiguousarray(sigs, dtype="<u8").tobytes()
         w = 8 * p
     return pa.Array.from_buffers(
-        pa.binary(),
-        m,
-        [None,
-         pa.py_buffer(np.arange(0, (m + 1) * w, w, dtype=np.int32).tobytes()),
-         pa.py_buffer(flat)],
-    )
+        pa.binary(w), m, [None, pa.py_buffer(flat)])
 
 
 def unpack_signatures(col, p: int) -> np.ndarray:
-    """Arrow binary column of packed signatures → (m, P) uint matrix —
-    uint64 or uint32, inferred from the row byte width (so readers never
-    need the writer's ``sig_bits``; resumed runs with either width work).
+    """Arrow fixed_size_binary (or legacy variable binary) column of
+    packed signatures → (m, P) uint matrix — uint64 or uint32, inferred
+    from the row byte width (so readers never need the writer's
+    ``sig_bits``; resumed runs with either width or either Arrow type
+    work).
 
-    Zero-copy when the binary values are contiguous (the common case);
-    falls back to a per-row copy otherwise."""
+    Zero-copy when the values are contiguous (always, for fixed-size;
+    the common case for legacy binary); per-row copy otherwise."""
     import pyarrow as pa
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     m = len(arr)
     if m == 0:
         return np.empty((0, p), dtype=np.uint64)
+    if pa.types.is_fixed_size_binary(arr.type):
+        w0 = arr.type.byte_width
+        dt = "<u4" if w0 == 4 * p else "<u8"
+        data = np.frombuffer(arr.buffers()[1], dtype=dt, count=m * p,
+                             offset=arr.offset * w0)
+        return data.reshape(m, p)
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
                             count=m + 1, offset=arr.offset * 4)
     widths = np.diff(offsets)
