@@ -95,6 +95,15 @@ class PipelineConfig:
     # that dwarfs the work when the lookup side is small. Above the
     # threshold the distributed hash join is used (the 100 TB path).
     broadcast_max_rows: int = 16_000_000
+    # Pair-count gate for the verify task DAG (stages/verify.py). Pairs
+    # are consumed as plasma block SHARDS, never broadcast, so the
+    # memory model is bytes-linear and mmap-shared: ~32 B/pair of pair
+    # index in plasma + 1 B/pair per count-task output + one ~38 B/pair
+    # concat peak in the assembler — ≈3.8 GB at the 100M default, well
+    # inside the object store. Above it the two-hash-join tier runs
+    # (which gathers ~2 KB/pair of signature copies — correct at any
+    # size, but the page mass anti-scales on shared-memory hosts).
+    verify_dag_max_pairs: int = 100_000_000
     # Separate, larger gate for NARROW keyed tables (16 B/row: band_key /
     # anchor + doc_id) feeding the sliced pair-emission tiers. Plasma
     # blocks are shared mmaps, so the working set is one table copy in the
@@ -112,13 +121,14 @@ class PipelineConfig:
     # KBs each, vs the 8-byte keys the row gate above was sized for).
     # The BYTE gate is authoritative when the table's size is known; the
     # row gate is the fallback proxy when size_bytes is unavailable.
-    # Residency model at the gate: the substring content join probes BOTH
-    # pair endpoints against ONE shared plasma mmap copy
-    # (``substring._broadcast_pair_contents``), so steady-state residency
-    # is ~1× the gated bytes plus a transient driver-heap staging copy
-    # while ``ray.put`` serializes (peak ~2× briefly). Hosts whose object
-    # store is smaller than 2× this gate should lower it. Above either
-    # gate, wide tables move through the distributed hash join.
+    # Residency model at the gate: the fused substring verification
+    # (``substring.verify_span_pairs_bc``) probes BOTH pair endpoints
+    # against ONE shared plasma mmap copy of the contents table, so
+    # steady-state residency is ~1× the gated bytes plus a transient
+    # driver-heap staging copy while ``ray.put`` serializes (peak ~2×
+    # briefly). Hosts whose object store is smaller than 2× this gate
+    # should lower it. Above either gate, wide tables move through the
+    # distributed hash join.
     wide_broadcast_max_rows: int = 250_000
     wide_broadcast_max_bytes: int = 2 << 30
     # Document-identity width. 64 (default): doc_id = first 8 sha bytes,

@@ -329,6 +329,102 @@ def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     }, schema=SUB_EDGE_SCHEMA)
 
 
+#: per-worker cache for the fused broadcast-verify kernel, keyed by the
+#: contents ObjectRef hex: (keys, content_col, lengths, doc_cache) where
+#: doc_cache maps content-table ROW -> (str, _RollState, probe_hashes).
+#: Docs recur across MANY pair batches (anchor blocking), so the O(n)
+#: roll-state/probe prep and the Python-string materialization happen
+#: once per doc per WORKER, not once per pair — the column-carrying
+#: design gathered ~2 KB of content copies per pair, a page mass that
+#: ANTI-scaled 284→317 s from 8 to 32 CPUs on the 4× corpus.
+_SPAN_BC_CACHE: dict = {}
+_SPAN_DOC_CACHE_MAX = 16384
+
+
+def _span_bc_lookup(ref):
+    import ray
+
+    key = ref.hex()
+    hit = _SPAN_BC_CACHE.get(key)
+    if hit is None:
+        import pyarrow.compute as pc
+
+        tbl, on = ray.get(ref)
+        keys = tbl.column(on).combine_chunks()
+        content = tbl.column("norm_content").combine_chunks()
+        lengths = pc.binary_length(content).to_numpy().astype(np.int64)
+        _SPAN_BC_CACHE.clear()  # one contents table per run
+        _SPAN_BC_CACHE[key] = hit = (keys, content, lengths, {})
+    return hit
+
+
+def verify_span_pairs_bc(batch: pa.Table, cfg: PipelineConfig,
+                         contents_ref) -> pa.Table:
+    """Fused content-lookup + span verification over a PAIR-ONLY batch
+    (id_a, id_b) against the shared broadcast contents table. Length
+    pre-filter runs on the cached lengths array (no string touched for
+    rejected pairs); surviving pairs resolve contents once per distinct
+    doc via the worker-level cache. Output is identical to
+    ``verify_span_batch`` over the column-carrying join (same pair
+    order, same decisions)."""
+    import pyarrow.compute as pc
+
+    from fuzzy_dedupe_pipeline_ray.perf import tune_allocator
+
+    tune_allocator()
+    keys, content, lengths, doc_cache = _span_bc_lookup(contents_ref)
+    out = {k: [] for k in ("id_a", "id_b", "span_len", "span_frac")}
+
+    def empty():
+        return pa.table({
+            "id_a": pa.array(out["id_a"], pa.int64()),
+            "id_b": pa.array(out["id_b"], pa.int64()),
+            "span_len": pa.array(out["span_len"], pa.int64()),
+            "span_frac": pa.array(out["span_frac"], pa.float64()),
+        }, schema=SUB_EDGE_SCHEMA)
+
+    if batch.num_rows == 0:
+        return empty()
+    pos_a = pc.fill_null(pc.index_in(batch.column("id_a"),
+                                     value_set=keys), -1)
+    pos_b = pc.fill_null(pc.index_in(batch.column("id_b"),
+                                     value_set=keys), -1)
+    ia = pos_a.to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = pos_b.to_numpy(zero_copy_only=False).astype(np.int64)
+    span_w = cfg.min_substring_span
+    ok = (ia >= 0) & (ib >= 0)
+    sel = np.flatnonzero(ok)
+    sel = sel[(lengths[ia[sel]] >= span_w) & (lengths[ib[sel]] >= span_w)]
+    if not len(sel):
+        return empty()
+    id_a = batch.column("id_a").to_numpy()
+    id_b = batch.column("id_b").to_numpy()
+
+    def doc(row: int):
+        d = doc_cache.get(row)
+        if d is None:
+            if len(doc_cache) >= _SPAN_DOC_CACHE_MAX:
+                doc_cache.clear()
+            s = content[row].as_py()
+            st = _RollState(s)
+            doc_cache[row] = d = (s, st,
+                                  np.unique(st.window_hashes(span_w)))
+        return d
+
+    for i in sel:
+        a, ra, ha = doc(int(ia[i]))
+        b, rb, hb = doc(int(ib[i]))
+        if not len(np.intersect1d(ha, hb, assume_unique=True)):
+            continue
+        span, _, _ = longest_common_span(a, b, span_w, ra=ra, rb=rb)
+        if span >= span_w:
+            out["id_a"].append(int(id_a[i]))
+            out["id_b"].append(int(id_b[i]))
+            out["span_len"].append(span)
+            out["span_frac"].append(span / max(1, min(len(a), len(b))))
+    return empty()
+
+
 def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
     """Distinct candidate doc ids (from both pair columns) → Dataset of
     (doc_id, norm_content) for exactly those docs.
@@ -409,45 +505,6 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
         batch_format="pyarrow")
 
 
-def _broadcast_pair_contents(pairs_ds, contents_ds):
-    """Attach ``content_a``/``content_b`` to the pair table via ONE shared
-    plasma copy of the candidate-contents table probed for BOTH endpoints
-    (inner-join semantics on each). Two renamed ``lookup_join`` calls
-    would ``ray.put`` two full copies of the wide contents table — peak
-    residency near the byte gate was ~3× the gated bytes once the
-    per-join driver-heap staging copies were counted."""
-    import pyarrow.compute as pc
-    import ray
-
-    from fuzzy_dedupe_pipeline_ray.sources.io import (_prepared_lookup,
-                                                      to_local_table)
-
-    tbl = to_local_table(contents_ds)
-    if tbl is None or tbl.num_rows == 0:
-        return pairs_ds.limit(0)
-    ref = ray.put((tbl, "doc_id"))
-
-    def merge(b: pa.Table) -> pa.Table:
-        rkeys, rtbl = _prepared_lookup(ref)
-        pos_a = pc.index_in(b.column("id_a"), value_set=rkeys)
-        pos_b = pc.index_in(b.column("id_b"), value_set=rkeys)
-        if isinstance(pos_a, pa.ChunkedArray):
-            pos_a = pos_a.combine_chunks()
-        if isinstance(pos_b, pa.ChunkedArray):
-            pos_b = pos_b.combine_chunks()
-        keep = pc.and_(pc.is_valid(pos_a), pc.is_valid(pos_b))
-        out = b.filter(keep)
-        content = rtbl.column("norm_content")
-        out = out.append_column("content_a",
-                                content.take(pos_a.filter(keep)))
-        out = out.append_column("content_b",
-                                content.take(pos_b.filter(keep)))
-        return out
-
-    return pairs_ds.map_batches(merge, batch_format="pyarrow",
-                                zero_copy_batch=True)
-
-
 def substring_prep(files_ds, signatures_ds, cfg: PipelineConfig,
                    remap=None):
     """The signature-only HEAD of the substring pass: anchor-blocked
@@ -520,18 +577,37 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     else:
         broadcast_ok = n_contents <= cfg.wide_broadcast_max_rows
     if broadcast_ok:
-        # one shared plasma copy probed for BOTH endpoints (see
-        # _broadcast_pair_contents for the residency math)
-        with_content = _broadcast_pair_contents(pairs, contents)
-    else:
-        ca = contents.rename_columns({"doc_id": "id_a",
-                                      "norm_content": "content_a"})
-        cb = contents.rename_columns({"doc_id": "id_b",
-                                      "norm_content": "content_b"})
-        with_content = lookup_join(pairs, ca, on="id_a", cfg=cfg,
-                                   right_count=n_contents, gate_rows=0)
-        with_content = lookup_join(with_content, cb, on="id_b", cfg=cfg,
-                                   right_count=n_contents, gate_rows=0)
+        # FUSED path: pair-only batches against ONE shared plasma copy of
+        # the contents table — the verification kernel resolves contents
+        # per DISTINCT doc through a worker-level cache instead of
+        # materializing ~2 KB of content columns per pair (that page mass
+        # anti-scaled 284→317 s, 8→32 CPUs, on the 4× corpus). Larger
+        # batches amortize the doc cache; pairs are 16 B/row so 4096-pair
+        # tasks stay tiny.
+        import ray
+
+        from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+        ctbl = to_local_table(contents)
+        if ctbl is None or ctbl.num_rows == 0:
+            return ray.data.from_arrow(SUB_EDGE_SCHEMA.empty_table())
+        cref = ray.put((ctbl, "doc_id"))
+        cfg_local = cfg
+        return pairs.map_batches(
+            lambda b: verify_span_pairs_bc(b, cfg_local, cref),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+
+    # 100 TB tier: distributed content joins + the column-carrying kernel
+    ca = contents.rename_columns({"doc_id": "id_a",
+                                  "norm_content": "content_a"})
+    cb = contents.rename_columns({"doc_id": "id_b",
+                                  "norm_content": "content_b"})
+    with_content = lookup_join(pairs, ca, on="id_a", cfg=cfg,
+                               right_count=n_contents, gate_rows=0)
+    with_content = lookup_join(with_content, cb, on="id_b", cfg=cfg,
+                               right_count=n_contents, gate_rows=0)
 
     # Stateless task pool, not actors: per-pair span verification is
     # sub-millisecond (rolling-hash LCS), so elastic tasks over small

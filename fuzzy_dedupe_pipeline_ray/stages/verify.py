@@ -348,7 +348,13 @@ def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig, bank=None):
         import ray.data as rd
 
         pairs_mat = pairs_ds.materialize()
-        if pairs_mat.count() <= cfg.broadcast_max_rows:
+        # The DAG never broadcasts the pairs (they are processed as
+        # plasma block SHARDS), so they get their own bytes-derived gate,
+        # NOT broadcast_max_rows — a 4x-corpus run (20.9M pairs) fell off
+        # this path onto the two-join tier, whose ~2 KB/pair of gathered
+        # signature copies ANTI-scaled 176->305 s from 8 to 32 CPUs on
+        # the shared memory-backing host path.
+        if pairs_mat.count() <= cfg.verify_dag_max_pairs:
             if bank is not None:
                 narrow_ref, piece_refs = bank[0], bank[1]
             else:
