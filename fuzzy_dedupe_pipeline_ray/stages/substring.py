@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+from fuzzy_dedupe_pipeline_ray.functions import hashing as _hashing
 from fuzzy_dedupe_pipeline_ray.stages.fingerprint import (
     normalize_for_shingles_array,
 )
@@ -150,6 +151,7 @@ class _RollState:
     (S[i+L] − S[i])·B^{i+L-1} — fully vectorized, no O(n·L) window matrix.
     """
 
+    @_hashing._wrap_errstate
     def __init__(self, text: str):
         from fuzzy_dedupe_pipeline_ray.functions.hashing import (
             inv_prime_powers,
@@ -159,24 +161,38 @@ class _RollState:
         b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
         self.text = text
         self.n = len(b)
-        with np.errstate(over="ignore"):
-            s = np.zeros(self.n + 1, dtype=np.uint64)
-            if self.n:
-                # power tables are per-worker cached READ-ONLY views (_B is
-                # the same FNV prime hashing.py caches) — only the
-                # data-dependent cumsum is paid per doc
-                np.cumsum(b.astype(np.uint64) * inv_prime_powers(self.n),
-                          out=s[1:])
-            self.s = s
-            self.bpow = prime_powers(self.n + 1)
+        s = np.zeros(self.n + 1, dtype=np.uint64)
+        if self.n:
+            # power tables are per-worker cached READ-ONLY views (_B is
+            # the same FNV prime hashing.py caches) — only the
+            # data-dependent cumsum is paid per doc
+            np.cumsum(b.astype(np.uint64) * inv_prime_powers(self.n),
+                      out=s[1:])
+        self.s = s
+        self.bpow = prime_powers(self.n + 1)
 
+    @_hashing._wrap_errstate
     def window_hashes(self, L: int) -> np.ndarray:
         """uint64 hash of every L-byte window (empty if n < L)."""
         if L > self.n or L <= 0:
             return np.empty(0, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            return ((self.s[L:] - self.s[:-L])
-                    * self.bpow[L - 1: self.n])
+        return ((self.s[L:] - self.s[:-L])
+                * self.bpow[L - 1: self.n])
+
+
+def _has_common_sorted(ha_s: np.ndarray, hb_s: np.ndarray) -> bool:
+    """Emptiness test for two SORTED uint64 hash arrays via searchsorted
+    membership — O(min sort already paid + (n+m)·log) with no
+    concatenate-argsort. ``np.intersect1d`` (even ``assume_unique``)
+    argsorts the CONCATENATION per call; the reject path was a profiled
+    40% of the substring kernel (723k argsorts / 80k pairs)."""
+    if len(ha_s) > len(hb_s):
+        ha_s, hb_s = hb_s, ha_s
+    if not len(ha_s):
+        return False
+    pos = np.searchsorted(hb_s, ha_s)
+    np.minimum(pos, len(hb_s) - 1, out=pos)
+    return bool((hb_s[pos] == ha_s).any())
 
 
 def longest_common_span(a: str, b: str, min_len: int,
@@ -216,11 +232,25 @@ def _lcs_inner(a: str, b: str, min_len: int,
         hb = rb.window_hashes(L)
         if not len(ha) or not len(hb):
             return None
-        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
-        for k in range(len(common)):
-            i, j = int(ia[k]), int(ib[k])
-            if a[i:i + L] == b[j:j + L]:  # collision guard
-                return i, j
+        # ONE argsort of the smaller side gives both the membership test
+        # and the match indices — np.intersect1d argsorted the
+        # CONCATENATION plus two unique passes per probe (a profiled
+        # ~60% of the span kernel; anchor-blocked pairs make HIT probes
+        # the common case, so the index path must be cheap too)
+        if len(ha) <= len(hb):
+            small, big, swapped = ha, hb, False
+        else:
+            small, big, swapped = hb, ha, True
+        ord_s = np.argsort(small, kind="stable")
+        ss = small[ord_s]
+        pos = np.searchsorted(ss, big)
+        np.minimum(pos, len(ss) - 1, out=pos)
+        cand = np.flatnonzero(ss[pos] == big)
+        for j in cand:
+            i, jj = int(ord_s[pos[j]]), int(j)
+            ia_, ib_ = (jj, i) if swapped else (i, jj)
+            if a[ia_:ia_ + L] == b[ib_:ib_ + L]:  # collision guard
+                return ia_, ib_
         return None
 
     # short-circuit: if no common window of exactly min_len exists, no
@@ -312,7 +342,7 @@ def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
             continue
         ra, rb = doc_state(ida, a), doc_state(idb, b)
         ha, hb = doc_probe(ida, ra), doc_probe(idb, rb)
-        if not len(np.intersect1d(ha, hb, assume_unique=True)):
+        if not _has_common_sorted(ha, hb):
             continue
         span, _, _ = longest_common_span(a, b, cfg.min_substring_span,
                                          ra=ra, rb=rb)
@@ -414,7 +444,7 @@ def verify_span_pairs_bc(batch: pa.Table, cfg: PipelineConfig,
     for i in sel:
         a, ra, ha = doc(int(ia[i]))
         b, rb, hb = doc(int(ib[i]))
-        if not len(np.intersect1d(ha, hb, assume_unique=True)):
+        if not _has_common_sorted(ha, hb):
             continue
         span, _, _ = longest_common_span(a, b, span_w, ra=ra, rb=rb)
         if span >= span_w:
