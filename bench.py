@@ -87,6 +87,10 @@ def _bench_cfg(num_cpus: int):
         kw = dict(broadcast_max_rows=0, keyed_broadcast_max_rows=0,
                   band_driver_max_rows=0, wide_broadcast_max_rows=0,
                   wide_broadcast_max_bytes=0, cc_unionfind_max_edges=0)
+    if os.environ.get("GRAFT_MINHASH_MODE"):
+        # classic = the P-permutation bank (highest parallel fraction —
+        # the configuration BASELINE.md's classic-mode scaling rows use)
+        kw["minhash_mode"] = os.environ["GRAFT_MINHASH_MODE"]
     return PipelineConfig(fingerprint_concurrency=max(2, num_cpus - 2),
                           num_partitions=max(8, num_cpus // 2), **kw)
 
