@@ -34,6 +34,16 @@ def _parse_overrides(pairs: "list[str]") -> dict:
         if "=" not in p:
             raise SystemExit(f"--set expects key=value, got {p!r}")
         k, v = p.split("=", 1)
+        # Python-style spellings (True/False/None) must not silently fall
+        # through as truthy strings — `--set lowercase=False` becoming the
+        # string "False" would pass every `if cfg.lowercase:` check
+        low = v.strip().lower()
+        if low in ("true", "false"):
+            out[k] = low == "true"
+            continue
+        if low in ("null", "none"):
+            out[k] = None
+            continue
         try:
             out[k] = json.loads(v)
         except json.JSONDecodeError:
@@ -87,9 +97,13 @@ def main(argv: "list[str] | None" = None) -> int:
 
     started_ray = False
     if not ray.is_initialized():
+        # No explicit address: under `ray job submit` (or any RAY_ADDRESS)
+        # this CONNECTS to the running cluster; otherwise it starts a
+        # local instance. `address="local"` would force an isolated
+        # single-node Ray even inside a cluster job. num_cpus only applies
+        # to a locally-started instance — Ray rejects it when connecting.
         kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR", **kw)
+        ray.init(include_dashboard=False, logging_level="ERROR", **kw)
         started_ray = True
     import ray.data
 

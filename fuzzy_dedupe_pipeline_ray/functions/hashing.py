@@ -24,26 +24,39 @@ _FNV_PRIME = np.uint64(1099511628211)
 _FNV_OFFSET = np.uint64(14695981039346656037)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
-_ERR_PINNED = False
+import threading
+
+_ERR_TLS = threading.local()
 
 
 def pin_overflow_ignore() -> None:
-    """Set ``over="ignore"`` PROCESS-WIDE (numpy errstate is per-thread
-    global) so the per-call ``np.errstate`` context in ``_wrap_errstate``
+    """Set ``over="ignore"`` for THIS THREAD (numpy errstate is per-thread)
+    so the per-call ``np.errstate`` context in ``_wrap_errstate``
     short-circuits. Every uint64 kernel in this module relies on mod-2^64
     wraparound, and the errstate enter/exit dance was a measured 28% of
     the fingerprint hot loop (153k ``seterr`` calls per 10k docs).
     Called from ``perf.tune_allocator`` — i.e. once per worker process at
     task/actor setup; overflow WARNINGS (never errors) are the only
-    behavior suppressed for other code in the worker."""
-    global _ERR_PINNED
+    behavior suppressed for other code on the thread. The pinned flag is
+    THREAD-LOCAL to match ``np.seterr``'s scope — a process-global flag
+    would make kernels on OTHER threads (driver chain threads in
+    pipelines/dedupe.py, secondary worker threads) skip the context while
+    their errstate still warns."""
     np.seterr(over="ignore")
-    _ERR_PINNED = True
+    _ERR_TLS.pinned = True
+
+
+def _err_pinned() -> bool:
+    return getattr(_ERR_TLS, "pinned", False)
 
 
 def _wrap_errstate(fn):
+    # inner is a NESTED function, so cloudpickle ships it by value and
+    # captures every global it references; it must reach the (unpicklable)
+    # thread-local through the module-level accessor `_err_pinned` — which
+    # pickles by reference — never by naming `_ERR_TLS` directly.
     def inner(*a, **kw):
-        if _ERR_PINNED:
+        if _err_pinned():
             return fn(*a, **kw)
         with np.errstate(over="ignore"):
             return fn(*a, **kw)
@@ -167,11 +180,27 @@ _FNV_INV = np.uint64(pow(int(_FNV_PRIME), -1, 1 << 64))
 #: the prefix. Returned slices are READ-ONLY views — never write to them.
 _POW_CACHE: dict = {}
 
+#: cache cap: tables are retained for the worker's lifetime and sized by
+#: the LARGEST document hashed, so an uncapped cache would pin
+#: 2 bases × 8 B × (content bytes, with 2× doubling overshoot) per worker
+#: forever — one 100 MB vendored blob ⇒ ~3 GB resident per worker.
+#: 4M entries (32 MB per base) covers every normal source file; larger
+#: requests compute their table fresh per call (one cumprod pass — cheap
+#: relative to hashing a rare monster doc) and are NOT stored.
+_POW_CACHE_MAX = 1 << 22
+
 
 def _cached_powers(base: np.uint64, n: int) -> np.ndarray:
+    if n > _POW_CACHE_MAX:
+        new = np.full(n, base, dtype=np.uint64)
+        new[0] = 1
+        with np.errstate(over="ignore"):
+            np.cumprod(new, out=new)
+        return new
     cur = _POW_CACHE.get(int(base))
     if cur is None or len(cur) < n:
         m = max(n, 2 * len(cur) if cur is not None else n, 1 << 16)
+        m = min(m, _POW_CACHE_MAX)
         new = np.full(m, base, dtype=np.uint64)
         new[0] = 1
         with np.errstate(over="ignore"):

@@ -59,12 +59,20 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
     The barrier pins one narrow intermediate in the (spillable) object
     store — the safe default; fuse joins manually only with profiling.
 
-    Inputs are guarded against the Ray empty-first-block schema-broadcast
-    edge (see ``_compact_blocks``): the right side is always materialized
-    and compacted; the left side is compacted when already materialized
-    (lazy left sides stay streaming — at scale every partition of a big
-    left receives data, so the edge cannot trigger there). A side known
-    to be EMPTY short-circuits the distributed join entirely.
+    BOTH inputs are guarded against the Ray empty-first-block
+    schema-broadcast edge (see ``_compact_blocks``): each side is
+    materialized and compacted before the join. A lazy left previously
+    stayed streaming on the theory that "a big left feeds every
+    partition" — but the edge is triggered by SPARSE inputs (an empty
+    first block plus any hash partition that receives no nonempty shard),
+    which is exactly what degenerate stages produce (e.g. labelprop
+    rounds whose edge checkpoint leads with an empty part file;
+    reproduced in ``test_hash_join_left_lazy_empty_first_block``). The
+    cost is one extra materialization barrier for lazy lefts — modest,
+    since the join output is materialized anyway (deadlock note above)
+    and the object store spills; correctness on the forced-distributed
+    tiers beats the lost map/shuffle overlap. A side known to be EMPTY
+    short-circuits the distributed join entirely.
     """
     import pyarrow as pa
     import ray.data
@@ -77,9 +85,9 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
     if not isinstance(right, MaterializedDataset):
         right = right.materialize()
     right, n_right = _compact_blocks(right)
-    n_left = None
-    if isinstance(left, MaterializedDataset):
-        left, n_left = _compact_blocks(left)
+    if not isinstance(left, MaterializedDataset):
+        left = left.materialize()
+    left, n_left = _compact_blocks(left)
 
     if n_right == 0 or n_left == 0:
         # Acero on the two empty tables yields the exact joined schema

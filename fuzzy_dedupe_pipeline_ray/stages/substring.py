@@ -598,14 +598,27 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     # so bytes bound the residency, not rows. (The row-proxy gate tripped
     # at ~281k candidate docs on the 2× scale corpus and pushed both wide
     # joins onto distributed hash joins: substring stage 27 → 151 s.)
-    try:
-        c_bytes = contents.size_bytes()
-    except Exception:  # noqa: BLE001 — fall back to the row proxy
-        c_bytes = None
-    if c_bytes is not None:
-        broadcast_ok = c_bytes <= cfg.wide_broadcast_max_bytes
-    else:
-        broadcast_ok = n_contents <= cfg.wide_broadcast_max_rows
+    def _gate(c):
+        try:
+            return c.size_bytes() <= cfg.wide_broadcast_max_bytes
+        except Exception:  # noqa: BLE001 — fall back to the row proxy
+            return c.count() <= cfg.wide_broadcast_max_rows
+
+    broadcast_ok = _gate(contents)
+    if (not broadcast_ok and prep is not None
+            and (cfg.wide_broadcast_max_bytes or
+                 cfg.wide_broadcast_max_rows)):
+        # The overlapped head gathered contents for the PRE-anti-join pair
+        # superset; gating on that superset could push a run onto the
+        # distributed tier that the post-anti-join set (what serial mode
+        # gates on) would broadcast — tier selection must depend on data,
+        # not on whether the prep overlap ran. Re-gather for the surviving
+        # pairs and re-evaluate once. (Skipped when the gates are forced
+        # to 0 — no gather can flip that decision.)
+        contents = _candidate_contents(files_ds, pairs, cfg,
+                                       remap=remap).materialize()
+        n_contents = contents.count()
+        broadcast_ok = _gate(contents)
     if broadcast_ok:
         # FUSED path: pair-only batches against ONE shared plasma copy of
         # the contents table — the verification kernel resolves contents

@@ -45,6 +45,27 @@ def test_hash_join_right_first_block_empty(ray_session):
     assert out.to_dict("records") == [{"k": 1, "v": 1, "w": 10}]
 
 
+def test_hash_join_left_lazy_empty_first_block(ray_session):
+    """A LAZY left whose first block is empty and whose keys concentrate
+    into few hash partitions used to crash at finalize ("No match or
+    multiple matches for key field reference ... left side") — the
+    schema broadcast rides only the first submitted shuffle task, and an
+    empty block sends none. hash_join now materializes+compacts lazy
+    lefts too (the edge is triggered by SPARSE inputs — labelprop rounds
+    over an edges checkpoint that leads with an empty part file — not by
+    the dense at-scale case the old guard assumed away)."""
+    import ray.data
+
+    left = ray.data.from_arrow(
+        [_empty_kw().rename_columns(["k", "v"]),
+         pa.table({"k": [1, 1, 1, 1], "v": [10, 11, 12, 13]})]
+    ).map_batches(lambda b: b, batch_format="pyarrow")
+    right = ray.data.from_arrow(pa.table({"k": [1], "w": [99]}))
+    out = hash_join(left, right, on="k", cfg=CFG).to_pandas()
+    assert sorted(out["v"]) == [10, 11, 12, 13]
+    assert set(out["w"]) == {99}
+
+
 def test_hash_join_empty_right_inner_short_circuit(ray_session):
     import ray.data
 
