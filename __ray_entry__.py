@@ -133,6 +133,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_token_stats": textops.doc_token_stats,
         "doc_quality": textops.doc_quality,
         "doc_langid": textops.doc_langid,
+        "doc_sample": textops.doc_sample,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
             textops.doc_fingerprint_exact_family_check,
@@ -143,6 +144,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_ivf_recall_check": ann.ann_ivf_recall_check,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        "embedding_cc_clusters": ann.embedding_cc_clusters,
         # scalar extractors (M6/M7) over the deterministic address fixture
         "addr_extract": addresses.addr_extract,
         # multimodal (deterministic fixture; decode stubbed, plumbing real)
@@ -155,6 +157,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "part_type_distinct": relational.part_type_distinct,
         "events_hourly_window": relational.events_hourly_window,
         "events_sessionize": relational.events_sessionize,
+        "events_asof_join": relational.events_asof_join,
+        "events_rolling": relational.events_rolling,
+        "part_brand_set_ops": relational.part_brand_set_ops,
     }
 
 
@@ -315,6 +320,22 @@ def oracle_sql() -> "dict[str, str]":
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
             ORDER BY id_a, id_b
         """,
+        "embedding_cc_clusters": """
+            WITH RECURSIVE edges AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+            sym AS (
+                SELECT id_a AS u, id_b AS v FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges),
+            reach AS (
+                SELECT vec_id AS node, vec_id AS label FROM embeddings
+                UNION
+                SELECT s.u AS node, r.label
+                FROM reach r JOIN sym s ON s.v = r.node)
+            SELECT node AS vec_id, min(label) AS cluster_id
+            FROM reach GROUP BY node ORDER BY vec_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
@@ -360,6 +381,53 @@ def oracle_sql() -> "dict[str, str]":
             FROM events
             GROUP BY user_id, event_type, date_trunc('hour', ts)
             ORDER BY user_id, event_type, window_start
+        """,
+        "doc_sample": f"""
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE (doc_id * {textops._SAMPLE_MULT}) % {textops._SAMPLE_MOD}
+                  < {textops._SAMPLE_KEEP}
+            ORDER BY doc_id
+        """,
+        "events_asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id,
+                   CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+                   COALESCE(CAST(epoch_us(r.ts) AS BIGINT), -1)
+                       AS last_purchase_ts_us,
+                   COALESCE(r.cents, -1) AS last_purchase_value_cents
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   count(*) OVER w AS n_in_window,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS roll_sum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "part_brand_set_ops": """
+            WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),
+                 b AS (SELECT DISTINCT p_brand FROM part
+                       WHERE p_type LIKE '%BRASS%')
+            SELECT 'except_a' AS op, p_brand
+            FROM (SELECT p_brand FROM a EXCEPT SELECT p_brand FROM b)
+            UNION ALL
+            SELECT 'intersect', p_brand
+            FROM (SELECT p_brand FROM a INTERSECT SELECT p_brand FROM b)
+            UNION ALL
+            SELECT 'union', p_brand
+            FROM (SELECT p_brand FROM a UNION SELECT p_brand FROM b)
+            ORDER BY op, p_brand
         """,
         "events_sessionize": """
             WITH o AS (

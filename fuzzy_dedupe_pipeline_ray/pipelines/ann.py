@@ -200,6 +200,42 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.4,
         ["id_a", "id_b"])
 
 
+def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup DEDUPE: exact cosine pairs → connected
+    components → ``(vec_id, cluster_id)`` with cluster_id = min member id
+    (singletons label themselves).
+
+    This is the clustering form of ``embedding_near_dup_pairs`` — the
+    pair threshold graph run through the same CC engine the flagship
+    uses (``stages/cc.py``), so the whole chain pairs→CC→labels gets a
+    FULL exact DuckDB oracle (transitive closure via a recursive CTE),
+    not just an invariant check. Scale path: swap the exact pair source
+    for the LSH-bucketed candidates; the CC + labeling stages are shared.
+    """
+    import pyarrow.compute as pc
+
+    from fuzzy_dedupe_pipeline_ray.config import DEFAULT_CONFIG
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+    from fuzzy_dedupe_pipeline_ray.stages.cc import connected_components
+
+    pairs = embedding_near_dup_pairs(sf_dir, threshold)
+    labels = connected_components(pairs, DEFAULT_CONFIG)
+    ids = read_embeddings(sf_dir).map_batches(
+        lambda b: b.select(["vec_id"]).rename_columns(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = lookup_join(ids, labels, on="doc_id", cfg=DEFAULT_CONFIG,
+                    join_type="left_outer")
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": b.column("doc_id"),
+            "cluster_id": pc.coalesce(b.column("label"),
+                                      b.column("doc_id")),
+        })
+
+    return j.map_batches(out, batch_format="pyarrow").sort("vec_id")
+
+
 def _kmeans_centroids(sf_dir: str, n_centroids: int, iters: int = 3):
     """Deterministic spherical k-means over the embedding column,
     expressed Ray-Data-first: each Lloyd iteration is ONE streaming pass —

@@ -349,3 +349,298 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
 
     return agg.map_batches(cast, batch_format="pyarrow").sort(
         ["user_id", "session_id"])
+
+
+# ---------------------------------------------------------------------------
+# As-of join (ordered point-in-time lookup) — an operator Ray Data lacks
+# ---------------------------------------------------------------------------
+#
+# Implemented as the same "sorted blocks + O(#blocks) driver prefix scan"
+# shape as events_sessionize: the only cross-block state is the last
+# right-side row of each block's final user, so driver state stays
+# O(#blocks), rows never leave workers, and the partitioning assumption is
+# exactly the one the global sort provides (a user's rows are contiguous
+# across at most adjacent blocks). Values are converted to integer cents
+# PER ROW (one IEEE multiply+round is bit-identical in every engine), so
+# the compared output needs no float-summation-order caveats.
+
+def _cents(col):
+    """Per-row round(value*100) → int64. A single scalar multiply+round is
+    deterministic across engines (unlike a float SUM, whose accumulation
+    order varies), so downstream arithmetic can stay exact-integer."""
+    return pc.cast(
+        pc.round(pc.multiply(pc.cast(col, pa.float64()), pa.scalar(100.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64())
+
+
+def _asof_block_summary(tbl: pa.Table):
+    """(first_user, last_user, last right-side (ts_us, cents) of the last
+    user, or None) for one sorted block."""
+    if tbl.num_rows == 0:
+        return None
+    u = tbl.column("user_id").to_numpy()
+    side = tbl.column("side").to_numpy()
+    last_u = int(u[-1])
+    idx = np.flatnonzero((u == last_u) & (side == 0))
+    tail = None
+    if len(idx):
+        i = int(idx[-1])
+        tail = (int(tbl.column("ts_us").to_numpy()[i]),
+                int(tbl.column("cents").to_numpy()[i]))
+    return (int(u[0]), last_u, tail)
+
+
+def _asof_block_labels(tbl: pa.Table, carry_in) -> pa.Table:
+    """Left rows of one sorted block joined to the most recent right row at
+    or before their ts (same user); ``carry_in`` is the previous blocks'
+    last right row for this block's FIRST user (or None). Sentinel -1 for
+    no-match keeps the output null-free."""
+    u = tbl.column("user_id").to_numpy()
+    side = tbl.column("side").to_numpy()
+    ts = tbl.column("ts_us").to_numpy()
+    cents = tbl.column("cents").to_numpy()
+    eid = tbl.column("event_id").to_numpy()
+    n = len(u)
+    idx = np.where(side == 0, np.arange(n), -1)
+    m = np.maximum.accumulate(idx)
+    li = np.flatnonzero(side == 1)
+    mi = m[li]
+    ok = mi >= 0
+    ok &= u[np.clip(mi, 0, n - 1)] == u[li]
+    match_ts = np.full(len(li), -1, np.int64)
+    match_val = np.full(len(li), -1, np.int64)
+    sel = mi[ok]
+    match_ts[ok] = ts[sel]
+    match_val[ok] = cents[sel]
+    if carry_in is not None:
+        cu, cts, cval = carry_in
+        fix = (~ok) & (u[li] == cu)
+        match_ts[fix] = cts
+        match_val[fix] = cval
+    return pa.table({
+        "event_id": pa.array(eid[li], pa.int64()),
+        "user_id": pa.array(u[li], pa.int64()),
+        "ts_us": pa.array(ts[li], pa.int64()),
+        "last_purchase_ts_us": pa.array(match_ts, pa.int64()),
+        "last_purchase_value_cents": pa.array(match_val, pa.int64()),
+    })
+
+
+def events_asof_join(sf_dir: str, left_type: str = "click",
+                     right_type: str = "purchase"):
+    """AS-OF LEFT JOIN: each ``left_type`` event gets the most recent
+    ``right_type`` event (ts_right <= ts_left) of the same user.
+
+    Ray Data has no asof join; this composes one from a tagged union +
+    global sort(user_id, ts, side) + per-block vectorized
+    last-observation-carried-forward with an O(#blocks) driver boundary
+    scan (the sessionize machinery). (user_id, ts) is unique in the events
+    table, so ordering — and therefore the match — is total and
+    deterministic. Oracle: DuckDB ``ASOF LEFT JOIN``."""
+    import ray
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        b = b.filter(keep)
+        is_left = pc.equal(b.column("event_type"), pa.scalar(left_type))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+            "side": pc.cast(is_left, pa.int8()),
+            "event_id": b.column("event_id"),
+            "cents": _cents(b.column("value")),
+        })
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    sorted_ds = tagged.sort(["user_id", "ts_us", "side"]).materialize()
+    refs = list(sorted_ds.to_arrow_refs())
+
+    summarize = ray.remote(_asof_block_summary)
+    summaries = ray.get([summarize.remote(r) for r in refs])
+
+    carry = None  # (user, ts_us, cents) — last right row seen, running
+    carry_ins: list = []
+    for s in summaries:
+        if s is None:
+            carry_ins.append(None)
+            continue
+        first_u, last_u, tail = s
+        carry_ins.append(carry if carry is not None and carry[0] == first_u
+                         else None)
+        if tail is not None:
+            carry = (last_u, tail[0], tail[1])
+        elif not (carry is not None and carry[0] == last_u):
+            carry = None
+
+    label = ray.remote(_asof_block_labels)
+    label_refs = [label.remote(r, carry_ins[i])
+                  for i, r in enumerate(refs) if summaries[i] is not None]
+    if not label_refs:
+        empty = pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts_us", pa.int64()), ("last_purchase_ts_us", pa.int64()),
+            ("last_purchase_value_cents", pa.int64())]).empty_table()
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(label_refs).sort("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Rolling window aggregate (ROWS BETWEEN k PRECEDING AND CURRENT ROW)
+# ---------------------------------------------------------------------------
+
+def _rolling_block_summary(tbl: pa.Table, k: int):
+    """(first_user, last_user, last ≤k cents of the last user) for one
+    sorted block."""
+    if tbl.num_rows == 0:
+        return None
+    u = tbl.column("user_id").to_numpy()
+    cents = tbl.column("cents").to_numpy()
+    last_u = int(u[-1])
+    run = np.flatnonzero(u == last_u)
+    vals = cents[run[-k:]].tolist()
+    return (int(u[0]), last_u, [int(v) for v in vals])
+
+
+def _rolling_block_labels(tbl: pa.Table, k: int, carry_vals) -> pa.Table:
+    """Per-row rolling count + integer-cent sum over the current row plus
+    up to k preceding rows of the same user; ``carry_vals`` are the ≤k
+    trailing cents of the FIRST user's run from earlier blocks."""
+    u = tbl.column("user_id").to_numpy()
+    cents = tbl.column("cents").to_numpy().astype(np.int64)
+    n = len(u)
+    new_user = np.r_[True, u[1:] != u[:-1]]
+    run_start_rows = np.flatnonzero(new_user)
+    run_len = np.diff(np.r_[run_start_rows, n])
+    run_start = np.repeat(run_start_rows, run_len)
+    i = np.arange(n)
+    j = np.maximum(run_start, i - k)         # in-block window start
+    cs = np.r_[0, np.cumsum(cents)]
+    roll_sum = cs[i + 1] - cs[j]
+    n_win = i - j + 1
+    if carry_vals:
+        c = np.asarray(carry_vals, np.int64)
+        first_run = u == u[0]
+        p = i - run_start                     # local position in run
+        for pos in range(min(k, len(c) + k)):
+            extra = min(k - pos, len(c))
+            if extra <= 0:
+                break
+            rows = first_run & (p == pos)
+            roll_sum[rows] += int(c[len(c) - extra:].sum())
+            n_win[rows] += extra
+    return pa.table({
+        "event_id": tbl.column("event_id"),
+        "user_id": tbl.column("user_id"),
+        "ts_us": tbl.column("ts_us"),
+        "n_in_window": pa.array(n_win, pa.int64()),
+        "roll_sum_cents": pa.array(roll_sum, pa.int64()),
+    })
+
+
+def events_rolling(sf_dir: str, k: int = 3):
+    """Per-user rolling aggregate over (current + k preceding) events
+    ordered by ts: window row count + integer-cent value sum.
+
+    Same sorted-blocks + driver-boundary-scan composition as the asof
+    join; the only cross-block state is the trailing ≤k cents of each
+    block's final user. Exact-integer window sums (per-row cents) make
+    the DuckDB window-function oracle bit-comparable."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+            "event_id": b.column("event_id"),
+            "cents": _cents(b.column("value")),
+        })
+
+    sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .sort(["user_id", "ts_us"]).materialize())
+    refs = list(sorted_ds.to_arrow_refs())
+
+    summarize = ray.remote(_rolling_block_summary)
+    summaries = ray.get([summarize.remote(r, k) for r in refs])
+
+    carry_user = None
+    carry_vals: list = []
+    carry_ins: list = []
+    for s in summaries:
+        if s is None:
+            carry_ins.append([])
+            continue
+        first_u, last_u, tail_vals = s
+        carry_ins.append(list(carry_vals) if carry_user == first_u else [])
+        if carry_user == last_u:
+            carry_vals = (carry_vals + tail_vals)[-k:]
+        else:
+            carry_vals = tail_vals[-k:]
+        carry_user = last_u
+
+    label = ray.remote(_rolling_block_labels)
+    label_refs = [label.remote(r, k, carry_ins[i])
+                  for i, r in enumerate(refs) if summaries[i] is not None]
+    if not label_refs:
+        empty = pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts_us", pa.int64()), ("n_in_window", pa.int64()),
+            ("roll_sum_cents", pa.int64())]).empty_table()
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(label_refs).sort("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (union / intersect / except) — SURVEY §2 D4
+# ---------------------------------------------------------------------------
+
+def part_brand_set_ops(sf_dir: str):
+    """UNION / INTERSECT / EXCEPT of two derived brand sets (A = brands
+    with a part of size ≤ 10; B = brands with a BRASS-type part), computed
+    in ONE shuffle: a tagged membership groupby (max(a), max(b) per brand)
+    followed by a vectorized emit of the three set-op result rows — no
+    per-set distinct passes, no join. Output: (op, p_brand)."""
+    part = _read(sf_dir, "part", ["p_brand", "p_size", "p_type"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": b.column("p_brand"),
+            "a": pc.cast(pc.less_equal(b.column("p_size"), pa.scalar(10)),
+                         pa.int64()),
+            "b": pc.cast(pc.match_substring(b.column("p_type"), "BRASS"),
+                         pa.int64()),
+        })
+
+    member = (part.map_batches(mark, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("p_brand")
+              .aggregate(Max("a", alias_name="in_a"),
+                         Max("b", alias_name="in_b")))
+
+    def emit(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand")
+        in_a = pc.cast(t.column("in_a"), pa.bool_())
+        in_b = pc.cast(t.column("in_b"), pa.bool_())
+        parts = []
+        for op, mask in (
+                ("except_a", pc.and_(in_a, pc.invert(in_b))),
+                ("intersect", pc.and_(in_a, in_b)),
+                ("union", pc.or_(in_a, in_b))):
+            sel = brand.filter(mask)
+            parts.append(pa.table({
+                "op": pa.array([op] * len(sel), pa.string()),
+                "p_brand": sel}))
+        return pa.concat_tables(parts)
+
+    return member.map_batches(emit, batch_format="pyarrow").sort(
+        ["op", "p_brand"])

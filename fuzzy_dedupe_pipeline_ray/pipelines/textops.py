@@ -108,6 +108,29 @@ def doc_quality(sf_dir: str):
         f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: doc_sample keeps ids whose 32-bit Knuth multiplicative hash falls in the
+#: lowest 20% of the hash space — a deterministic, engine-portable sample
+#: (the same BIGINT arithmetic is exact in SQL, so the oracle is bitwise).
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 1 << 32
+_SAMPLE_KEEP = int(0.2 * _SAMPLE_MOD)
+
+
+def doc_sample(sf_dir: str):
+    """Deterministic hash sampling (SURVEY §2 K4): keep ~20% of documents
+    by ``(doc_id · 2654435761) mod 2³² < 0.2·2³²``. Unlike random
+    sampling, the kept set is a pure function of the key — stable across
+    runs, partitionings, and engines — which is what a resumable 100 TB
+    pipeline needs (re-running a shard re-selects the same rows)."""
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(_SAMPLE_MULT)) & np.uint64(_SAMPLE_MOD - 1)
+        return b.filter(pa.array(h < np.uint64(_SAMPLE_KEEP)))
+
+    return read_documents(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
 def doc_langid(sf_dir: str):
     """doc_id, lang_pred (n-gram/stopword heuristic — no model deps)."""
     def f(b: pa.Table) -> pa.Table:
