@@ -150,6 +150,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         # multimodal (deterministic fixture; decode stubbed, plumbing real)
         "media_features": multimodal.media_features_query,
         "media_exact_dupes": multimodal.media_exact_dupes_query,
+        "media_resize": multimodal.media_resize_query,
+        "media_frame_sample": multimodal.media_frame_sample_query,
         # relational operator demos
         "q1_pricing_summary": relational.q1_pricing_summary,
         "top_customers": relational.top_customers,
@@ -242,6 +244,36 @@ def oracle_sql() -> "dict[str, str]":
             SELECT media_id,
                    min(media_id) OVER (PARTITION BY payload) AS rep_id
             FROM read_parquet('{media_path}') ORDER BY media_id
+        """,
+        "media_resize": f"""
+            WITH m AS (
+                SELECT media_id, kind,
+                       octet_length(payload) AS n_bytes,
+                       CAST(json_extract_string(meta, '$.width') AS BIGINT)
+                           AS w,
+                       CAST(json_extract_string(meta, '$.height') AS BIGINT)
+                           AS h
+                FROM read_parquet('{media_path}'))
+            SELECT media_id, kind, w AS width, h AS height,
+                   CASE WHEN w <= 256 AND h <= 256 THEN w
+                        WHEN w * 256 <= h * 256
+                            THEN greatest(1, (w * 256) // h)
+                        ELSE 256 END AS out_width,
+                   CASE WHEN w <= 256 AND h <= 256 THEN h
+                        WHEN w * 256 <= h * 256 THEN 256
+                        ELSE greatest(1, (h * 256) // w) END AS out_height,
+                   n_bytes
+            FROM m ORDER BY media_id
+        """,
+        "media_frame_sample": f"""
+            WITH v AS (
+                SELECT media_id,
+                       CAST(json_extract_string(meta, '$.n_frames') AS BIGINT)
+                           AS nf
+                FROM read_parquet('{media_path}') WHERE kind = 'video')
+            SELECT media_id, CAST(u.f AS BIGINT) AS frame_idx
+            FROM v, UNNEST(range(0, nf, 4)) AS u(f)
+            ORDER BY media_id, frame_idx
         """,
         "doc_exact_dedupe": f"""
             SELECT doc_id,

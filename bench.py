@@ -130,7 +130,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for name in ("doc_minhash_lsh_dedupe", "doc_exact_dedupe", "ann_topk",
                  "embedding_near_dup_pairs", "q1_pricing_summary",
                  "events_hourly_window", "events_sessionize",
-                 "doc_ngram_jaccard_pairs"):
+                 "doc_ngram_jaccard_pairs", "events_asof_join",
+                 "events_rolling"):
         t0 = time.time()
         res = qs[name](sf_dir)
         # consume fully (count) so lazy datasets actually execute

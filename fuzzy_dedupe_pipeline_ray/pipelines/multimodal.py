@@ -112,12 +112,18 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
             payload = rows[-1]["payload"]
         else:
             payload = rng.bytes(int(rng.randint(256, 4096)))
+        kind = ["image", "audio", "video"][i % 3]
+        meta = {"width": int(rng.randint(16, 640)),
+                "height": int(rng.randint(16, 480))}
+        if kind == "video":
+            # derived WITHOUT consuming the rng stream so payloads stay
+            # byte-identical across fixture versions
+            meta["n_frames"] = 30 + (i * 7) % 270
         rows.append({
             "media_id": i,
-            "kind": ["image", "audio", "video"][i % 3],
+            "kind": kind,
             "payload": payload,
-            "meta": json.dumps({"width": int(rng.randint(16, 640)),
-                                "height": int(rng.randint(16, 480))}),
+            "meta": json.dumps(meta, sort_keys=True),
         })
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
@@ -143,7 +149,7 @@ def media_fixture_path(root: str = "/tmp/fdpr_media") -> str:
 
     import pyarrow.parquet as pq
 
-    d = os.path.join(root, f"v1_{MEDIA_FIXTURE_N}_{MEDIA_FIXTURE_SEED}")
+    d = os.path.join(root, f"v2_{MEDIA_FIXTURE_N}_{MEDIA_FIXTURE_SEED}")
     path = os.path.join(d, "media.parquet")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
@@ -152,7 +158,7 @@ def media_fixture_path(root: str = "/tmp/fdpr_media") -> str:
     pq.write_table(synth_media_table(MEDIA_FIXTURE_N, MEDIA_FIXTURE_SEED),
                    path, row_group_size=32)
     with open(done, "w") as f:
-        f.write("v1")
+        f.write("v2")
     return path
 
 
@@ -213,3 +219,128 @@ def media_exact_dupes(media_ds):
     return lookup_join(with_sha, reps, on="payload_sha256",
                        cfg=DEFAULT_CONFIG).select_columns(
         ["media_id", "rep_id"])
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample stages (the remaining multimodal transform shapes)
+# ---------------------------------------------------------------------------
+
+class MediaResizeActor:
+    """Actor-pool resize stage: fit each item into a ``max_w × max_h`` box
+    preserving aspect ratio. The pixel transform itself is stubbed (no
+    codecs in this container — a real deployment does the decode+scale
+    here), but the output-dimension CONTRACT is computed exactly, in pure
+    integer arithmetic, so the stage is oracle-comparable:
+
+      if w ≤ W and h ≤ H:            (w, h)            (never upscale)
+      elif w·H ≤ h·W (height-limited): (⌊w·H/h⌋ max 1, H)
+      else (width-limited):            (W, ⌊h·W/w⌋ max 1)
+    """
+
+    def __init__(self, max_w: int = 256, max_h: int = 256):
+        self.max_w = int(max_w)
+        self.max_h = int(max_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        metas = batch.column("meta").to_pylist()
+        payloads = batch.column("payload")
+        w = np.empty(len(metas), np.int64)
+        h = np.empty(len(metas), np.int64)
+        for i, m in enumerate(metas):
+            try:
+                d = json.loads(m) if m else {}
+            except json.JSONDecodeError:
+                d = {}
+            w[i] = int(d.get("width", 1))
+            h[i] = int(d.get("height", 1))
+        W, H = self.max_w, self.max_h
+        fits = (w <= W) & (h <= H)
+        height_lim = w * H <= h * W
+        out_w = np.where(fits, w,
+                         np.where(height_lim,
+                                  np.maximum(1, w * H // np.maximum(h, 1)),
+                                  W)).astype(np.int64)
+        out_h = np.where(fits, h,
+                         np.where(height_lim, H,
+                                  np.maximum(1, h * W // np.maximum(w, 1)))
+                         ).astype(np.int64)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "width": pa.array(w, pa.int64()),
+            "height": pa.array(h, pa.int64()),
+            "out_width": pa.array(out_w, pa.int64()),
+            "out_height": pa.array(out_h, pa.int64()),
+            "n_bytes": pc.cast(pc.binary_length(payloads), pa.int64()),
+        })
+
+
+def media_resize(media_ds, *, max_w: int = 256, max_h: int = 256,
+                 concurrency: int = 2, batch_size: int = 16):
+    """Resize stage as an actor-pool ``map_batches`` (same wide-row batch
+    sizing rules as the decode stage)."""
+    return media_ds.map_batches(
+        MediaResizeActor,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def media_resize_query(sf_dir: str):
+    """Driver-visible resize pipeline over the media fixture (``sf_dir``
+    unused — the fixture is size-independent)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(media_fixture_path())
+    return media_resize(ds).sort("media_id")
+
+
+def media_frame_sample(media_ds, *, stride: int = 4, batch_size: int = 16):
+    """Frame sampling: each video row fans out to one row per sampled
+    frame index (0, stride, 2·stride, … < n_frames). The frame EXTRACTION
+    is the stubbed decode; the fan-out shape — a vectorized repeat/arange
+    expansion inside ``map_batches``, never a Python per-frame loop — is
+    the real contract (at 100 TB the expansion factor is the operator:
+    output rows ≈ frames/stride per video; batch sizing must count OUTPUT
+    rows, hence the small input batch)."""
+
+    def expand(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vids = b.filter(pc.equal(b.column("kind"), pa.scalar("video")))
+        ids = vids.column("media_id").to_numpy()
+        metas = vids.column("meta").to_pylist()
+        nf = np.empty(len(metas), np.int64)
+        for i, m in enumerate(metas):
+            try:
+                d = json.loads(m) if m else {}
+            except json.JSONDecodeError:
+                d = {}
+            nf[i] = max(0, int(d.get("n_frames", 0)))
+        counts = -(-nf // stride)            # ceil(n_frames / stride)
+        rep_ids = np.repeat(ids, counts)
+        # per-video local frame index: global arange minus each video's
+        # start offset, times stride — one vectorized expansion
+        starts = np.repeat(np.r_[0, np.cumsum(counts)[:-1]], counts)
+        local = np.arange(int(counts.sum()), dtype=np.int64) - starts
+        return pa.table({
+            "media_id": pa.array(rep_ids, pa.int64()),
+            "frame_idx": pa.array(local * stride, pa.int64()),
+        })
+
+    return media_ds.map_batches(expand, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=batch_size)
+
+
+def media_frame_sample_query(sf_dir: str):
+    """Driver-visible frame-sample fan-out over the media fixture."""
+    import ray.data
+
+    ds = ray.data.read_parquet(media_fixture_path())
+    return media_frame_sample(ds).sort(["media_id", "frame_idx"])
