@@ -69,3 +69,14 @@ def test_recall_check_invariants(ray_session):
         df = fn(SF_DIR).to_pandas()
         assert len(df) == 5
         assert df["recall_ok"].all(), df
+
+
+def test_embedding_cc_clusters_no_edges(ray_session):
+    """At an impossible threshold the pair graph is empty: every vector
+    must come back a singleton labeling itself (exercises the empty-edges
+    CC path + the left-outer coalesce)."""
+    from fuzzy_dedupe_pipeline_ray.pipelines import ann
+
+    df = ann.embedding_cc_clusters(SF_DIR, threshold=1.01).to_pandas()
+    assert len(df) > 0
+    assert (df["cluster_id"] == df["vec_id"]).all()
