@@ -161,6 +161,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_sessionize": relational.events_sessionize,
         "events_asof_join": relational.events_asof_join,
         "events_rolling": relational.events_rolling,
+        "events_trailing_window": relational.events_trailing_window,
         "part_brand_set_ops": relational.part_brand_set_ops,
     }
 
@@ -445,6 +446,18 @@ def oracle_sql() -> "dict[str, str]":
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "events_trailing_window": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   count(*) OVER w AS n_in_window,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS win_sum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                                   AND CURRENT ROW)
             ORDER BY event_id
         """,
         "part_brand_set_ops": """

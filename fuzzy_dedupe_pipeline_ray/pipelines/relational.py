@@ -644,3 +644,130 @@ def part_brand_set_ops(sf_dir: str):
 
     return member.map_batches(emit, batch_format="pyarrow").sort(
         ["op", "p_brand"])
+
+
+# ---------------------------------------------------------------------------
+# Trailing TIME-range window (RANGE BETWEEN interval PRECEDING AND CURRENT)
+# ---------------------------------------------------------------------------
+#
+# The time-frame member of the ordered-window family (tumbling =
+# events_hourly_window, session = events_sessionize, row-frame =
+# events_rolling, point-in-time = events_asof_join). Same sorted-blocks +
+# driver-boundary-scan composition; the carry is every trailing row of a
+# block's final user still inside the window of the block's end timestamp
+# — bounded by DATA DENSITY (events per user per window), not by a count,
+# which is the documented partitioning assumption.
+
+def _trailing_block_summary(tbl: pa.Table, gap_us: int):
+    """(first_user, last_user, end_ts, trailing (ts, cents) arrays of the
+    last user within gap of the block end) for one sorted block."""
+    if tbl.num_rows == 0:
+        return None
+    u = tbl.column("user_id").to_numpy()
+    ts = tbl.column("ts_us").to_numpy()
+    cents = tbl.column("cents").to_numpy()
+    last_u = int(u[-1])
+    end_ts = int(ts[-1])
+    run = np.flatnonzero(u == last_u)
+    keep = run[ts[run] >= end_ts - gap_us]
+    return (int(u[0]), last_u, end_ts,
+            ts[keep].astype(np.int64), cents[keep].astype(np.int64))
+
+
+def _trailing_block_labels(tbl: pa.Table, gap_us: int, c_ts, c_cents
+                           ) -> pa.Table:
+    """Per-row count + integer-cent sum over rows of the same user with
+    ts in [ts_i - gap, ts_i]; ``c_ts``/``c_cents`` are the carried
+    trailing rows of the FIRST user's run from earlier blocks (sorted)."""
+    u = tbl.column("user_id").to_numpy()
+    ts = tbl.column("ts_us").to_numpy().astype(np.int64)
+    cents = tbl.column("cents").to_numpy().astype(np.int64)
+    n = len(u)
+    new_user = np.r_[True, u[1:] != u[:-1]]
+    run_start_rows = np.flatnonzero(new_user)
+    run_len = np.diff(np.r_[run_start_rows, n])
+    run_id = np.repeat(np.arange(len(run_start_rows)), run_len)
+    # strictly-increasing composite key: per-run band offset > ts span +
+    # gap keeps each row's (adj - gap) probe inside its own run's band
+    off = np.int64(int(ts.max()) - int(ts.min()) + gap_us + 1)
+    adj = ts + run_id * off
+    j0 = np.searchsorted(adj, adj - gap_us, side="left")
+    cs = np.r_[0, np.cumsum(cents)]
+    i = np.arange(n)
+    win_sum = cs[i + 1] - cs[j0]
+    n_win = i - j0 + 1
+    if len(c_ts):
+        first_run = u == u[0]
+        fi = np.flatnonzero(first_run)
+        pos = np.searchsorted(c_ts, ts[fi] - gap_us, side="left")
+        suffix = np.r_[np.cumsum(np.asarray(c_cents, np.int64)[::-1])[::-1], 0]
+        win_sum[fi] += suffix[pos]
+        n_win[fi] += len(c_ts) - pos
+    return pa.table({
+        "event_id": tbl.column("event_id"),
+        "user_id": tbl.column("user_id"),
+        "ts_us": tbl.column("ts_us"),
+        "n_in_window": pa.array(n_win, pa.int64()),
+        "win_sum_cents": pa.array(win_sum, pa.int64()),
+    })
+
+
+def events_trailing_window(sf_dir: str, gap_minutes: int = 30):
+    """Per-user trailing time window: for every event, the count and
+    integer-cent value sum of the user's events in the last
+    ``gap_minutes`` (inclusive of the current event) — SQL's
+    ``RANGE BETWEEN INTERVAL g PRECEDING AND CURRENT ROW`` frame."""
+    import ray
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+            "event_id": b.column("event_id"),
+            "cents": _cents(b.column("value")),
+        })
+
+    sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .sort(["user_id", "ts_us"]).materialize())
+    refs = list(sorted_ds.to_arrow_refs())
+
+    summarize = ray.remote(_trailing_block_summary)
+    summaries = ray.get([summarize.remote(r, gap_us) for r in refs])
+
+    empty64 = np.empty(0, np.int64)
+    carry_user = None
+    carry_ts, carry_cents = empty64, empty64
+    carry_ins: list = []
+    for s in summaries:
+        if s is None:
+            carry_ins.append((empty64, empty64))
+            continue
+        first_u, last_u, end_ts, tail_ts, tail_cents = s
+        if carry_user == first_u:
+            carry_ins.append((carry_ts, carry_cents))
+        else:
+            carry_ins.append((empty64, empty64))
+        if carry_user == last_u:
+            merged_ts = np.r_[carry_ts, tail_ts]
+            merged_cents = np.r_[carry_cents, tail_cents]
+        else:
+            merged_ts, merged_cents = tail_ts, tail_cents
+        keep = merged_ts >= end_ts - gap_us
+        carry_ts, carry_cents = merged_ts[keep], merged_cents[keep]
+        carry_user = last_u
+
+    label = ray.remote(_trailing_block_labels)
+    label_refs = [label.remote(r, gap_us, *carry_ins[i])
+                  for i, r in enumerate(refs) if summaries[i] is not None]
+    if not label_refs:
+        empty = pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts_us", pa.int64()), ("n_in_window", pa.int64()),
+            ("win_sum_cents", pa.int64())]).empty_table()
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(label_refs).sort("event_id")

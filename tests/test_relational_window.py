@@ -93,6 +93,17 @@ def test_rolling_boundary_carry(events_dir, con):
     _assert_frames_equal(ray_df, sql_df)
 
 
+def test_trailing_window_boundary_carry(events_dir, con):
+    import __ray_entry__ as e
+
+    ray_df = _ray_df(relational.events_trailing_window(events_dir))
+    sql_df = con.sql(e.oracle_sql()["events_trailing_window"]).fetchdf()
+    assert len(ray_df) == 2600
+    # the dense 600-event user must produce real multi-row windows
+    assert ray_df["n_in_window"].max() > 3
+    _assert_frames_equal(ray_df, sql_df)
+
+
 def test_asof_join_empty_events(tmp_path, ray_session, con):
     sub = tmp_path / "events.parquet"
     os.makedirs(sub)
