@@ -134,6 +134,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_quality": textops.doc_quality,
         "doc_langid": textops.doc_langid,
         "doc_sample": textops.doc_sample,
+        "doc_distinct_shingle_sketch": textops.doc_distinct_shingle_sketch,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
             textops.doc_fingerprint_exact_family_check,
@@ -333,6 +334,31 @@ def oracle_sql() -> "dict[str, str]":
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE 2 * i >= sa.sz + sb.sz - i
             ORDER BY id_a, id_b
+        """,
+        "doc_distinct_shingle_sketch": f"""
+            WITH toks AS (
+                SELECT regexp_split_to_array({collapsed}, ' ') AS t
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3),
+            hashes AS (
+                SELECT DISTINCT
+                       CAST(concat('0x', substr(sha256(sh), 1, 16)) AS UBIGINT)
+                       & CAST(9223372036854775807 AS UBIGINT) AS h
+                FROM grams),
+            kth AS (SELECT h FROM hashes ORDER BY h
+                    LIMIT 1 OFFSET {textops.KMV_K - 1})
+            SELECT (SELECT count(*) FROM hashes) AS exact_distinct,
+                   {textops.KMV_K} AS kmv_k,
+                   CASE WHEN (SELECT count(*) FROM hashes) < {textops.KMV_K}
+                        THEN (SELECT count(*) FROM hashes)
+                        ELSE CAST((CAST({textops.KMV_K - 1} AS HUGEINT)
+                                   * CAST(9223372036854775808 AS HUGEINT))
+                                  // (SELECT CAST(h AS HUGEINT) FROM kth)
+                                  AS BIGINT)
+                   END AS kmv_est
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

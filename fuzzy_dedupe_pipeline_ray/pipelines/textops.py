@@ -761,3 +761,91 @@ def doc_simhash_dedupe(sf_dir: str, max_hamming: int = 3,
         return pa.table({"doc_id": b.column("doc_id"), "cluster_id": lab})
 
     return joined.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (k minimum values / bottom-k theta sketch)
+# ---------------------------------------------------------------------------
+
+#: sketch size: relative standard error ≈ 1/sqrt(KMV_K - 2) ≈ 3.1%
+KMV_K = 1024
+_KMV_SPACE = 1 << 63  # mask_keys hashes are uniform in [0, 2^63)
+
+
+def _gram_sha_hashes(b: pa.Table, n: int) -> np.ndarray:
+    """Per-batch DISTINCT masked sha256 hashes of the word n-grams of
+    ``text`` (same tokenization/join as the jaccard shingler, same
+    hash-prefix convention as ``hash64_str`` — both independently
+    oracle-pinned)."""
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        mask_keys as _mask, sha256_u64_arrow as _sha)
+
+    toks = pc.utf8_split_whitespace(b.column("text"))
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(len(lens)), lens)[nonempty]
+    flat = flat.filter(pa.array(nonempty))
+    lens = np.bincount(row_of, minlength=len(lens)).astype(np.int64)
+    counts = np.maximum(lens - n + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    tok_start = np.cumsum(lens) - lens
+    offs = np.repeat(np.cumsum(counts) - counts, counts)
+    idx0 = np.repeat(tok_start, counts) + (np.arange(total) - offs)
+    grams = [flat.take(pa.array(idx0 + j, pa.int64())) for j in range(n)]
+    sh = pc.binary_join_element_wise(*grams, " ")
+    return np.unique(_mask(_sha(sh)[:, 0]))
+
+
+def doc_distinct_shingle_sketch(sf_dir: str, n: int = 3, k: int = KMV_K):
+    """Distinct word-n-gram count: exact (distributed groupby) next to a
+    KMV bottom-k sketch estimate — ``(exact_distinct, kmv_k, kmv_est)``.
+
+    KMV (Bar-Yossef et al., RANDOM 2002): with D distinct values hashed
+    uniformly into [0, 2⁶³), the k-th smallest distinct hash h_k has
+    E[h_k/2⁶³] = k/(D+1), so D̂ = (k-1)·2⁶³ / h_k (floor; unbiased to
+    O(1/k), rel-σ ≈ 1/√(k−2)). The sketch side is the 100 TB shape: each
+    batch emits its ≤k smallest distinct hashes, the driver merges
+    O(k·#blocks) values — rows never leave workers. The exact side (a
+    full distinct-count shuffle, exactly what the sketch exists to avoid)
+    is computed here only as the verification pair for the oracle.
+
+    The whole estimator is EXACT-integer SQL: DuckDB reproduces the same
+    sha256-prefix hashes (hex → UBIGINT cast, big-endian, top bit
+    masked), the same k-th smallest, and the same floor division — so
+    the oracle value-hash-pins the estimate itself, not just a bound.
+    """
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import bottom_k
+
+    hashes = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({"h": pa.array(_gram_sha_hashes(b, n),
+                                          pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # exact: number of distinct hashes via a distributed groupby
+    exact = hashes.groupby("h").aggregate(Count(alias_name="c")).count()
+
+    # sketch: per-block bottom-k partials → tiny driver merge
+    import ray as _ray
+
+    def _partial(tbl: pa.Table) -> np.ndarray:
+        return bottom_k(tbl.column("h").to_numpy().astype(np.uint64), k)
+
+    part = _ray.remote(_partial)
+    partials = _ray.get([part.remote(r) for r in hashes.to_arrow_refs()])
+    merged = bottom_k(np.concatenate(partials) if partials
+                      else np.empty(0, np.uint64), k)
+    if len(merged) < k:
+        est = len(merged)          # fewer than k distinct: sketch is exact
+    else:
+        est = (k - 1) * _KMV_SPACE // int(merged[-1])
+    return ray.data.from_arrow(pa.table({
+        "exact_distinct": pa.array([exact], pa.int64()),
+        "kmv_k": pa.array([k], pa.int64()),
+        "kmv_est": pa.array([int(est)], pa.int64()),
+    }))

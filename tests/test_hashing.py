@@ -298,3 +298,25 @@ def test_pack_signatures_32bit_roundtrip_and_semantics():
     # sliced unpack respects offsets at the 4-byte width
     np.testing.assert_array_equal(
         unpack_signatures(pa.chunked_array([arr.slice(2, 3)]), 16), back[2:5])
+
+
+def test_kmv_estimator_accuracy():
+    """KMV estimate D-hat = (k-1)*2^63 // h_k within 4 sigma (sigma ~
+    D/sqrt(k-2)) of the true distinct count, for several set sizes."""
+    import numpy as np
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (bottom_k,
+                                                             mask_keys,
+                                                             sha256_u64_arrow)
+    from fuzzy_dedupe_pipeline_ray.pipelines.textops import _KMV_SPACE, KMV_K
+
+    import pyarrow as pa
+
+    for d in (5_000, 50_000):
+        vals = pa.array([f"item-{i}" for i in range(d)])
+        h = np.unique(mask_keys(sha256_u64_arrow(vals)[:, 0]))
+        assert len(h) == d  # no 63-bit collisions at this size
+        merged = bottom_k(h.astype(np.uint64), KMV_K)
+        est = (KMV_K - 1) * _KMV_SPACE // int(merged[-1])
+        sigma = d / (KMV_K - 2) ** 0.5
+        assert abs(est - d) < 4 * sigma, (d, est)
