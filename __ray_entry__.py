@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 24 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 39 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (18 oracles, including all-true INVARIANT oracles
+SQL-expressible one (33 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -163,6 +163,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_asof_join": relational.events_asof_join,
         "events_rolling": relational.events_rolling,
         "events_trailing_window": relational.events_trailing_window,
+        "events_range_join": relational.events_range_join,
         "part_brand_set_ops": relational.part_brand_set_ops,
     }
 
@@ -485,6 +486,15 @@ def oracle_sql() -> "dict[str, str]":
                          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
                                    AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "events_range_join": """
+            WITH e AS (SELECT event_id, ts FROM events)
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS delta_us
+            FROM e a JOIN e b
+              ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 SECOND
+             AND (a.ts < b.ts OR a.event_id < b.event_id)
+            ORDER BY id_a, id_b
         """,
         "part_brand_set_ops": """
             WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

@@ -771,3 +771,118 @@ def events_trailing_window(sf_dir: str, gap_minutes: int = 30):
             ("win_sum_cents", pa.int64())]).empty_table()
         return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(label_refs).sort("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Range join (pure inequality predicate — no equality key)
+# ---------------------------------------------------------------------------
+#
+# The range-join member of the ordered-join family: all pairs of events
+# (any users) whose timestamps are within a window of each other. No
+# equality key exists, so a hash join cannot express it; the classic
+# distributed shape is banded time-bucketing (join cell c with c and
+# c+1). On globally SORTED input the same result falls out of the
+# sorted-blocks composition: every partner of a row lives in its trailing
+# window, so per-block searchsorted + one vectorized repeat/arange
+# expansion emits the pairs, and the only cross-block state is the rows
+# within the window of the block's end. Partitioning assumption: the
+# pair count per block is bounded by data density (events per window) —
+# the same bound ANY range-join output obeys.
+
+def _range_block_summary(tbl: pa.Table, win_us: int):
+    """(end_ts, trailing (ts, event_id) within win of block end)."""
+    if tbl.num_rows == 0:
+        return None
+    ts = tbl.column("ts_us").to_numpy()
+    eid = tbl.column("event_id").to_numpy()
+    end_ts = int(ts[-1])
+    keep = ts >= end_ts - win_us
+    return (end_ts, ts[keep].astype(np.int64), eid[keep].astype(np.int64))
+
+
+def _range_block_pairs(tbl: pa.Table, win_us: int, c_ts, c_id) -> pa.Table:
+    """All (earlier, later) event pairs with later-in-this-block and
+    0 <= ts_later - ts_earlier <= win; ``c_ts``/``c_id`` are the carried
+    trailing rows of earlier blocks (sorted, strictly before this block
+    in the global (ts, event_id) order)."""
+    ts = tbl.column("ts_us").to_numpy().astype(np.int64)
+    eid = tbl.column("event_id").to_numpy().astype(np.int64)
+    n = len(ts)
+    i = np.arange(n)
+    j0 = np.searchsorted(ts, ts - win_us, side="left")
+    counts = i - j0
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    offs = np.repeat(cum - counts, counts)
+    b_idx = np.repeat(i, counts)
+    a_idx = np.repeat(j0, counts) + (np.arange(total) - offs)
+    out_a = [eid[a_idx]]
+    out_b = [eid[b_idx]]
+    out_d = [ts[b_idx] - ts[a_idx]]
+    if len(c_ts):
+        pos = np.searchsorted(c_ts, ts - win_us, side="left")
+        counts2 = len(c_ts) - pos
+        total2 = int(counts2.sum())
+        if total2:
+            cum2 = np.cumsum(counts2)
+            offs2 = np.repeat(cum2 - counts2, counts2)
+            b2 = np.repeat(i, counts2)
+            a2 = np.repeat(pos, counts2) + (np.arange(total2) - offs2)
+            out_a.append(np.asarray(c_id, np.int64)[a2])
+            out_b.append(eid[b2])
+            out_d.append(ts[b2] - np.asarray(c_ts, np.int64)[a2])
+    return pa.table({
+        "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+        "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+        "delta_us": pa.array(np.concatenate(out_d), pa.int64()),
+    })
+
+
+def events_range_join(sf_dir: str, window_seconds: int = 30):
+    """RANGE SELF-JOIN: all event pairs (across all users) at most
+    ``window_seconds`` apart, as (id_a, id_b, delta_us) with id_a the
+    earlier event in the global (ts, event_id) order (ties split by id,
+    matching the SQL predicate exactly)."""
+    import ray
+
+    win_us = window_seconds * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts_us": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+            "event_id": b.column("event_id"),
+        })
+
+    sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .sort(["ts_us", "event_id"]).materialize())
+    refs = list(sorted_ds.to_arrow_refs())
+
+    summarize = ray.remote(_range_block_summary)
+    summaries = ray.get([summarize.remote(r, win_us) for r in refs])
+
+    empty64 = np.empty(0, np.int64)
+    carry_ts, carry_id = empty64, empty64
+    carry_ins: list = []
+    for s in summaries:
+        if s is None:
+            carry_ins.append((carry_ts, carry_id))
+            continue
+        end_ts, tail_ts, tail_id = s
+        carry_ins.append((carry_ts, carry_id))
+        merged_ts = np.r_[carry_ts, tail_ts]
+        merged_id = np.r_[carry_id, tail_id]
+        keep = merged_ts >= end_ts - win_us
+        carry_ts, carry_id = merged_ts[keep], merged_id[keep]
+
+    pairs = ray.remote(_range_block_pairs)
+    pair_refs = [pairs.remote(r, win_us, *carry_ins[i])
+                 for i, r in enumerate(refs) if summaries[i] is not None]
+    if not pair_refs:
+        empty = pa.schema([
+            ("id_a", pa.int64()), ("id_b", pa.int64()),
+            ("delta_us", pa.int64())]).empty_table()
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(pair_refs).sort(["id_a", "id_b"])

@@ -104,6 +104,40 @@ def test_trailing_window_boundary_carry(events_dir, con):
     _assert_frames_equal(ray_df, sql_df)
 
 
+def test_range_join_boundary_carry(events_dir, con):
+    import __ray_entry__ as e
+
+    ray_df = _ray_df(relational.events_range_join(events_dir))
+    sql_df = con.sql(e.oracle_sql()["events_range_join"]).fetchdf()
+    assert len(ray_df) > 0
+    # 1-10s inter-arrival per user means many cross-block 30s partners,
+    # including partners more than one sorted block back
+    assert len(ray_df) > 2600
+    _assert_frames_equal(ray_df, sql_df)
+
+
+def test_range_join_tie_and_window_edges(tmp_path, ray_session):
+    """Hand-built corner cases: simultaneous events (tie split by id),
+    a pair at exactly the window bound (kept), and one just past (dropped)."""
+    sub = tmp_path / "events.parquet"
+    os.makedirs(sub)
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = [base, base,                                  # tie at t=0
+          base + np.timedelta64(30_000_000, "us"),     # exactly +30s
+          base + np.timedelta64(60_000_001, "us")]     # +30s + 1us from [2]
+    tbl = pa.table({
+        "event_id": pa.array([1, 0, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([0, 1, 0, 1], pa.int64()),
+        "event_type": pa.array(["click"] * 4),
+        "value": pa.array([1.0] * 4),
+    })
+    pq.write_table(tbl, str(sub / "part-00.parquet"))
+    out = relational.events_range_join(str(tmp_path)).to_pandas()
+    got = set(zip(out.id_a, out.id_b, out.delta_us))
+    assert got == {(0, 1, 0), (0, 2, 30_000_000), (1, 2, 30_000_000)}
+
+
 def test_asof_join_empty_events(tmp_path, ray_session, con):
     sub = tmp_path / "events.parquet"
     os.makedirs(sub)
@@ -117,3 +151,5 @@ def test_asof_join_empty_events(tmp_path, ray_session, con):
     assert len(out) == 0
     out2 = relational.events_rolling(str(tmp_path)).to_pandas()
     assert len(out2) == 0
+    out3 = relational.events_range_join(str(tmp_path)).to_pandas()
+    assert len(out3) == 0
