@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 39 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 42 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (33 oracles, including all-true INVARIANT oracles
+SQL-expressible one (36 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -164,6 +164,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_rolling": relational.events_rolling,
         "events_trailing_window": relational.events_trailing_window,
         "events_range_join": relational.events_range_join,
+        "customers_inactive_since": relational.customers_inactive_since,
+        "lineitem_quantiles": relational.lineitem_quantiles,
+        "events_heavy_hitters": relational.events_heavy_hitters,
         "part_brand_set_ops": relational.part_brand_set_ops,
     }
 
@@ -486,6 +489,27 @@ def oracle_sql() -> "dict[str, str]":
                          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
                                    AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "customers_inactive_since": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+            ORDER BY c_custkey
+        """,
+        "lineitem_quantiles": """
+            WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS cents
+                       FROM lineitem)
+            SELECT unnest([25, 50, 75, 90, 99]) AS q_e2,
+                   unnest(quantile_disc(cents, [0.25, 0.5, 0.75, 0.9, 0.99]))
+                       AS value_cents
+            FROM c
+        """,
+        "events_heavy_hitters": """
+            SELECT user_id, count(*) AS n_events FROM events
+            GROUP BY user_id
+            HAVING count(*) * 128 > (SELECT count(*) FROM events)
+            ORDER BY user_id
         """,
         "events_range_join": """
             WITH e AS (SELECT event_id, ts FROM events)

@@ -14,6 +14,8 @@ round-half-even vs round-half-away difference between numpy and DuckDB.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -886,3 +888,198 @@ def events_range_join(sf_dir: str, window_seconds: int = 30):
             ("delta_us", pa.int64())]).empty_table()
         return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(pair_refs).sort(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# Anti-join (NOT IN / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+def customers_inactive_since(sf_dir: str, cutoff: str = "2000-06-01"):
+    """ANTI-JOIN: customers with NO order on/after ``cutoff``.
+
+    The scale shape: the big probe side (orders) collapses to its distinct
+    key set with one pre-aggregating groupby, then customers LEFT-OUTER
+    lookup_join against that key set (broadcast under the row gate, Ray
+    hash join above it) and keep the null-marker rows. The anti-join never
+    shuffles the full orders table — only its distinct keys move.
+    Reference analog: the pair-set membership test of
+    ``dedupe_logic/processor.py:144-147`` inverted (keep NON-members)."""
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("o_orderdate"), cut))
+        # batch-level distinct before the shuffle (combiner pattern)
+        return pa.table({"c_custkey": pc.unique(b.column("o_custkey"))})
+
+    active = (orders.map_batches(recent_keys, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .groupby("c_custkey").aggregate(Count(alias_name="marker"))
+              .materialize())
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c_name": b.column("c_name"),
+        })
+
+    if active.count() == 0:
+        # a groupby over zero rows yields a schema-less empty dataset
+        # (no key column to probe) — and "nobody ordered recently" means
+        # every customer is in the anti-join result anyway
+        return cust.map_batches(project,
+                                batch_format="pyarrow").sort("c_custkey")
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+    j = lookup_join(cust, active, on="c_custkey", cfg=DEFAULT_CONFIG,
+                    join_type="left_outer", right_count=active.count())
+
+    def anti(b: pa.Table) -> pa.Table:
+        return project(b.filter(pc.is_null(b.column("marker"))))
+
+    return j.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (global order statistics)
+# ---------------------------------------------------------------------------
+
+def lineitem_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """EXACT quantiles of ``l_extendedprice`` (cent-scaled) by distributed
+    selection: global sort on the cents column, then the k-th order
+    statistic is located from per-block row counts (block METADATA — no
+    extra pass) and only the owning blocks are touched, one tiny slice
+    task each. No driver materialization of the data; the driver handles
+    O(#blocks) counts and |qs| scalars. Matches DuckDB ``quantile_disc``
+    (index ceil(q*n)-1, verified in tests)."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    cents = li.map_batches(
+        lambda b: pa.table({"cents": _e2(b.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    s = cents.sort("cents").materialize()
+
+    refs, counts = [], []
+    for bundle in s.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+                counts.append(meta.num_rows)
+    n = int(sum(counts))
+    if n == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("q_e2", pa.int64()), ("value_cents", pa.int64())]).empty_table())
+
+    starts = np.cumsum([0] + counts[:-1])
+    # quantile_disc: 0-based index ceil(q*n) - 1
+    want = {}  # block_idx -> [(q_e2, local_idx)]
+    for q in qs:
+        gidx = max(0, int(math.ceil(q * n)) - 1)
+        b_idx = int(np.searchsorted(starts, gidx, side="right") - 1)
+        want.setdefault(b_idx, []).append(
+            (int(round(q * 100)), gidx - int(starts[b_idx])))
+
+    def pick(tbl: pa.Table, pairs):
+        vals = tbl.column("cents")
+        return [(qe2, vals[i].as_py()) for qe2, i in pairs]
+
+    pick_r = ray.remote(pick)
+    got = ray.get([pick_r.remote(refs[b], pairs)
+                   for b, pairs in sorted(want.items())])
+    rows = sorted(p for chunk in got for p in chunk)
+    return ray.data.from_arrow(pa.table({
+        "q_e2": pa.array([r[0] for r in rows], pa.int64()),
+        "value_cents": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (Misra–Gries candidates + exact second pass)
+# ---------------------------------------------------------------------------
+#
+# The two-pass exact frequent-items shape that works at any scale: pass 1
+# runs a Misra–Gries summary per block (k counters, pure Arrow/numpy) and
+# merges the tiny summaries on the driver — the merged sketch provably
+# contains every item with true frequency > n/(k+1) (Misra & Gries 1982;
+# merge rule of Agarwal et al., PODS'12). Pass 2 broadcasts the <=k
+# candidates and computes their EXACT counts with a pre-filtered groupby,
+# so the output is exactly the SQL answer while only candidate rows are
+# ever shuffled.
+
+_MG_K = 127  # counters; guarantees capture of items with count > n/128
+
+
+def _mg_compress(ids: np.ndarray, cnts: np.ndarray, k: int):
+    """Reduce (ids, counts) to ≤ k positive counters (MG decrement)."""
+    if len(ids) <= k:
+        return ids, cnts
+    # subtract the (k+1)-th largest count from all, keep positive
+    kth = np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1]
+    cnts = cnts - kth
+    keep = cnts > 0
+    return ids[keep], cnts[keep]
+
+
+def events_heavy_hitters(sf_dir: str, k: int = _MG_K):
+    """Users with strictly more than n/(k+1) of all events, with EXACT
+    counts. Output: (user_id, n_events)."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["user_id"]).materialize()
+
+    def block_sketch(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64), 0
+        vc = tbl.column("user_id").combine_chunks().value_counts()
+        ids = np.asarray(vc.field(0), np.int64)
+        cnts = np.asarray(vc.field(1), np.int64)
+        ids, cnts = _mg_compress(ids, cnts, k)
+        return ids, cnts, tbl.num_rows
+
+    sketch_r = ray.remote(block_sketch)
+    refs = [r for bundle in ev.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+    sketches = ray.get([sketch_r.remote(r) for r in refs])
+
+    n = sum(s[2] for s in sketches)
+    if n == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("user_id", pa.int64()),
+             ("n_events", pa.int64())]).empty_table())
+    all_ids = np.concatenate([s[0] for s in sketches])
+    all_cnts = np.concatenate([s[1] for s in sketches])
+    # merge: sum per id (vectorized), then one more MG compression
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    summed = np.bincount(inv, weights=all_cnts).astype(np.int64)
+    cand, _ = _mg_compress(uniq, summed, k)
+    cand_ref = ray.put(np.sort(cand))
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        u = b.column("user_id")
+        mask = pc.is_in(u, value_set=pa.array(cands, pa.int64()))
+        vc = u.filter(mask).combine_chunks().value_counts()
+        return pa.table({
+            "user_id": pc.cast(vc.field(0), pa.int64()),
+            "c": pc.cast(vc.field(1), pa.int64()),
+        })
+
+    exact = (ev.map_batches(exact_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("user_id").aggregate(Sum("c", alias_name="n_events")))
+
+    thresh = pa.scalar(n)
+
+    def final(b: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(pc.cast(b.column("n_events"),
+                                              pa.int64()),
+                                      pa.scalar(k + 1)), thresh)
+        b = b.filter(keep)
+        return pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+        })
+
+    return exact.map_batches(final, batch_format="pyarrow").sort("user_id")
