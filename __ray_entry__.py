@@ -134,6 +134,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_quality": textops.doc_quality,
         "doc_langid": textops.doc_langid,
         "doc_sample": textops.doc_sample,
+        "token_doc_freq": textops.token_doc_freq,
+        "doc_token_repetition": textops.doc_token_repetition,
         "doc_distinct_shingle_sketch": textops.doc_distinct_shingle_sketch,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
@@ -168,6 +170,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "lineitem_quantiles": relational.lineitem_quantiles,
         "events_heavy_hitters": relational.events_heavy_hitters,
         "part_brand_set_ops": relational.part_brand_set_ops,
+        "events_type_pivot": relational.events_type_pivot,
+        "part_brand_topk": relational.part_brand_topk,
     }
 
 
@@ -533,6 +537,65 @@ def oracle_sql() -> "dict[str, str]":
             SELECT 'union', p_brand
             FROM (SELECT p_brand FROM a UNION SELECT p_brand FROM b)
             ORDER BY op, p_brand
+        """,
+        "token_doc_freq": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_split_to_array(
+                           trim(lower(text)), '{_WS}'))) AS token
+                FROM documents)
+            SELECT token, count(*) AS df
+            FROM toks WHERE token <> ''
+            GROUP BY token ORDER BY df DESC, token LIMIT 50
+        """,
+        "doc_token_repetition": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '{_WS}')) AS tok
+                FROM documents),
+            per AS (SELECT doc_id, tok, count(*) AS c FROM toks
+                    WHERE tok <> '' GROUP BY doc_id, tok),
+            agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                           count(*) AS n_distinct_tokens,
+                           max(c) AS top_token_count
+                    FROM per GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+                   coalesce(top_token_count, 0) AS top_token_count,
+                   coalesce(top_token_count * 5 > n_tokens, FALSE)
+                       AS repetitive
+            FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                            FILTER (WHERE event_type = 'purchase'), 0)
+                       AS purchase_cents
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "part_brand_topk": """
+            SELECT p_brand, CAST(rnk AS BIGINT) AS rnk, p_partkey,
+                   price_cents
+            FROM (
+                SELECT p_brand, p_partkey,
+                       CAST(round(p_retailprice * 100) AS BIGINT)
+                           AS price_cents,
+                       row_number() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY CAST(round(p_retailprice * 100) AS BIGINT)
+                                        DESC,
+                                    p_partkey) AS rnk
+                FROM part)
+            WHERE rnk <= 3 ORDER BY p_brand, rnk
         """,
         "events_sessionize": """
             WITH o AS (

@@ -1083,3 +1083,102 @@ def events_heavy_hitters(sf_dir: str, k: int = _MG_K):
         })
 
     return exact.map_batches(final, batch_format="pyarrow").sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregates) and rank-per-group top-k
+# ---------------------------------------------------------------------------
+
+#: the event-type vocabulary the pivot emits one count column per — fixed
+#: up front (a pivot's output schema must be static for Arrow), matching
+#: the generator's event_type domain.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str):
+    """Pivot events long→wide: one row per user with per-event-type counts
+    and the cent-scaled purchase revenue. Conditional aggregates are
+    computed as batch-level partials (np.bincount per type over the
+    batch's user index — the combiner pattern), so the shuffle moves at
+    most |users|·|blocks| pre-aggregated rows of 7 ints, never the raw
+    events. Output: (user_id, n_click, n_error, n_purchase, n_signup,
+    n_view, purchase_cents)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        etype = b.column("event_type")
+        cents = _e2(b.column("value")).to_numpy()
+        out = {"user_id": pa.array(users, pa.int64())}
+        for t in EVENT_TYPES:
+            m = pc.equal(etype, t).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            out[f"n_{t}"] = pa.array(
+                np.bincount(inv[m], minlength=len(users)).astype(np.int64))
+        pm = pc.equal(etype, "purchase").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out["purchase_cents"] = pa.array(
+            np.bincount(inv[pm], weights=cents[pm],
+                        minlength=len(users)).astype(np.int64))
+        return pa.table(out)
+
+    aggs = [Sum(c, alias_name=c) for c in cols]
+    aggs.append(Sum("purchase_cents", alias_name="purchase_cents"))
+    merged = (ev.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("user_id").aggregate(*aggs))
+
+    def final(b: pa.Table) -> pa.Table:
+        out = {"user_id": pc.cast(b.column("user_id"), pa.int64())}
+        for c in cols + ["purchase_cents"]:
+            out[c] = pc.cast(b.column(c), pa.int64())
+        return pa.table(out)
+
+    return merged.map_batches(final, batch_format="pyarrow").sort("user_id")
+
+
+def part_brand_topk(sf_dir: str, k: int = 3):
+    """Top-k parts per brand by retail price (the rank-per-group /
+    ``row_number() OVER (PARTITION BY ...)`` shape), ties broken by
+    partkey. Per-batch partial top-k via one lexsort keeps at most
+    k·|brands| rows per block, so only partial winners shuffle into the
+    per-group final selection. Output: (p_brand, rnk, p_partkey,
+    price_cents)."""
+    parts = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _e2(b.column("p_retailprice")).to_numpy()
+        pk = b.column("p_partkey").to_numpy()
+        enc = pc.dictionary_encode(b.column("p_brand").combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = np.asarray(enc.indices, np.int64)
+        order = np.lexsort((pk, -cents, code))
+        # rank within each brand run = position - run start
+        starts = np.flatnonzero(np.diff(code[order], prepend=-1))
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(order))))
+        keep = np.sort(order[np.arange(len(order)) - run_start < k])
+        return pa.table({
+            "p_brand": b.column("p_brand").take(pa.array(keep)),
+            "p_partkey": pa.array(pk[keep], pa.int64()),
+            "price_cents": pa.array(cents[keep], pa.int64()),
+        })
+
+    def group_topk(g: pa.Table) -> pa.Table:
+        cents = g.column("price_cents").to_numpy()
+        pk = g.column("p_partkey").to_numpy()
+        order = np.lexsort((pk, -cents))[:k]
+        return pa.table({
+            "p_brand": g.column("p_brand").take(pa.array(order)),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "p_partkey": pa.array(pk[order], pa.int64()),
+            "price_cents": pa.array(cents[order], pa.int64()),
+        })
+
+    return (parts.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("p_brand")
+            .map_groups(group_topk, batch_format="pyarrow")
+            .sort(["p_brand", "rnk"]))

@@ -849,3 +849,123 @@ def doc_distinct_shingle_sketch(sf_dir: str, n: int = 3, k: int = KMV_K):
         "kmv_k": pa.array([k], pa.int64()),
         "kmv_est": pa.array([int(est)], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Token-level corpus statistics (explode → combine → merge shapes)
+# ---------------------------------------------------------------------------
+
+def _exploded_token_codes(text: pa.ChunkedArray):
+    """Tokenize a batch the same way the langid oracle does (lower → trim →
+    split on ``_WS``), drop empty tokens, and return
+
+    ``(rows, codes, vocab)`` — flat int64 row indices, flat dictionary
+    codes, and the batch-local vocabulary (StringArray) — the shared
+    explode kernel for the DF / repetition operators below. Fully
+    vectorized: one regex split, one dictionary encode, numpy the rest."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(text)), pattern=textnorm._WS)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(len(lengths), dtype=np.int64),
+                     lengths.astype(np.int64))
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    vocab = enc.dictionary
+    keep = np.asarray(pc.not_equal(vocab, "").take(
+        pa.array(codes)).to_numpy(zero_copy_only=False), bool)
+    return rows[keep], codes[keep], vocab
+
+
+def token_doc_freq(sf_dir: str, top_n: int = 50):
+    """Document frequency of whitespace tokens: the ``top_n`` tokens by
+    number of distinct documents containing them, ties broken by token.
+    Output: (token, df).
+
+    The inverted-index shape: explode tokens per doc with per-BATCH
+    distinct + partial counts (the combiner — only (token, partial_df)
+    rows shuffle, never the exploded token stream), a ``groupby(token)``
+    sum, a per-block partial top-n, then a tiny final sort+limit. At
+    100 TB the shuffle carries one row per distinct (block, token)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows, codes, vocab = _exploded_token_codes(b.column("text"))
+        if len(rows) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        # distinct (doc, token) pairs, then docs-per-token in this batch
+        v = len(vocab)
+        pair = np.unique(rows * np.int64(v) + codes)
+        df = np.bincount((pair % v).astype(np.int64), minlength=v)
+        nz = np.flatnonzero(df)
+        return pa.table({
+            "token": pc.cast(pa.array(vocab).take(pa.array(nz)), pa.string()),
+            "df": pa.array(df[nz], pa.int64()),
+        })
+
+    agg = (read_documents(sf_dir, ["text"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("token").aggregate(Sum("df", alias_name="df")))
+
+    def block_topn(b: pa.Table) -> pa.Table:
+        if b.num_rows <= top_n:
+            return pa.table({"token": pc.cast(b.column("token"), pa.string()),
+                             "df": pc.cast(b.column("df"), pa.int64())})
+        df = np.asarray(b.column("df"), np.int64)
+        tok = b.column("token").combine_chunks()
+        enc = pc.dictionary_encode(tok)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        # dictionary codes sort like the (already-distinct) strings only if
+        # the dictionary is sorted — re-rank via the sorted vocabulary
+        rank = np.empty(len(enc.dictionary), np.int64)
+        rank[np.argsort(np.asarray(enc.dictionary, object))] = np.arange(
+            len(enc.dictionary))
+        keep = np.sort(np.lexsort(
+            (rank[np.asarray(enc.indices, np.int64)], -df))[:top_n])
+        return pa.table({"token": pc.cast(tok.take(pa.array(keep)),
+                                          pa.string()),
+                         "df": pa.array(df[keep], pa.int64())})
+
+    return (agg.map_batches(block_topn, batch_format="pyarrow")
+            .sort(["df", "token"], descending=[True, False]).limit(top_n))
+
+
+def doc_token_repetition(sf_dir: str):
+    """Gopher-style repetition signals per document: total whitespace
+    tokens, distinct tokens, the count of the most-repeated token, and a
+    ``repetitive`` flag (top token > 20% of all tokens). All-integer
+    output (float-free oracle compare); one vectorized pass per batch —
+    explode, dictionary-encode, one ``np.unique`` over packed (row, code)
+    keys, ``reduceat`` for the per-row max."""
+    def f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        rows, codes, vocab = _exploded_token_codes(b.column("text"))
+        n_tok = np.bincount(rows, minlength=n).astype(np.int64)
+        v = max(len(vocab), 1)
+        pair, pair_counts = np.unique(rows * np.int64(v) + codes,
+                                      return_counts=True)
+        pair_rows = (pair // v).astype(np.int64)
+        n_distinct = np.bincount(pair_rows, minlength=n).astype(np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if len(pair_rows):
+            # np.unique returns keys sorted, so pair_rows is grouped;
+            # reduceat over each row's contiguous run (empty rows excluded)
+            starts = np.flatnonzero(np.diff(pair_rows, prepend=-1))
+            top[pair_rows[starts]] = np.maximum.reduceat(pair_counts, starts)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+            "top_token_count": pa.array(top, pa.int64()),
+            "repetitive": pa.array(top * 5 > n_tok),
+        })
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
