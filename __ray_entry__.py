@@ -168,6 +168,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_range_join": relational.events_range_join,
         "customers_inactive_since": relational.customers_inactive_since,
         "lineitem_quantiles": relational.lineitem_quantiles,
+        "events_value_quantiles_by_type":
+            relational.events_value_quantiles_by_type,
         "events_heavy_hitters": relational.events_heavy_hitters,
         "part_brand_set_ops": relational.part_brand_set_ops,
         "events_type_pivot": relational.events_type_pivot,
@@ -508,6 +510,15 @@ def oracle_sql() -> "dict[str, str]":
                    unnest(quantile_disc(cents, [0.25, 0.5, 0.75, 0.9, 0.99]))
                        AS value_cents
             FROM c
+        """,
+        "events_value_quantiles_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_type, unnest([25, 50, 90]) AS q_e2,
+                   unnest(quantile_disc(cents, [0.25, 0.5, 0.9]))
+                       AS value_cents
+            FROM c GROUP BY event_type ORDER BY event_type, q_e2
         """,
         "events_heavy_hitters": """
             SELECT user_id, count(*) AS n_events FROM events

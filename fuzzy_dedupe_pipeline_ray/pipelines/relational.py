@@ -1182,3 +1182,84 @@ def part_brand_topk(sf_dir: str, k: int = 3):
             .groupby("p_brand")
             .map_groups(group_topk, batch_format="pyarrow")
             .sort(["p_brand", "rnk"]))
+
+
+def events_value_quantiles_by_type(sf_dir: str, qs=(0.25, 0.5, 0.9)):
+    """EXACT per-group quantiles (``quantile_disc`` per event_type) by
+    distributed selection — the grouped form of ``lineitem_quantiles``:
+    one global sort on (event_type, cents), then per-block RUN-LENGTH
+    summaries of the group column (block metadata-sized, not data-sized)
+    let the driver compute each group's global offset and locate every
+    k-th order statistic; only the owning blocks are touched, one tiny
+    slice task each. No group is ever materialized in one task, so a
+    group 1000× larger than worker memory still works. Output:
+    (event_type, q_e2, value_cents)."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    cents = ev.map_batches(
+        lambda b: pa.table({"event_type": b.column("event_type"),
+                            "cents": _e2(b.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    s = cents.sort(["event_type", "cents"]).materialize()
+
+    def block_runs(tbl: pa.Table):
+        """(types, counts) of the block's event_type runs, in order."""
+        et = tbl.column("event_type").combine_chunks()
+        if len(et) == 0:
+            return [], []
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = np.asarray(enc.indices, np.int64)
+        starts = np.flatnonzero(np.diff(code, prepend=code[0] - 1))
+        counts = np.diff(np.append(starts, len(code)))
+        vocab = enc.dictionary.to_pylist()
+        return [vocab[c] for c in code[starts]], counts.tolist()
+
+    runs_r = ray.remote(block_runs)
+    refs, block_rows = [], []
+    for bundle in s.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+                block_rows.append(meta.num_rows)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("q_e2", pa.int64()),
+                            ("value_cents", pa.int64())])
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    runs = ray.get([runs_r.remote(r) for r in refs])
+    # global (group → size, start offset) from the ordered run summaries
+    sizes: dict = {}
+    for types, counts in runs:
+        for t, c in zip(types, counts):
+            sizes[t] = sizes.get(t, 0) + int(c)
+    group_start, off = {}, 0
+    for t in sorted(sizes):          # sort order == the global sort order
+        group_start[t] = off
+        off += sizes[t]
+    block_start = np.cumsum([0] + block_rows[:-1])
+
+    want: dict = {}  # block_idx -> [(event_type, q_e2, local_idx)]
+    for t in sorted(sizes):
+        for q in qs:
+            gidx = group_start[t] + max(0, int(math.ceil(q * sizes[t])) - 1)
+            b_idx = int(np.searchsorted(block_start, gidx, side="right") - 1)
+            want.setdefault(b_idx, []).append(
+                (t, int(round(q * 100)), gidx - int(block_start[b_idx])))
+
+    def pick(tbl: pa.Table, items):
+        vals = tbl.column("cents")
+        return [(t, qe2, vals[i].as_py()) for t, qe2, i in items]
+
+    pick_r = ray.remote(pick)
+    got = ray.get([pick_r.remote(refs[b], items)
+                   for b, items in sorted(want.items())])
+    rows = sorted(p for chunk in got for p in chunk)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "q_e2": pa.array([r[1] for r in rows], pa.int64()),
+        "value_cents": pa.array([r[2] for r in rows], pa.int64()),
+    }))

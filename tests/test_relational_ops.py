@@ -150,3 +150,41 @@ def test_anti_join_none_inactive(tmp_path, ray_session):
     _write_cust_orders(str(tmp_path), ["2001-01-01"] * 5)
     out = relational.customers_inactive_since(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles: groups spanning block boundaries
+# ---------------------------------------------------------------------------
+
+def test_grouped_quantiles_groups_span_blocks(tmp_path, ray_session):
+    rng = np.random.default_rng(21)
+    # group 'a' is huge (spans many sorted blocks), 'b' is mid-sized,
+    # 'z' has ONE row (all quantiles = that row)
+    et = np.r_[np.repeat("alpha", 9_000), np.repeat("beta", 800), ["zeta"]]
+    df = pd.DataFrame({
+        "event_type": et,
+        "value": np.round(rng.uniform(0, 100, size=len(et)), 2),
+    })
+    df = df.sample(frac=1, random_state=0).reset_index(drop=True)
+    _write_parts(str(tmp_path), "events", df, 12)
+    out = relational.events_value_quantiles_by_type(
+        str(tmp_path), qs=(0.25, 0.5, 0.9)).to_pandas()
+    con = duckdb.connect()
+    ora = con.sql(f"""
+        WITH c AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM read_parquet('{tmp_path}/events.parquet/*.parquet'))
+        SELECT event_type, unnest([25, 50, 90]) AS q_e2,
+               unnest(quantile_disc(cents, [0.25, 0.5, 0.9])) AS value_cents
+        FROM c GROUP BY event_type ORDER BY event_type, q_e2""").df()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=False)
+    z = out[out.event_type == "zeta"]
+    assert len(z) == 3 and z.value_cents.nunique() == 1
+
+
+def test_grouped_quantiles_empty(tmp_path, ray_session):
+    _write_parts(str(tmp_path), "events",
+                 pd.DataFrame({"event_type": pd.array([], dtype="str"),
+                               "value": pd.array([], dtype="float64")}), 1)
+    out = relational.events_value_quantiles_by_type(str(tmp_path)).to_pandas()
+    assert len(out) == 0
