@@ -167,6 +167,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_trailing_window": relational.events_trailing_window,
         "events_range_join": relational.events_range_join,
         "customers_inactive_since": relational.customers_inactive_since,
+        "customer_order_summary": relational.customer_order_summary,
         "lineitem_quantiles": relational.lineitem_quantiles,
         "events_value_quantiles_by_type":
             relational.events_value_quantiles_by_type,
@@ -500,6 +501,17 @@ def oracle_sql() -> "dict[str, str]":
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+            ORDER BY c_custkey
+        """,
+        "customer_order_summary": """
+            WITH per AS (SELECT o_custkey, count(*) AS n,
+                                CAST(sum(CAST(round(o_totalprice * 100)
+                                              AS BIGINT)) AS BIGINT) AS rev
+                         FROM orders GROUP BY o_custkey)
+            SELECT c_custkey, c_name,
+                   coalesce(n, 0) AS order_count,
+                   coalesce(rev, 0) AS revenue_e2
+            FROM customer c LEFT JOIN per ON c.c_custkey = per.o_custkey
             ORDER BY c_custkey
         """,
         "lineitem_quantiles": """

@@ -1263,3 +1263,47 @@ def events_value_quantiles_by_type(sf_dir: str, qs=(0.25, 0.5, 0.9)):
         "q_e2": pa.array([r[1] for r in rows], pa.int64()),
         "value_cents": pa.array([r[2] for r in rows], pa.int64()),
     }))
+
+
+def customer_order_summary(sf_dir: str):
+    """LEFT OUTER join demo with null preservation: every customer with
+    their order count and cent-scaled revenue — customers with no orders
+    keep a row (count 0, revenue 0). customer LEFT JOIN pre-aggregated
+    orders (aggregate-before-join keeps the join input small), then a
+    vectorized null-fill. Output: (c_custkey, c_name, order_count,
+    revenue_e2)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy()
+        keys, inv = np.unique(ck, return_inverse=True)
+        cents = _e2(b.column("o_totalprice")).to_numpy()
+        return pa.table({
+            "o_custkey": pa.array(keys, pa.int64()),
+            "n": pa.array(np.bincount(inv, minlength=len(keys))
+                          .astype(np.int64)),
+            "rev": pa.array(np.bincount(inv, weights=cents,
+                                        minlength=len(keys))
+                            .astype(np.int64)),
+        })
+
+    per_cust = (orders.map_batches(pre, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby("o_custkey")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("rev", alias_name="rev")))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = hash_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
+                       cfg=DEFAULT_CONFIG, join_type="left_outer")
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c_name": b.column("c_name"),
+            "order_count": pc.fill_null(pc.cast(b.column("n"), pa.int64()),
+                                        0),
+            "revenue_e2": pc.fill_null(pc.cast(b.column("rev"), pa.int64()),
+                                       0),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow").sort("c_custkey")

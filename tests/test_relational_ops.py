@@ -188,3 +188,40 @@ def test_grouped_quantiles_empty(tmp_path, ray_session):
                                "value": pd.array([], dtype="float64")}), 1)
     out = relational.events_value_quantiles_by_type(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Left-outer join: customers with zero orders keep a row
+# ---------------------------------------------------------------------------
+
+def test_customer_order_summary_preserves_orderless(tmp_path, ray_session):
+    rng = np.random.default_rng(17)
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(100, dtype=np.int64),
+        "c_name": [f"Customer#{i:03d}" for i in range(100)],
+    })
+    # only customers 0..59 ever order; 60..99 must survive with zeros
+    orders = pd.DataFrame({
+        "o_custkey": rng.integers(0, 60, size=2_000).astype(np.int64),
+        "o_totalprice": np.round(rng.uniform(10, 500, size=2_000), 2),
+    })
+    _write_parts(str(tmp_path), "customer", cust, 4)
+    _write_parts(str(tmp_path), "orders", orders, 6)
+    out = relational.customer_order_summary(str(tmp_path)).to_pandas()
+    assert len(out) == 100
+    orderless = out[out.c_custkey >= 60]
+    assert (orderless.order_count == 0).all()
+    assert (orderless.revenue_e2 == 0).all()
+    con = duckdb.connect()
+    ora = con.sql(f"""
+        WITH per AS (SELECT o_custkey, count(*) AS n,
+                            sum(CAST(round(o_totalprice*100) AS BIGINT))
+                                AS rev
+                     FROM read_parquet('{tmp_path}/orders.parquet/*.parquet')
+                     GROUP BY o_custkey)
+        SELECT c_custkey, c_name, coalesce(n, 0) AS order_count,
+               coalesce(rev, 0) AS revenue_e2
+        FROM read_parquet('{tmp_path}/customer.parquet/*.parquet') c
+        LEFT JOIN per ON c.c_custkey = per.o_custkey
+        ORDER BY c_custkey""").df()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=False)
