@@ -136,6 +136,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_sample": textops.doc_sample,
         "token_doc_freq": textops.token_doc_freq,
         "doc_token_repetition": textops.doc_token_repetition,
+        "doc_rarest_token": textops.doc_rarest_token,
         "doc_distinct_shingle_sketch": textops.doc_distinct_shingle_sketch,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
@@ -590,6 +591,24 @@ def oracle_sql() -> "dict[str, str]":
                    coalesce(top_token_count * 5 > n_tokens, FALSE)
                        AS repetitive
             FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "doc_rarest_token": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_split_to_array(
+                           trim(lower(text)), '{_WS}'))) AS token
+                FROM documents),
+            nz AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+            df AS (SELECT token, count(*) AS df FROM nz GROUP BY token),
+            r AS (SELECT doc_id, token, df,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY df, token) AS rn
+                  FROM nz JOIN df USING (token))
+            SELECT d.doc_id, coalesce(token, '') AS rarest_token,
+                   coalesce(df, 0) AS rarest_df
+            FROM documents d
+            LEFT JOIN (SELECT * FROM r WHERE rn = 1) USING (doc_id)
             ORDER BY doc_id
         """,
         "events_type_pivot": """

@@ -969,3 +969,90 @@ def doc_token_repetition(sf_dir: str):
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_rarest_token(sf_dir: str):
+    """Each document's most distinctive token: the token with the LOWEST
+    global document frequency (ties by token). Output: (doc_id,
+    rarest_token, rarest_df); docs with no tokens get ('', 0).
+
+    The broadcast-lookup shape over text: pass 1 builds the global DF
+    table (per-batch distinct + partial counts, tiny groupby — exact
+    because a document never spans batches); pass 2 re-explodes and joins
+    DF back onto the (doc, token) stream through ``hash_join``'s tiered
+    plan (vocab-sized side broadcasts under the gate, shuffles above it),
+    reduces to a per-batch winner per doc, and finishes with a
+    tiny per-doc groupby over ≤ one partial row per (doc, block)."""
+    from ray.data.aggregate import Sum
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
+
+    def pairs_fn(b: pa.Table) -> pa.Table:
+        rows, codes, vocab = _exploded_token_codes(b.column("text"))
+        ids = b.column("doc_id").to_numpy()
+        if len(rows) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string())})
+        v = len(vocab)
+        pair = np.unique(rows * np.int64(v) + codes)
+        return pa.table({
+            "doc_id": pa.array(ids[(pair // v)], pa.int64()),
+            "token": pc.cast(pa.array(vocab).take(pa.array(pair % v)),
+                             pa.string()),
+        })
+
+    def pairs(): return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    df_tbl = (pairs().map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "df_part": pa.array(np.ones(b.num_rows,
+                                                        np.int64))}),
+        batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("df_part", alias_name="df")))
+
+    joined = hash_join(pairs(), df_tbl, on="token", cfg=DOCS_CFG)
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        df = np.asarray(pc.cast(b.column("df"), pa.int64()), np.int64)
+        tok = b.column("token").combine_chunks()
+        enc = pc.dictionary_encode(tok)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        rank = np.empty(len(enc.dictionary), np.int64)
+        rank[np.argsort(np.asarray(enc.dictionary, object))] = np.arange(
+            len(enc.dictionary))
+        order = np.lexsort((rank[np.asarray(enc.indices, np.int64)], df, ids))
+        first = order[np.flatnonzero(np.diff(ids[order], prepend=-1))]
+        first = np.sort(first)
+        return pa.table({
+            "doc_id": pa.array(ids[first], pa.int64()),
+            "token": tok.take(pa.array(first)),
+            "df": pa.array(df[first], pa.int64()),
+        })
+
+    def group_min(g: pa.Table) -> pa.Table:
+        i = min(range(g.num_rows),
+                key=lambda j: (g.column("df")[j].as_py(),
+                               g.column("token")[j].as_py()))
+        return g.slice(i, 1)
+
+    winners = (joined.map_batches(partial_min, batch_format="pyarrow")
+               .groupby("doc_id").map_groups(group_min,
+                                             batch_format="pyarrow"))
+
+    # left-join back onto the full id set so token-less docs keep a row
+    ids = read_documents(sf_dir, ["doc_id"])
+    out = hash_join(ids, winners, on="doc_id", cfg=DOCS_CFG,
+                    join_type="left_outer")
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "rarest_token": pc.fill_null(pc.cast(b.column("token"),
+                                                 pa.string()), ""),
+            "rarest_df": pc.fill_null(pc.cast(b.column("df"), pa.int64()), 0),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow").sort("doc_id")

@@ -142,3 +142,23 @@ def test_exploded_token_codes_filters_empty_tokens():
     toks = [vocab[c].as_py() for c in codes]
     assert list(rows) == [0, 0, 3]
     assert toks == ["a", "a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# doc_rarest_token: DF join-back, token-less docs, tie determinism
+# ---------------------------------------------------------------------------
+
+def test_rarest_token_multiblock(tmp_path, ray_session):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        # 'qq' appears in one doc (df=1) → beats common tokens;
+        # doc 3's tokens tie at df=2 → lexicographic tie-break ('aa');
+        # docs 4/5 are token-less → ('', 0)
+        "text": ["common qq common", "common aa", "common bb",
+                 "aa bb", "", "   "],
+    })
+    _write_parts(str(tmp_path), "documents", docs, 3)
+    out = (textops.doc_rarest_token(str(tmp_path))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.rarest_token.tolist() == ["qq", "aa", "bb", "aa", "", ""]
+    assert out.rarest_df.tolist() == [1, 2, 2, 2, 0, 0]
