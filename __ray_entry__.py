@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 42 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 50 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (36 oracles, including all-true INVARIANT oracles
+SQL-expressible one (44 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -148,6 +148,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_ivf_recall_check": ann.ann_ivf_recall_check,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        "ann_range_search": ann.ann_range_search,
         "embedding_cc_clusters": ann.embedding_cc_clusters,
         # scalar extractors (M6/M7) over the deterministic address fixture
         "addr_extract": addresses.addr_extract,
@@ -384,6 +385,15 @@ def oracle_sql() -> "dict[str, str]":
                                           ORDER BY sim DESC, vec_id ASC) AS rank
                 FROM s)
             WHERE rank <= 10 ORDER BY qid, rank
+        """,
+        "ann_range_search": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5)
+            SELECT q.qid, e.vec_id
+            FROM embeddings e CROSS JOIN q
+            WHERE list_cosine_similarity(e.embedding, q.qe) >= 0.3
+              AND e.vec_id <> q.qid
+            ORDER BY qid, vec_id
         """,
         "embedding_near_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -489,3 +489,32 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
 
     return partials.groupby("qid").map_groups(
         merge, batch_format="pyarrow").sort(["qid", "rank"])
+
+
+def ann_range_search(sf_dir: str, n_queries: int = 5,
+                     threshold: float = 0.3):
+    """Radius (range) search: every vector with cosine ≥ ``threshold`` to
+    each of the first ``n_queries`` query vectors, excluding the query
+    itself. Output: (qid, vec_id) — integer-only for the oracle compare.
+
+    The no-shuffle companion to :func:`ann_topk`: the tiny query matrix
+    broadcasts once via ``ray.put``, every batch emits its own hits
+    locally (one matmul + boolean mask), and only the final result sort
+    moves data. At 100 TB this is a single streaming pass."""
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, q))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids, m = _to_matrix(batch)
+        sims = _normalize(m) @ qm.T          # (batch, nq)
+        bi, qj = np.nonzero(sims >= threshold)
+        qid = qi[qj]
+        vid = ids[bi]
+        keep = qid != vid                    # a query always matches itself
+        return pa.table({"qid": pa.array(qid[keep], pa.int64()),
+                         "vec_id": pa.array(vid[keep], pa.int64())})
+
+    return read_embeddings(sf_dir).map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["qid", "vec_id"])

@@ -80,3 +80,24 @@ def test_embedding_cc_clusters_no_edges(ray_session):
     df = ann.embedding_cc_clusters(SF_DIR, threshold=1.01).to_pandas()
     assert len(df) > 0
     assert (df["cluster_id"] == df["vec_id"]).all()
+
+
+def test_range_search_matches_bruteforce(ray_session):
+    import duckdb
+
+    from fuzzy_dedupe_pipeline_ray.pipelines.ann import ann_range_search
+
+    sf = "/root/testdata/sf0.001"
+    out = ann_range_search(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    ora = con.sql(f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM read_parquet('{sf}/embeddings.parquet')
+                   ORDER BY vec_id LIMIT 5)
+        SELECT q.qid, e.vec_id
+        FROM read_parquet('{sf}/embeddings.parquet') e CROSS JOIN q
+        WHERE list_cosine_similarity(e.embedding, q.qe) >= 0.3
+          AND e.vec_id <> q.qid
+        ORDER BY qid, vec_id""").df()
+    assert len(out) > 0, "fixture must produce at least one in-range hit"
+    assert out.astype("int64").equals(ora.astype("int64"))
