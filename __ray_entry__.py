@@ -111,6 +111,87 @@ def files_exact_family_check(sf_dir: str):
         ["repo", "path", "commit"])
 
 
+def files_incremental_check(sf_dir: str):
+    """Oracle-able INVARIANT over the incremental pipeline: split the
+    'small' corpus ~2:1 by doc-id hash, run base + append-increment
+    (``pipelines/incremental.py``), and compare the resulting cluster
+    partition — (cluster_id, duplicate_count, is_representative) per doc
+    — against the full run over the union. Output: one all-true row per
+    file when incremental ≡ full."""
+    import pyarrow as pa
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.config import DEFAULT_CONFIG
+    from fuzzy_dedupe_pipeline_ray.pipelines.incremental import (
+        IncrementalDedupe,
+    )
+    from fuzzy_dedupe_pipeline_ray.stages.ingest import ingest_meta_batch
+
+    d = corpus_dir("small")
+    files = ray.data.read_parquet(
+        f"{d}/files.parquet",
+        columns=["repo", "path", "commit", "lang", "content"])
+
+    def with_ids(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "doc_id", ingest_meta_batch(b, DEFAULT_CONFIG,
+                                        None).column("doc_id"))
+
+    import pyarrow.compute as pc
+
+    tagged = files.map_batches(with_ids, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    cols = ["repo", "path", "commit", "lang", "content"]
+
+    def part(b: pa.Table, new: bool) -> pa.Table:
+        m = pc.equal(pc.bit_wise_and(b.column("doc_id"), 3), 0)
+        return b.filter(m if new else pc.invert(m)).select(cols)
+
+    base_ds = tagged.map_batches(lambda b: part(b, False),
+                                 batch_format="pyarrow").materialize()
+    new_ds = tagged.map_batches(lambda b: part(b, True),
+                                batch_format="pyarrow").materialize()
+
+    part_cols = ["doc_id", "cluster_id", "duplicate_count",
+                 "is_representative"]
+
+    def partition_df(p):
+        return (p.assignments().select_columns(part_cols).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    import shutil
+
+    for sub in ("incchk_full", "incchk_base", "incchk_inc"):
+        shutil.rmtree(f"/tmp/fdpr_runs/{sub}", ignore_errors=True)
+    full = DedupePipeline(None, "/tmp/fdpr_runs/incchk_full",
+                          files_ds=tagged.map_batches(
+                              lambda b: b.select(cols),
+                              batch_format="pyarrow"))
+    full.run()
+    base = DedupePipeline(None, "/tmp/fdpr_runs/incchk_base",
+                          files_ds=base_ds)
+    base.run()
+    inc = IncrementalDedupe("/tmp/fdpr_runs/incchk_base", None,
+                            "/tmp/fdpr_runs/incchk_inc",
+                            new_files_ds=new_ds, base_files_ds=base_ds)
+    inc.run()
+
+    a, b = partition_df(inc), partition_df(full)
+    ok = (len(a) == len(b)
+          and bool((a[part_cols] == b[part_cols]).all().all()))
+    docs = inc.assignments().select_columns(["repo", "path", "commit"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return t.append_column(
+            "incremental_matches_full",
+            pa.array(np.full(t.num_rows, ok)))
+
+    return docs.map_batches(flag, batch_format="pyarrow").sort(
+        ["repo", "path", "commit"])
+
+
 def entry() -> Any:
     """Flagship pipeline on the tiny corpus; returns the assignments."""
     return files_dedupe("/root/testdata/sf0.001")
@@ -121,6 +202,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         # flagship + near-dup family (engine kernels)
         "files_dedupe": files_dedupe,
         "files_exact_family_check": files_exact_family_check,
+        "files_incremental_check": files_incremental_check,
         "doc_minhash_lsh_dedupe": textops.doc_minhash_lsh_dedupe,
         "doc_dedupe_exact_family_check": textops.doc_dedupe_exact_family_check,
         "doc_simhash_dedupe": textops.doc_simhash_dedupe,
@@ -243,6 +325,11 @@ def oracle_sql() -> "dict[str, str]":
         """,
         "files_exact_family_check": f"""
             SELECT repo, path, commit, TRUE AS same_cluster_as_sha_rep
+            FROM read_parquet('{small_files}')
+            ORDER BY repo, path, commit
+        """,
+        "files_incremental_check": f"""
+            SELECT repo, path, commit, TRUE AS incremental_matches_full
             FROM read_parquet('{small_files}')
             ORDER BY repo, path, commit
         """,

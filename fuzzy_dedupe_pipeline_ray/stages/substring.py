@@ -557,12 +557,19 @@ def substring_prep(files_ds, signatures_ds, cfg: PipelineConfig,
 
 
 def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
-                    exclude_pairs=None, remap=None, prep=None):
+                    exclude_pairs=None, remap=None, prep=None,
+                    restrict_ids=None):
     """files + signatures → substring-duplicate edge Dataset (SUB_EDGE_SCHEMA).
 
     ``exclude_pairs``: pairs already linked by the exact/fuzzy passes —
     anti-joined out before the expensive per-pair span verification (they
     add no connectivity).
+
+    ``restrict_ids``: optional sorted int64 doc-id array (or an ObjectRef
+    to one) — only candidate pairs with at least one endpoint in the set
+    are verified. The incremental pipeline passes the NEW doc ids here so
+    old×old candidates (whose outcome the base run's edges already
+    record) are never re-verified.
 
     Contents for the (small, rare-anchor-blocked) candidate set are
     gathered as a DATASET via a semi-join filter over the input, then
@@ -582,6 +589,28 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
         pairs = anchor_candidates(signatures_ds, cfg)
     if exclude_pairs is not None:
         pairs = anti_join_pairs(pairs, exclude_pairs, cfg)
+    if restrict_ids is not None:
+        rid_ref = (restrict_ids if isinstance(restrict_ids, ray.ObjectRef)
+                   else ray.put(restrict_ids))
+
+        def keep_touching(b):
+            import numpy as np
+
+            rid = ray.get(rid_ref)
+            if len(rid) == 0:
+                return b.slice(0, 0)
+
+            def member(x):
+                i = np.minimum(np.searchsorted(rid, x), len(rid) - 1)
+                return rid[i] == x
+
+            a = b.column("id_a").to_numpy()
+            bb = b.column("id_b").to_numpy()
+            import pyarrow as _pa
+            return b.filter(_pa.array(member(a) | member(bb)))
+
+        pairs = pairs.map_batches(keep_touching, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     pairs = pairs.materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(SUB_EDGE_SCHEMA.empty_table())

@@ -78,11 +78,30 @@ def partition_lineage(ckpt_dir: str) -> "list[dict]":
 
 
 def checkpoint_write(ds, ckpt_dir: str):
-    """Atomic checkpoint: write to ``.tmp`` then rename. Returns lineage."""
+    """Atomic checkpoint: write to ``.tmp`` then rename. Returns lineage.
+
+    An EMPTY stage result still commits a valid checkpoint: Ray's
+    ``write_parquet`` creates no files (sometimes no directory) for a
+    0-row dataset, which would break both the atomic rename and the
+    ``read_parquet`` that downstream stages and resumes perform — so a
+    typed empty part file is written explicitly in that case."""
     tmp = ckpt_dir + ".tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     ds.write_parquet(tmp)
+    if (not os.path.isdir(tmp)
+            or not any(f.endswith(".parquet") for f in os.listdir(tmp))):
+        import pyarrow.parquet as pq
+
+        os.makedirs(tmp, exist_ok=True)
+        schema = ds.schema()
+        arrow_schema = getattr(schema, "base_schema", schema)
+        if arrow_schema is not None:
+            pq.write_table(arrow_schema.empty_table(),
+                           os.path.join(tmp, "empty-0.parquet"))
+        # schema unknown (transform of an empty input): commit an empty
+        # DIRECTORY — rows=0 lands in the manifest and callers must not
+        # read such a checkpoint (IncrementalDedupe guards on rows)
     if os.path.isdir(ckpt_dir):
         shutil.rmtree(ckpt_dir)
     os.replace(tmp, ckpt_dir)
@@ -118,11 +137,15 @@ def checkpoint_link_union(src_dirs: "list[str]", ckpt_dir: str,
         if os.path.isdir(extra_tmp):
             shutil.rmtree(extra_tmp)
         extra_ds.write_parquet(extra_tmp)
-        for fname in sorted(os.listdir(extra_tmp)):
-            if fname.endswith(".parquet"):
-                os.replace(os.path.join(extra_tmp, fname),
-                           os.path.join(tmp, f"extra_{fname}"))
-        shutil.rmtree(extra_tmp)
+        # Ray writes no files (sometimes no dir) for a 0-row dataset — an
+        # empty extra contributes nothing to the union, so just skip it
+        # (the linked sources carry the schema).
+        if os.path.isdir(extra_tmp):
+            for fname in sorted(os.listdir(extra_tmp)):
+                if fname.endswith(".parquet"):
+                    os.replace(os.path.join(extra_tmp, fname),
+                               os.path.join(tmp, f"extra_{fname}"))
+            shutil.rmtree(extra_tmp)
     if os.path.isdir(ckpt_dir):
         shutil.rmtree(ckpt_dir)
     os.replace(tmp, ckpt_dir)
