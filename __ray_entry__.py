@@ -219,6 +219,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "token_doc_freq": textops.token_doc_freq,
         "doc_token_repetition": textops.doc_token_repetition,
         "doc_rarest_token": textops.doc_rarest_token,
+        "doc_pii_scrub": textops.doc_pii_scrub,
+        "doc_chunk": textops.doc_chunk,
+        "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
         "doc_distinct_shingle_sketch": textops.doc_distinct_shingle_sketch,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
@@ -232,6 +235,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         "ann_range_search": ann.ann_range_search,
         "embedding_cc_clusters": ann.embedding_cc_clusters,
+        "embedding_label_centroid": ann.embedding_label_centroid,
         # scalar extractors (M6/M7) over the deterministic address fixture
         "addr_extract": addresses.addr_extract,
         # multimodal (deterministic fixture; decode stubbed, plumbing real)
@@ -259,6 +263,10 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "part_brand_set_ops": relational.part_brand_set_ops,
         "events_type_pivot": relational.events_type_pivot,
         "part_brand_topk": relational.part_brand_topk,
+        "orders_latest_per_customer": relational.orders_latest_per_customer,
+        "lineitem_price_histogram": relational.lineitem_price_histogram,
+        "supplier_nation_stats": relational.supplier_nation_stats,
+        "urgent_order_revenue": relational.urgent_order_revenue,
     }
 
 
@@ -735,6 +743,104 @@ def oracle_sql() -> "dict[str, str]":
                                     p_partkey) AS rnk
                 FROM part)
             WHERE rnk <= 3 ORDER BY p_brand, rnk
+        """,
+        "doc_pii_scrub": f"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                       '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{textops.PII_NUM_RE}', '<NUM>', 'g') AS scrubbed,
+                   len(regexp_extract_all(text, '{textops.PII_EMAIL_RE}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text, '{textops.PII_NUM_RE}'))
+                       AS n_long_nums
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_chunk": f"""
+            WITH d AS (
+                SELECT doc_id, text, length(text) AS n FROM documents),
+            c AS (
+                SELECT doc_id, text,
+                       CASE WHEN n <= {textops.CHUNK_SIZE} THEN 1
+                            ELSE (n - {textops.CHUNK_SIZE}
+                                  + {textops.CHUNK_STRIDE} - 1)
+                                 // {textops.CHUNK_STRIDE} + 1 END AS nc
+                FROM d)
+            SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+                   CAST(u.i * {textops.CHUNK_STRIDE} AS BIGINT)
+                       AS chunk_start,
+                   substr(text, u.i * {textops.CHUNK_STRIDE} + 1,
+                          {textops.CHUNK_SIZE}) AS chunk_text
+            FROM c, UNNEST(range(0, nc)) AS u(i)
+            ORDER BY doc_id, chunk_idx
+        """,
+        "doc_tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '{_WS}')) AS tok
+                FROM documents),
+            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM nz
+                   GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            s AS (SELECT doc_id, tok,
+                         (tf * {textops.TFIDF_SCALE}) // df AS score
+                  FROM tf JOIN df USING (tok)),
+            r AS (SELECT doc_id, tok, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, tok) AS rnk
+                  FROM s)
+            SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok AS token,
+                   CAST(score AS BIGINT) AS tfidf_score
+            FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "embedding_label_centroid": f"""
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(u.i AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE)
+                                       * {ann.CENTROID_SCALE}) AS BIGINT))
+                        AS BIGINT) AS sum_e6,
+                   count(*) AS n
+            FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+            GROUP BY label, u.i ORDER BY label, dim
+        """,
+        "orders_latest_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS total_e2
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+                  FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "lineitem_price_histogram": """
+            WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS cents
+                       FROM lineitem)
+            SELECT cents // 10000 AS bin_id,
+                   (cents // 10000) * 10000 AS lo_cents,
+                   count(*) AS n
+            FROM c GROUP BY 1 ORDER BY bin_id
+        """,
+        "supplier_nation_stats": """
+            SELECT n.n_name, count(*) AS n_suppliers,
+                   CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS acctbal_e2
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "urgent_order_revenue": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))
+                              * 10000) AS BIGINT) AS revenue_e4
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-15'
+              AND l.l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
         """,
         "events_sessionize": """
             WITH o AS (

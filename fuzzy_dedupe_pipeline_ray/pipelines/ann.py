@@ -518,3 +518,60 @@ def ann_range_search(sf_dir: str, n_queries: int = 5,
     return read_embeddings(sf_dir).map_batches(
         emit, batch_format="pyarrow", zero_copy_batch=True).sort(
         ["qid", "vec_id"])
+
+
+CENTROID_SCALE = 1_000_000
+
+
+def embedding_label_centroid(sf_dir: str):
+    """Per-label centroid sums over the embedding column — the vector
+    AGGREGATE shape (cluster centroids, class prototypes). Each batch
+    reduces to an (n_labels × dim) partial via one np.add.at, emitted as
+    long-form (label, dim, sum_e6, n) rows; a tiny groupby merges the
+    partials, so the shuffle carries |labels|·dim rows per block, never
+    vectors. Elements are floor(x·1e6) int64 BEFORE summing (float32 →
+    float64 is exact, floor is IEEE-identical in numpy and DuckDB), so
+    the integer sums are order-independent and the oracle compare exact.
+    Output: (label, dim, sum_e6, n)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy().astype(np.int64)
+        emb = b.column("embedding")
+        arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(len(lab), 1)
+        m = np.floor(flat.astype(np.float64) * CENTROID_SCALE).astype(
+            np.int64).reshape(len(lab), dim)
+        labels, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labels), dim), np.int64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(labels)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(labels, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(labels))),
+            "sum_e6": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, dim)),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["label", "dim"])
+              .aggregate(Sum("sum_e6", alias_name="sum_e6"),
+                         Sum("n", alias_name="n")))
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": pc.cast(b.column("label"), pa.int64()),
+            "dim": pc.cast(b.column("dim"), pa.int64()),
+            "sum_e6": pc.cast(b.column("sum_e6"), pa.int64()),
+            "n": pc.cast(b.column("n"), pa.int64()),
+        })
+
+    return merged.map_batches(final, batch_format="pyarrow").sort(
+        ["label", "dim"])

@@ -1307,3 +1307,181 @@ def customer_order_summary(sf_dir: str):
         })
 
     return joined.map_batches(fill, batch_format="pyarrow").sort("c_custkey")
+
+
+def orders_latest_per_customer(sf_dir: str):
+    """Arg-max per group (the keep-newest-record retention shape): each
+    customer's most recent order, ties broken by smallest orderkey.
+    Per-batch partial arg-max via one lexsort keeps at most one row per
+    (customer, block), so only block winners shuffle; the final per-group
+    pick is the same kernel inside map_groups. Output: (o_custkey,
+    o_orderkey, o_orderdate, total_e2)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def argmax_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy()
+        ok = b.column("o_orderkey").to_numpy()
+        ts = (b.column("o_orderdate").to_numpy()
+              .astype("datetime64[us]").astype(np.int64))
+        # last row of each (custkey) run under (cust, date, -orderkey):
+        # the max date, min orderkey on date ties
+        order = np.lexsort((-ok, ts, ck))
+        sck = ck[order]
+        last = np.flatnonzero(np.r_[sck[1:] != sck[:-1], True])
+        keep = np.sort(order[last])
+        return b.take(pa.array(keep))
+
+    partials = orders.map_batches(argmax_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    final = partials.groupby("o_custkey").map_groups(
+        argmax_rows, batch_format="pyarrow")
+
+    def scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_orderdate": b.column("o_orderdate"),
+            "total_e2": _e2(b.column("o_totalprice")),
+        })
+
+    return final.map_batches(scale, batch_format="pyarrow").sort("o_custkey")
+
+
+_HIST_BIN_CENTS = 10_000  # $100-wide bins over l_extendedprice
+
+
+def lineitem_price_histogram(sf_dir: str):
+    """Fixed-width numeric histogram over l_extendedprice ($100 bins on
+    the cent-scaled value). Per-batch np.bincount partials shuffle at most
+    |bins| rows per block into a tiny groupby sum. Output: (bin_id,
+    lo_cents, n)."""
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _e2(b.column("l_extendedprice")).to_numpy()
+        bins = cents // _HIST_BIN_CENTS
+        ids, counts = np.unique(bins, return_counts=True)
+        return pa.table({
+            "bin_id": pa.array(ids, pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    merged = (li.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bin_id").aggregate(Sum("n", alias_name="n")))
+
+    def final(b: pa.Table) -> pa.Table:
+        bid = pc.cast(b.column("bin_id"), pa.int64())
+        return pa.table({
+            "bin_id": bid,
+            "lo_cents": pc.multiply(bid, pa.scalar(_HIST_BIN_CENTS,
+                                                   pa.int64())),
+            "n": pc.cast(b.column("n"), pa.int64()),
+        })
+
+    return merged.map_batches(final, batch_format="pyarrow").sort("bin_id")
+
+
+def supplier_nation_stats(sf_dir: str):
+    """supplier ⋈ nation rollup: per-nation supplier count and cent-scaled
+    account-balance sum (negative balances exercise signed rounding).
+    Aggregate-before-join: suppliers pre-aggregate by nationkey, then the
+    25-row nation table joins broadcast-style. Output: (n_name,
+    n_suppliers, acctbal_e2)."""
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        nk = b.column("s_nationkey").to_numpy().astype(np.int64)
+        keys, inv = np.unique(nk, return_inverse=True)
+        cents = _e2(b.column("s_acctbal")).to_numpy()
+        return pa.table({
+            "n_nationkey": pa.array(keys, pa.int64()),
+            "n_suppliers": pa.array(np.bincount(inv, minlength=len(keys))
+                                    .astype(np.int64)),
+            "acctbal": pa.array(np.bincount(inv, weights=cents,
+                                            minlength=len(keys))
+                                .astype(np.int64)),
+        })
+
+    per_nation = (sup.map_batches(pre, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                  .groupby("n_nationkey")
+                  .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                             Sum("acctbal", alias_name="acctbal")))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        lambda b: pa.table({"n_nationkey": pc.cast(b.column("n_nationkey"),
+                                                   pa.int64()),
+                            "n_name": b.column("n_name")}),
+        batch_format="pyarrow")
+    out = hash_join(per_nation, nation, on="n_nationkey", cfg=DEFAULT_CONFIG)
+
+    def scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "n_suppliers": pc.cast(b.column("n_suppliers"), pa.int64()),
+            "acctbal_e2": pc.cast(b.column("acctbal"), pa.int64()),
+        })
+
+    return out.map_batches(scale, batch_format="pyarrow").sort("n_name")
+
+
+def urgent_order_revenue(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-15", k: int = 10):
+    """TPC-H Q3 shape: revenue of not-yet-shipped lineitems for one market
+    segment's orders placed before the cutoff — filter-pushdown reads on
+    all three tables, semi-join reduction (orders filtered by the customer
+    key set before lineitem ever joins), per-batch revenue partials, top-k.
+    Output: (l_orderkey, o_orderdate, revenue_e4)."""
+    cfg = DEFAULT_CONFIG
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .map_batches(
+                lambda b: b.filter(pc.equal(b.column("c_mktsegment"),
+                                            segment)).select(["c_custkey"]),
+                batch_format="pyarrow", zero_copy_batch=True))
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(
+                  lambda b: b.filter(pc.less(b.column("o_orderdate"), cut)),
+                  batch_format="pyarrow", zero_copy_batch=True))
+    orders = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       cfg=cfg).select_columns(["o_orderkey", "o_orderdate"])
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+          .map_batches(
+              lambda b: b.filter(pc.greater(b.column("l_shipdate"), cut)),
+              batch_format="pyarrow", zero_copy_batch=True))
+
+    def partial_rev(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy()
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount"))).to_numpy()
+        keys, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(keys, pa.int64()),
+            "revenue": pa.array(np.bincount(inv, weights=rev,
+                                            minlength=len(keys))),
+        })
+
+    per_order = (li.map_batches(partial_rev, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("revenue", alias_name="revenue")))
+    j = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey",
+                  cfg=cfg)
+
+    def scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "o_orderdate": b.column("o_orderdate"),
+            "revenue_e4": _e4(b.column("revenue")),
+        })
+
+    return (j.map_batches(scale, batch_format="pyarrow")
+            .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+            .limit(k))

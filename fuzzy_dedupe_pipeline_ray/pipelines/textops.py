@@ -1056,3 +1056,178 @@ def doc_rarest_token(sf_dir: str):
         })
 
     return out.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+
+
+# PII-ish scrub patterns (RE2-compatible, written identically in the DuckDB
+# oracle): emails and 4+-digit runs. Counts are taken on the ORIGINAL text
+# (so digits inside an email count toward n_long_nums even though the email
+# replacement consumes them in the scrubbed output).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PII_NUM_RE = "[0-9][0-9][0-9][0-9]+"
+
+
+def doc_pii_scrub(sf_dir: str):
+    """Redaction pass for training-data hygiene: replace email addresses
+    with ``<EMAIL>`` then 4+-digit runs with ``<NUM>``, and count each
+    pattern's matches on the original text. Pure RE2 kernels per batch —
+    the same two regexes the oracle runs. Output: (doc_id, scrubbed,
+    n_emails, n_long_nums)."""
+    def f(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        scrub = pc.replace_substring_regex(text, pattern=PII_EMAIL_RE,
+                                           replacement="<EMAIL>")
+        scrub = pc.replace_substring_regex(scrub, pattern=PII_NUM_RE,
+                                           replacement="<NUM>")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "scrubbed": scrub,
+            "n_emails": pc.cast(pc.count_substring_regex(
+                text, pattern=PII_EMAIL_RE), pa.int64()),
+            "n_long_nums": pc.cast(pc.count_substring_regex(
+                text, pattern=PII_NUM_RE), pa.int64()),
+        })
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+def doc_chunk(sf_dir: str, size: int = CHUNK_SIZE,
+              stride: int = CHUNK_STRIDE):
+    """Split documents into overlapping fixed-width character windows (the
+    context-window chunking step of a training-data pipeline). A document
+    of n chars yields ``1 + ceil((n - size)/stride)`` chunks (min 1, so
+    empty docs keep one empty chunk). flat_map-shaped but vectorized: one
+    ``utf8_slice_codeunits`` call per chunk INDEX (≤ ceil(max_len/stride)
+    per batch), never per row — codepoint slicing matches DuckDB substr
+    semantics exactly (verified on non-ASCII). Output: (doc_id, chunk_idx,
+    chunk_start, chunk_text)."""
+    def f(b: pa.Table) -> pa.Table:
+        text = b.column("text").combine_chunks()
+        ids = b.column("doc_id").to_numpy()
+        n = pc.utf8_length(text).to_numpy().astype(np.int64)
+        # ceil((n - size)/stride) + 1  ==  (n - size + stride - 1)//stride + 1
+        nc = np.where(n <= size, 1, (n - size + stride - 1) // stride + 1)
+        out_ids, out_idx, out_txt = [], [], []
+        for i in range(int(nc.max()) if len(nc) else 0):
+            mask = nc > i
+            sel = np.flatnonzero(mask)
+            sliced = pc.utf8_slice_codeunits(
+                text.take(pa.array(sel)), start=i * stride,
+                stop=i * stride + size)
+            out_ids.append(ids[sel])
+            out_idx.append(np.full(len(sel), i, np.int64))
+            out_txt.append(sliced)
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_start": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        idx = np.concatenate(out_idx)
+        tbl = pa.table({
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "chunk_start": pa.array(idx * stride, pa.int64()),
+            "chunk_text": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in out_txt]),
+        })
+        return tbl.take(pa.array(np.lexsort((idx,
+                                             tbl.column("doc_id")
+                                             .to_numpy()))))
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TFIDF_SCALE = 1_000_000
+
+
+def doc_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Top-k most distinctive terms per document by an integer TF-IDF
+    surrogate: ``score = tf · 1e6 // df`` (floor division — identical in
+    numpy and DuckDB, so the oracle compare is exact; a float idf would
+    tie-break differently at the ulp level). Ties by token. Docs with no
+    tokens emit no rows.
+
+    Same two-pass shape as ``doc_rarest_token``: build the global DF
+    table (tiny, one row per distinct token), hash_join it back onto the
+    per-batch (doc, token, tf) stream (broadcast under the gate), keep a
+    per-batch partial top-k per doc, finish with a per-doc group top-k.
+    Output: (doc_id, rnk, token, tfidf_score)."""
+    from ray.data.aggregate import Sum
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
+
+    def tf_fn(b: pa.Table) -> pa.Table:
+        rows, codes, vocab = _exploded_token_codes(b.column("text"))
+        ids = b.column("doc_id").to_numpy()
+        if len(rows) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        v = len(vocab)
+        pair, tf = np.unique(rows * np.int64(v) + codes, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(ids[(pair // v)], pa.int64()),
+            "token": pc.cast(pa.array(vocab).take(pa.array(pair % v)),
+                             pa.string()),
+            "tf": pa.array(tf.astype(np.int64)),
+        })
+
+    def tf_stream():
+        return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            tf_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    df_tbl = (tf_stream().map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "df_part": pa.array(np.ones(b.num_rows,
+                                                        np.int64))}),
+        batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("df_part", alias_name="df")))
+
+    joined = hash_join(tf_stream(), df_tbl, on="token", cfg=DOCS_CFG)
+
+    def _token_rank(tok: pa.Array) -> np.ndarray:
+        enc = pc.dictionary_encode(tok)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        rank = np.empty(len(enc.dictionary), np.int64)
+        rank[np.argsort(np.asarray(enc.dictionary, object))] = np.arange(
+            len(enc.dictionary))
+        return rank[np.asarray(enc.indices, np.int64)]
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        tf = np.asarray(pc.cast(b.column("tf"), pa.int64()), np.int64)
+        df = np.asarray(pc.cast(b.column("df"), pa.int64()), np.int64)
+        score = (tf * TFIDF_SCALE) // df
+        tok = b.column("token").combine_chunks()
+        order = np.lexsort((_token_rank(tok), -score, ids))
+        sid = ids[order]
+        starts = np.flatnonzero(np.diff(sid, prepend=-1))
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(order))))
+        keep = np.sort(order[np.arange(len(order)) - run_start < k])
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "token": tok.take(pa.array(keep)),
+            "tfidf_score": pa.array(score[keep], pa.int64()),
+        })
+
+    def group_topk(g: pa.Table) -> pa.Table:
+        score = g.column("tfidf_score").to_numpy()
+        tok = g.column("token").combine_chunks()
+        order = np.lexsort((_token_rank(tok), -score))[:k]
+        return pa.table({
+            "doc_id": g.column("doc_id").take(pa.array(order)),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "token": tok.take(pa.array(order)),
+            "tfidf_score": pa.array(score[order], pa.int64()),
+        })
+
+    return (joined.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("doc_id").map_groups(group_topk, batch_format="pyarrow")
+            .sort(["doc_id", "rnk"]))
