@@ -223,6 +223,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_chunk": textops.doc_chunk,
         "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
         "doc_distinct_shingle_sketch": textops.doc_distinct_shingle_sketch,
+        "doc_decontaminate": textops.doc_decontaminate,
+        "doc_ngram_novelty": textops.doc_ngram_novelty,
+        "files_dup_rate_by_lang": textops.files_dup_rate_by_lang,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
             textops.doc_fingerprint_exact_family_check,
@@ -793,6 +796,71 @@ def oracle_sql() -> "dict[str, str]":
             SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok AS token,
                    CAST(score AS BIGINT) AS tfidf_score
             FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "doc_decontaminate": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(lower(text)), '{_WS}'),
+                           t -> t <> '') AS ts
+                FROM documents),
+            ng AS (
+                SELECT doc_id,
+                       array_to_string(
+                           ts[u.i : u.i + {textops.DECON_N - 1}], ' ') AS g
+                FROM toks,
+                     UNNEST(range(1, len(ts) - {textops.DECON_N} + 2))
+                         AS u(i)),
+            dg AS (SELECT DISTINCT doc_id, g FROM ng),
+            bench AS (SELECT DISTINCT g FROM dg
+                      WHERE doc_id % {textops.DECON_BENCH_MOD} = 0),
+            train AS (SELECT * FROM dg
+                      WHERE doc_id % {textops.DECON_BENCH_MOD} <> 0),
+            hits AS (SELECT t.doc_id, count(*) AS n_overlap
+                     FROM train t JOIN bench b ON t.g = b.g
+                     GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   coalesce(h.n_overlap, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % {textops.DECON_BENCH_MOD} <> 0
+            ORDER BY d.doc_id
+        """,
+        "doc_ngram_novelty": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(lower(text)), '{_WS}'),
+                           t -> t <> '') AS ts
+                FROM documents),
+            ng AS (
+                SELECT doc_id,
+                       array_to_string(
+                           ts[u.i : u.i + {textops.NOVELTY_N - 1}], ' ') AS g
+                FROM toks,
+                     UNNEST(range(1, len(ts) - {textops.NOVELTY_N} + 2))
+                         AS u(i)),
+            dg AS (SELECT DISTINCT doc_id, g FROM ng),
+            per AS (SELECT doc_id, count(*) AS n_distinct FROM dg
+                    GROUP BY doc_id),
+            fs AS (SELECT g, min(doc_id) AS doc_id FROM dg GROUP BY g),
+            nw AS (SELECT doc_id, count(*) AS n_new FROM fs GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_distinct, 0) AS BIGINT)
+                       AS n_distinct_ngrams,
+                   CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new_ngrams
+            FROM documents d
+            LEFT JOIN per USING (doc_id) LEFT JOIN nw USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "files_dup_rate_by_lang": f"""
+            SELECT lang,
+                   count(*) AS n_files,
+                   count(DISTINCT content) AS n_distinct,
+                   count(*) - count(DISTINCT content) AS dup_files,
+                   (count(*) - count(DISTINCT content))
+                       * {textops.DUP_RATE_SCALE} // count(*) AS dup_rate_e6
+            FROM read_parquet('{small_files}') GROUP BY lang ORDER BY lang
         """,
         "embedding_label_centroid": f"""
             SELECT CAST(label AS BIGINT) AS label,

@@ -1231,3 +1231,255 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3):
     return (joined.map_batches(partial_topk, batch_format="pyarrow")
             .groupby("doc_id").map_groups(group_topk, batch_format="pyarrow")
             .sort(["doc_id", "rnk"]))
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram operators: decontamination + novelty attribution
+# ---------------------------------------------------------------------------
+
+def _doc_ngrams(text: pa.ChunkedArray, n: int):
+    """DISTINCT (row_idx, gram) pairs of word ``n``-grams per document.
+
+    Tokenization matches ``_exploded_token_codes`` (lower → trim → ws
+    split → drop empties), so the DuckDB oracles can reproduce it with
+    ``list_filter(regexp_split_to_array(...), t -> t <> '')``. Grams are
+    the n consecutive tokens joined by a single space. Fully vectorized:
+    the only per-gram work is ``binary_join_element_wise`` over n shifted
+    takes of the flat token stream; per-doc distinct falls out of one
+    ``np.unique`` over packed (row, gram-code) keys. Returns
+    ``(rows, grams)`` — int64 row indices + a StringArray, one entry per
+    distinct (document, gram)."""
+    rows, codes, vocab = _exploded_token_codes(text)
+    m = len(rows)
+    empty = (np.empty(0, np.int64), pa.array([], pa.string()))
+    if m < n:
+        return empty
+    # a gram starting at flat position i stays inside one document iff the
+    # row index n-1 positions later is the same row
+    valid = np.flatnonzero(rows[:m - n + 1] == rows[n - 1:])
+    if len(valid) == 0:
+        return empty
+    toks = pc.cast(vocab, pa.string()).take(pa.array(codes))
+    parts = [toks.take(pa.array(valid + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    enc = pc.dictionary_encode(grams)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    gcodes = np.asarray(enc.indices, np.int64)
+    v = max(len(enc.dictionary), 1)
+    uniq = np.unique(rows[valid] * np.int64(v) + gcodes)
+    return ((uniq // v).astype(np.int64),
+            pc.cast(enc.dictionary.take(pa.array(uniq % v)), pa.string()))
+
+
+DECON_N = 5            # word n-gram size for the contamination probe
+DECON_BENCH_MOD = 50   # doc_id % 50 == 0 -> benchmark ("test set") doc
+
+
+def doc_decontaminate(sf_dir: str, n: int = DECON_N):
+    """Test-set decontamination: flag training documents that share any
+    word ``n``-gram with a held-out benchmark set (here the deterministic
+    2% slice ``doc_id % 50 == 0`` standing in for an eval suite). The
+    standard pre-training hygiene pass (n-gram overlap against benchmark
+    text, as in public LM data reports).
+
+    Shape: both sides explode to DISTINCT (doc, gram) pairs per batch
+    (docs never span batches, so per-batch distinct is exact); the
+    benchmark grams reduce to one distinct-gram table (tiny groupby);
+    membership is an inner ``hash_join`` on the gram string — broadcast
+    under the gates (the realistic case: benchmarks are MBs against TBs
+    of training docs), distributed shuffle join above them — then a
+    per-doc partial-count combiner and a left join back onto the full
+    non-benchmark id set so clean docs keep a row. No driver-side
+    materialization of either gram set at any size.
+
+    Output: (doc_id, n_overlap, contaminated) over non-benchmark docs,
+    where n_overlap counts the doc's DISTINCT grams that appear anywhere
+    in the benchmark."""
+    from ray.data.aggregate import Sum
+
+    def side_pairs(b: pa.Table, bench: bool) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        mask = (ids % DECON_BENCH_MOD == 0) if bench else \
+            (ids % DECON_BENCH_MOD != 0)
+        sub = b.take(pa.array(np.flatnonzero(mask)))
+        urows, ugrams = _doc_ngrams(sub.column("text"), n)
+        return pa.table({
+            "doc_id": pa.array(sub.column("doc_id").to_numpy()[urows],
+                               pa.int64()),
+            "g": ugrams,
+        })
+
+    def reader():
+        return read_documents(sf_dir, ["doc_id", "text"])
+
+    bench_grams = (reader().map_batches(
+        lambda b: side_pairs(b, True).select(["g"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g").aggregate(Count(alias_name="_n"))
+        .select_columns(["g"]))
+
+    train_pairs = reader().map_batches(
+        lambda b: side_pairs(b, False), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    hits = hash_join(train_pairs, bench_grams, on="g", cfg=DOCS_CFG)
+
+    def part_counts(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("doc_id").to_numpy(), return_counts=True)
+        return pa.table({"doc_id": pa.array(u, pa.int64()),
+                         "hit_part": pa.array(c.astype(np.int64))})
+
+    per_doc = (hits.map_batches(part_counts, batch_format="pyarrow")
+               .groupby("doc_id").aggregate(Sum("hit_part",
+                                                alias_name="n_overlap")))
+
+    def nonbench_ids(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table({"doc_id": pa.array(
+            ids[ids % DECON_BENCH_MOD != 0], pa.int64())})
+
+    ids = read_documents(sf_dir, ["doc_id"]).map_batches(
+        nonbench_ids, batch_format="pyarrow", zero_copy_batch=True)
+    out = hash_join(ids, per_doc, on="doc_id", cfg=DOCS_CFG,
+                    join_type="left_outer")
+
+    def fill(b: pa.Table) -> pa.Table:
+        ov = pc.fill_null(pc.cast(b.column("n_overlap"), pa.int64()), 0)
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_overlap": ov,
+            "contaminated": pc.greater(ov, 0),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+
+
+NOVELTY_N = 3  # word n-gram size for novelty attribution
+
+
+def doc_ngram_novelty(sf_dir: str, n: int = NOVELTY_N):
+    """N-gram novelty attribution: for each document, how many DISTINCT
+    word ``n``-grams it contains and how many of those appear for the
+    FIRST time in the corpus at this document (global first-seen = min
+    doc_id over every doc containing the gram). The dataset-curation
+    signal behind "how much new text does this shard actually add".
+
+    Shape: per-batch distinct (doc, gram) pairs (exact — docs never span
+    batches) → ``groupby(gram).Min(doc_id)`` assigns each distinct gram
+    its first-seen doc (the one wide shuffle; grams are grouped by their
+    string key so the oracle compare is exact — at 100 TB you would swap
+    the key to a 128-bit gram hash to cut shuffle bytes) → per-batch
+    partial counts per first-seen doc → tiny ``groupby(doc).Sum``. The
+    per-doc distinct count never shuffles at all: it is computed inline
+    per batch. One left join puts both counts on every document row.
+
+    Output: (doc_id, n_distinct_ngrams, n_new_ngrams) for ALL docs."""
+    from ray.data.aggregate import Sum
+
+    def distinct_fn(b: pa.Table) -> pa.Table:
+        urows, _ = _doc_ngrams(b.column("text"), n)
+        cnt = np.bincount(urows, minlength=b.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_distinct_ngrams": pa.array(cnt),
+        })
+
+    def pairs_fn(b: pa.Table) -> pa.Table:
+        urows, ugrams = _doc_ngrams(b.column("text"), n)
+        ids = b.column("doc_id").to_numpy()
+        return pa.table({"doc_id": pa.array(ids[urows], pa.int64()),
+                         "g": ugrams})
+
+    distincts = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        distinct_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    first_seen = (read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g").aggregate(Min("doc_id", alias_name="first_doc")))
+
+    def part_new(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            np.asarray(pc.cast(b.column("first_doc"), pa.int64()), np.int64),
+            return_counts=True)
+        return pa.table({"doc_id": pa.array(u, pa.int64()),
+                         "new_part": pa.array(c.astype(np.int64))})
+
+    new_counts = (first_seen.map_batches(part_new, batch_format="pyarrow")
+                  .groupby("doc_id").aggregate(Sum("new_part",
+                                                   alias_name="n_new")))
+
+    out = hash_join(distincts, new_counts, on="doc_id", cfg=DOCS_CFG,
+                    join_type="left_outer")
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_distinct_ngrams": pc.cast(b.column("n_distinct_ngrams"),
+                                         pa.int64()),
+            "n_new_ngrams": pc.fill_null(pc.cast(b.column("n_new"),
+                                                 pa.int64()), 0),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+
+
+DUP_RATE_SCALE = 1_000_000
+
+
+def files_dup_rate_by_lang(sf_dir: str):
+    """Per-language exact-duplication rollup over the source-code corpus —
+    the dedup REPORT a curation pipeline emits per source/language shard:
+    total files, distinct contents, duplicate files, and an integer dup
+    rate (``dup_files·1e6 // n_files``; floor division so the oracle
+    compare is exact). Runs over the deterministic ``small`` fixture
+    corpus (the same one ``files_exact_family_check`` pins) because it
+    has real duplicate families; the documents table is dup-free at the
+    gate tier.
+
+    Shape: sha256 per batch (the same content-hash kernel the flagship's
+    exact stage uses — distinct-by-hash equals distinct-by-content) →
+    ``groupby([lang, sha]).Count`` (the wide step; combiner-sized rows) →
+    per-batch partials → tiny ``groupby(lang)``. Output one row per lang."""
+    from ray.data.aggregate import Sum
+
+    from fuzzy_dedupe_pipeline_ray.fixtures import corpus_dir
+
+    def add_sha(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b.column("lang"),
+            "content_sha256": pa.array(sha256_hex_arrow(b.column("content")),
+                                       pa.string()),
+        })
+
+    files = ray.data.read_parquet(f"{corpus_dir('small')}/files.parquet",
+                                  columns=["lang", "content"])
+    groups = (files.map_batches(
+        add_sha, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "content_sha256"]).aggregate(Count(alias_name="n")))
+
+    def partials(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b.column("lang"),
+            "files_part": pc.cast(b.column("n"), pa.int64()),
+            "distinct_part": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+
+    agg = (groups.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang").aggregate(
+               Sum("files_part", alias_name="n_files"),
+               Sum("distinct_part", alias_name="n_distinct")))
+
+    def final(b: pa.Table) -> pa.Table:
+        nd = np.asarray(pc.cast(b.column("n_files"), pa.int64()), np.int64)
+        nu = np.asarray(pc.cast(b.column("n_distinct"), pa.int64()), np.int64)
+        dup = nd - nu
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_files": pa.array(nd),
+            "n_distinct": pa.array(nu),
+            "dup_files": pa.array(dup),
+            "dup_rate_e6": pa.array(dup * DUP_RATE_SCALE // nd),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("lang")
