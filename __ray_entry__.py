@@ -562,10 +562,13 @@ def oracle_sql() -> "dict[str, str]":
             ORDER BY user_id, event_type, window_start
         """,
         "doc_sample": f"""
+            -- HUGEINT: a BIGINT product overflows (DuckDB raises) for
+            -- doc_id >= ~3.5e9; 128-bit product mod 2^32 equals the
+            -- Python uint64 wrap for every int64 doc_id
             SELECT doc_id, lang, n_chars
             FROM documents
-            WHERE (doc_id * {textops._SAMPLE_MULT}) % {textops._SAMPLE_MOD}
-                  < {textops._SAMPLE_KEEP}
+            WHERE (CAST(doc_id AS HUGEINT) * {textops._SAMPLE_MULT})
+                  % {textops._SAMPLE_MOD} < {textops._SAMPLE_KEEP}
             ORDER BY doc_id
         """,
         "events_asof_join": """

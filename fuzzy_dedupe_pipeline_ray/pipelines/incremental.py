@@ -26,10 +26,18 @@ run's committed checkpoints:
 **Guarantee** (pinned by ``tests/test_incremental.py``): the resulting
 cluster PARTITION — (doc_id → cluster_id), duplicate_count,
 representative choice — equals a full run over base ∪ new input at the
-same config. Edge ROWS may differ benignly (e.g. a hot band's star-cap
-pairs depend on bucket membership order), so per-doc ``confidence`` can
+same config, PROVIDED no LSH band bucket crosses
+``cfg.band_group_pair_cap`` between the base run and the union. If the
+increment pushes a bucket over the cap, the full run emits only star
+pairs for it while the incremental run retains the base's verified
+all-pairs links — a strict edge SUPERSET, so the incremental partition
+can merge families the capped full run leaves split. That direction is
+extra dup-pair RECALL relative to the full run (never a loss of true
+links): the retained edges were threshold-verified in the base run.
+Edge ROWS may also differ benignly below the cap (star-pair choice
+depends on bucket membership order), so per-doc ``confidence`` can
 differ on docs inside capped families; everything cluster-shaped is
-identical.
+identical under the cap proviso.
 
 Preconditions: the base run is complete at the SAME config hash (a
 config change invalidates signature compatibility — the constructor
@@ -60,7 +68,10 @@ from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import (
     DedupePipeline,
     _substring_to_edges,
 )
-from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
+from fuzzy_dedupe_pipeline_ray.sources.io import (
+    filter_pairs_touching,
+    hash_join,
+)
 from fuzzy_dedupe_pipeline_ray.stages.cc import connected_components
 from fuzzy_dedupe_pipeline_ray.stages.exact import exact_edges
 from fuzzy_dedupe_pipeline_ray.stages.finalize import finalize
@@ -182,23 +193,8 @@ class IncrementalDedupe(DedupePipeline):
         def build_fuzzy():
             if not n_new:
                 return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
-            pairs = candidate_pairs(sigs, cfg)
-
-            def keep_touching(b: pa.Table) -> pa.Table:
-                rid = ray.get(new_ids_ref)
-                if len(rid) == 0:
-                    return b.slice(0, 0)
-
-                def member(x):
-                    i = np.minimum(np.searchsorted(rid, x), len(rid) - 1)
-                    return rid[i] == x
-
-                a = b.column("id_a").to_numpy()
-                bb = b.column("id_b").to_numpy()
-                return b.filter(pa.array(member(a) | member(bb)))
-
-            pairs = pairs.map_batches(keep_touching, batch_format="pyarrow",
-                                      zero_copy_batch=True)
+            pairs = filter_pairs_touching(candidate_pairs(sigs, cfg),
+                                          new_ids_ref)
             return verify_pairs(pairs, sigs, cfg,
                                 bank=prepare_sig_bank(sigs, cfg))
 

@@ -862,9 +862,15 @@ def _exploded_token_codes(text: pa.ChunkedArray):
     ``(rows, codes, vocab)`` — flat int64 row indices, flat dictionary
     codes, and the batch-local vocabulary (StringArray) — the shared
     explode kernel for the DF / repetition operators below. Fully
-    vectorized: one regex split, one dictionary encode, numpy the rest."""
+    vectorized: one regex split, one dictionary encode, numpy the rest.
+
+    NULL texts are treated as empty (no tokens): without the fill, a
+    null list's length surfaces as NaN→negative in numpy and
+    ``list_flatten`` silently drops the row, crashing/misaligning every
+    operator built on this kernel (review finding, round 4)."""
     toks = pc.split_pattern_regex(
-        pc.utf8_lower(pc.utf8_trim_whitespace(text)), pattern=textnorm._WS)
+        pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(text, ""))),
+        pattern=textnorm._WS)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = pc.list_flatten(toks)
@@ -879,6 +885,23 @@ def _exploded_token_codes(text: pa.ChunkedArray):
     keep = np.asarray(pc.not_equal(vocab, "").take(
         pa.array(codes)).to_numpy(zero_copy_only=False), bool)
     return rows[keep], codes[keep], vocab
+
+
+def _token_rank(tok: pa.Array) -> np.ndarray:
+    """Per-element rank of a string column under lexicographic order of
+    its distinct values — the shared tie-break kernel for the token
+    top-k/min operators (dictionary codes sort like the strings only if
+    the dictionary is sorted, so re-rank via the sorted vocabulary).
+    Must stay bit-consistent with DuckDB's ORDER BY on the same strings;
+    one copy so an edit can't silently change tie-breaking in only one
+    operator (review finding, round 4)."""
+    enc = pc.dictionary_encode(tok)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    rank = np.empty(len(enc.dictionary), np.int64)
+    rank[np.argsort(np.asarray(enc.dictionary, object))] = np.arange(
+        len(enc.dictionary))
+    return rank[np.asarray(enc.indices, np.int64)]
 
 
 def token_doc_freq(sf_dir: str, top_n: int = 50):
@@ -919,16 +942,7 @@ def token_doc_freq(sf_dir: str, top_n: int = 50):
                              "df": pc.cast(b.column("df"), pa.int64())})
         df = np.asarray(b.column("df"), np.int64)
         tok = b.column("token").combine_chunks()
-        enc = pc.dictionary_encode(tok)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        # dictionary codes sort like the (already-distinct) strings only if
-        # the dictionary is sorted — re-rank via the sorted vocabulary
-        rank = np.empty(len(enc.dictionary), np.int64)
-        rank[np.argsort(np.asarray(enc.dictionary, object))] = np.arange(
-            len(enc.dictionary))
-        keep = np.sort(np.lexsort(
-            (rank[np.asarray(enc.indices, np.int64)], -df))[:top_n])
+        keep = np.sort(np.lexsort((_token_rank(tok), -df))[:top_n])
         return pa.table({"token": pc.cast(tok.take(pa.array(keep)),
                                           pa.string()),
                          "df": pa.array(df[keep], pa.int64())})
@@ -1017,13 +1031,7 @@ def doc_rarest_token(sf_dir: str):
         ids = b.column("doc_id").to_numpy()
         df = np.asarray(pc.cast(b.column("df"), pa.int64()), np.int64)
         tok = b.column("token").combine_chunks()
-        enc = pc.dictionary_encode(tok)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        rank = np.empty(len(enc.dictionary), np.int64)
-        rank[np.argsort(np.asarray(enc.dictionary, object))] = np.arange(
-            len(enc.dictionary))
-        order = np.lexsort((rank[np.asarray(enc.indices, np.int64)], df, ids))
+        order = np.lexsort((_token_rank(tok), df, ids))
         first = order[np.flatnonzero(np.diff(ids[order], prepend=-1))]
         first = np.sort(first)
         return pa.table({
@@ -1190,15 +1198,6 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3):
         .groupby("token").aggregate(Sum("df_part", alias_name="df")))
 
     joined = hash_join(tf_stream(), df_tbl, on="token", cfg=DOCS_CFG)
-
-    def _token_rank(tok: pa.Array) -> np.ndarray:
-        enc = pc.dictionary_encode(tok)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        rank = np.empty(len(enc.dictionary), np.int64)
-        rank[np.argsort(np.asarray(enc.dictionary, object))] = np.arange(
-            len(enc.dictionary))
-        return rank[np.asarray(enc.indices, np.int64)]
 
     def partial_topk(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy()

@@ -236,3 +236,31 @@ def read_files(path: str):
 
     return ray.data.read_parquet(
         path, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def filter_pairs_touching(pairs, ids_ref):
+    """Keep only (id_a, id_b) pair rows with at least one endpoint in the
+    SORTED int64 id array behind ``ids_ref`` (broadcast once via
+    ``ray.put``; read zero-copy from plasma per batch). Shared by the
+    incremental pipeline's fuzzy stage and ``substring_edges``'
+    ``restrict_ids`` — one copy so the searchsorted membership logic
+    can't drift between the two (review finding, round 4)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    def keep_touching(b: "pa.Table") -> "pa.Table":
+        rid = ray.get(ids_ref)
+        if len(rid) == 0:
+            return b.slice(0, 0)
+
+        def member(x):
+            i = np.minimum(np.searchsorted(rid, x), len(rid) - 1)
+            return rid[i] == x
+
+        a = b.column("id_a").to_numpy()
+        bb = b.column("id_b").to_numpy()
+        return b.filter(pa.array(member(a) | member(bb)))
+
+    return pairs.map_batches(keep_touching, batch_format="pyarrow",
+                             zero_copy_batch=True)

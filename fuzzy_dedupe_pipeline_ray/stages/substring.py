@@ -590,27 +590,11 @@ def substring_edges(files_ds, signatures_ds, cfg: PipelineConfig,
     if exclude_pairs is not None:
         pairs = anti_join_pairs(pairs, exclude_pairs, cfg)
     if restrict_ids is not None:
+        from fuzzy_dedupe_pipeline_ray.sources.io import filter_pairs_touching
+
         rid_ref = (restrict_ids if isinstance(restrict_ids, ray.ObjectRef)
                    else ray.put(restrict_ids))
-
-        def keep_touching(b):
-            import numpy as np
-
-            rid = ray.get(rid_ref)
-            if len(rid) == 0:
-                return b.slice(0, 0)
-
-            def member(x):
-                i = np.minimum(np.searchsorted(rid, x), len(rid) - 1)
-                return rid[i] == x
-
-            a = b.column("id_a").to_numpy()
-            bb = b.column("id_b").to_numpy()
-            import pyarrow as _pa
-            return b.filter(_pa.array(member(a) | member(bb)))
-
-        pairs = pairs.map_batches(keep_touching, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+        pairs = filter_pairs_touching(pairs, rid_ref)
     pairs = pairs.materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(SUB_EDGE_SCHEMA.empty_table())

@@ -94,7 +94,14 @@ def checkpoint_write(ds, ckpt_dir: str):
         import pyarrow.parquet as pq
 
         os.makedirs(tmp, exist_ok=True)
-        schema = ds.schema()
+        # prefer the plan's cached schema: a plain ds.schema() on a lazy
+        # 0-row result can RE-EXECUTE the whole upstream plan just to
+        # learn the schema (review finding, round 4); fall back to the
+        # fetching call only when the metadata isn't already known
+        try:
+            schema = ds.schema(fetch_if_missing=False) or ds.schema()
+        except TypeError:  # older Ray without the kwarg
+            schema = ds.schema()
         arrow_schema = getattr(schema, "base_schema", schema)
         if arrow_schema is not None:
             pq.write_table(arrow_schema.empty_table(),

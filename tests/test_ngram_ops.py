@@ -46,3 +46,18 @@ def test_lowercase_and_ws_collapse_match_oracle_tokenization():
 def test_n_longer_than_every_doc():
     by_row, total = _grams_by_row(["a b", "c"], 5)
     assert by_row == {} and total == 0
+
+
+def test_null_text_treated_as_empty():
+    # NULL text must behave like an empty doc (review finding): without
+    # the fill_null the null list's NaN length crashed np.repeat and
+    # list_flatten silently misaligned rows
+    from fuzzy_dedupe_pipeline_ray.pipelines.textops import (
+        _exploded_token_codes,
+    )
+
+    col = pa.chunked_array([pa.array(["a b", None, "c"])])
+    rows, codes, vocab = _exploded_token_codes(col)
+    assert rows.tolist() == [0, 0, 2]
+    by_row, total = _grams_by_row(["a b", None, "a b"], 2)
+    assert by_row == {0: {"a b"}, 2: {"a b"}} and total == 2
