@@ -590,8 +590,8 @@ def oracle_sql() -> "dict[str, str]":
             SELECT event_id, user_id,
                    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                    count(*) OVER w AS n_in_window,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
-                       AS roll_sum_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS roll_sum_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -601,8 +601,8 @@ def oracle_sql() -> "dict[str, str]":
             SELECT event_id, user_id,
                    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                    count(*) OVER w AS n_in_window,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
-                       AS win_sum_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS win_sum_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
@@ -730,9 +730,9 @@ def oracle_sql() -> "dict[str, str]":
                        AS n_purchase,
                    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                    count(*) FILTER (WHERE event_type = 'view') AS n_view,
-                   coalesce(sum(CAST(round(value * 100) AS BIGINT))
-                            FILTER (WHERE event_type = 'purchase'), 0)
-                       AS purchase_cents
+                   CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                                 FILTER (WHERE event_type = 'purchase'), 0)
+                        AS BIGINT) AS purchase_cents
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "part_brand_topk": """

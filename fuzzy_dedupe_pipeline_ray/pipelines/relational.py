@@ -291,6 +291,40 @@ def _session_prefix_scan(summaries, gap_us: int):
     return per_block_offsets, conts
 
 
+def _sorted_block_scan(sorted_ds, summarize_fn, sum_args, scan_fn, label_fn):
+    """Shared harness for the ordered-window family (sessionize, as-of
+    join, rolling / trailing windows, range join): globally sorted
+    blocks → one tiny remote summary per block → an O(#blocks) driver
+    carry scan (the sequential dependency standard dataflow ops can't
+    express) → one remote labeling task per block. One copy of the
+    scaffold so the skip-empty-block and fan-out logic can't drift
+    between the five operators (review finding, round 4).
+
+    * ``sorted_ds`` — globally sorted, materialized Dataset;
+    * ``summarize_fn(block, *sum_args)`` → per-block summary, or None
+      for an empty block;
+    * ``scan_fn(summaries)`` → one label-arg TUPLE per block (entries
+      for None summaries are ignored);
+    * ``label_fn(block, *label_args)`` → pa.Table.
+
+    Returns the labeled Dataset, or ``None`` when every block is empty —
+    each operator supplies its own typed empty result in that case (the
+    output schemas differ and a groupby over zero rows loses its
+    schema)."""
+    import ray
+
+    refs = list(sorted_ds.to_arrow_refs())
+    summarize = ray.remote(summarize_fn)
+    summaries = ray.get([summarize.remote(r, *sum_args) for r in refs])
+    label_args = scan_fn(summaries)
+    label = ray.remote(label_fn)
+    label_refs = [label.remote(r, *label_args[i])
+                  for i, r in enumerate(refs) if summaries[i] is not None]
+    if not label_refs:
+        return None
+    return ray.data.from_arrow_refs(label_refs)
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30 min starts a new session):
     session_id = 0-based index of the session within the user's ordered
@@ -309,31 +343,26 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
 
     Driver state is O(#blocks + users-at-block-boundaries), never rows.
     SQL oracle: window-function gap-and-island."""
-    import ray
 
     gap_us = gap_minutes * 60 * 1_000_000
     ev = _read(sf_dir, "events", ["user_id", "ts"])
     sorted_ds = ev.sort(["user_id", "ts"]).materialize()
-    refs = list(sorted_ds.to_arrow_refs())
 
-    summarize = ray.remote(_session_block_summary)
-    summaries = ray.get([summarize.remote(r, gap_us) for r in refs])
-    per_block_offsets, conts = _session_prefix_scan(summaries, gap_us)
+    def scan(summaries):
+        offs, conts = _session_prefix_scan(summaries, gap_us)
+        return [(gap_us, offs[i], conts[i]) for i in range(len(summaries))]
 
-    label = ray.remote(_session_block_labels)
-    label_refs = [label.remote(r, gap_us, per_block_offsets[i], conts[i])
-                  for i, r in enumerate(refs) if summaries[i] is not None]
-    if not label_refs:
-        # empty events table: every block summary is None — return an empty
-        # result with the explicit output schema (from_arrow_refs([]) would
-        # produce a schemaless dataset)
+    labeled = _sorted_block_scan(sorted_ds, _session_block_summary,
+                                 (gap_us,), scan, _session_block_labels)
+    if labeled is None:
+        # empty events table: return an empty result with the explicit
+        # final output schema (the groupby below would lose it)
         ts_type = sorted_ds.schema().base_schema.field("ts").type
         empty = pa.schema([
             ("user_id", pa.int64()), ("session_id", pa.int64()),
             ("n_events", pa.int64()), ("session_start", ts_type),
             ("session_end", ts_type)]).empty_table()
         return ray.data.from_arrow(empty)
-    labeled = ray.data.from_arrow_refs(label_refs)
 
     agg = labeled.groupby(["user_id", "session_id"]).aggregate(
         Count(alias_name="n_events"),
@@ -440,7 +469,6 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
     scan (the sessionize machinery). (user_id, ts) is unique in the events
     table, so ordering — and therefore the match — is total and
     deterministic. Oracle: DuckDB ``ASOF LEFT JOIN``."""
-    import ray
 
     ev = _read(sf_dir, "events",
                ["event_id", "ts", "user_id", "event_type", "value"])
@@ -462,35 +490,33 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
     tagged = ev.map_batches(tag, batch_format="pyarrow",
                             zero_copy_batch=True)
     sorted_ds = tagged.sort(["user_id", "ts_us", "side"]).materialize()
-    refs = list(sorted_ds.to_arrow_refs())
 
-    summarize = ray.remote(_asof_block_summary)
-    summaries = ray.get([summarize.remote(r) for r in refs])
+    def scan(summaries):
+        carry = None  # (user, ts_us, cents) — last right row seen, running
+        carry_ins: list = []
+        for s in summaries:
+            if s is None:
+                carry_ins.append((None,))
+                continue
+            first_u, last_u, tail = s
+            carry_ins.append(
+                (carry if carry is not None and carry[0] == first_u
+                 else None,))
+            if tail is not None:
+                carry = (last_u, tail[0], tail[1])
+            elif not (carry is not None and carry[0] == last_u):
+                carry = None
+        return carry_ins
 
-    carry = None  # (user, ts_us, cents) — last right row seen, running
-    carry_ins: list = []
-    for s in summaries:
-        if s is None:
-            carry_ins.append(None)
-            continue
-        first_u, last_u, tail = s
-        carry_ins.append(carry if carry is not None and carry[0] == first_u
-                         else None)
-        if tail is not None:
-            carry = (last_u, tail[0], tail[1])
-        elif not (carry is not None and carry[0] == last_u):
-            carry = None
-
-    label = ray.remote(_asof_block_labels)
-    label_refs = [label.remote(r, carry_ins[i])
-                  for i, r in enumerate(refs) if summaries[i] is not None]
-    if not label_refs:
+    out = _sorted_block_scan(sorted_ds, _asof_block_summary, (), scan,
+                             _asof_block_labels)
+    if out is None:
         empty = pa.schema([
             ("event_id", pa.int64()), ("user_id", pa.int64()),
             ("ts_us", pa.int64()), ("last_purchase_ts_us", pa.int64()),
             ("last_purchase_value_cents", pa.int64())]).empty_table()
         return ray.data.from_arrow(empty)
-    return ray.data.from_arrow_refs(label_refs).sort("event_id")
+    return out.sort("event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -554,7 +580,6 @@ def events_rolling(sf_dir: str, k: int = 3):
     join; the only cross-block state is the trailing ≤k cents of each
     block's final user. Exact-integer window sums (per-row cents) make
     the DuckDB window-function oracle bit-comparable."""
-    import ray
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
@@ -570,36 +595,34 @@ def events_rolling(sf_dir: str, k: int = 3):
     sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
                                 zero_copy_batch=True)
                  .sort(["user_id", "ts_us"]).materialize())
-    refs = list(sorted_ds.to_arrow_refs())
 
-    summarize = ray.remote(_rolling_block_summary)
-    summaries = ray.get([summarize.remote(r, k) for r in refs])
+    def scan(summaries):
+        carry_user = None
+        carry_vals: list = []
+        carry_ins: list = []
+        for s in summaries:
+            if s is None:
+                carry_ins.append((k, []))
+                continue
+            first_u, last_u, tail_vals = s
+            carry_ins.append(
+                (k, list(carry_vals) if carry_user == first_u else []))
+            if carry_user == last_u:
+                carry_vals = (carry_vals + tail_vals)[-k:]
+            else:
+                carry_vals = tail_vals[-k:]
+            carry_user = last_u
+        return carry_ins
 
-    carry_user = None
-    carry_vals: list = []
-    carry_ins: list = []
-    for s in summaries:
-        if s is None:
-            carry_ins.append([])
-            continue
-        first_u, last_u, tail_vals = s
-        carry_ins.append(list(carry_vals) if carry_user == first_u else [])
-        if carry_user == last_u:
-            carry_vals = (carry_vals + tail_vals)[-k:]
-        else:
-            carry_vals = tail_vals[-k:]
-        carry_user = last_u
-
-    label = ray.remote(_rolling_block_labels)
-    label_refs = [label.remote(r, k, carry_ins[i])
-                  for i, r in enumerate(refs) if summaries[i] is not None]
-    if not label_refs:
+    out = _sorted_block_scan(sorted_ds, _rolling_block_summary, (k,), scan,
+                             _rolling_block_labels)
+    if out is None:
         empty = pa.schema([
             ("event_id", pa.int64()), ("user_id", pa.int64()),
             ("ts_us", pa.int64()), ("n_in_window", pa.int64()),
             ("roll_sum_cents", pa.int64())]).empty_table()
         return ray.data.from_arrow(empty)
-    return ray.data.from_arrow_refs(label_refs).sort("event_id")
+    return out.sort("event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -719,7 +742,6 @@ def events_trailing_window(sf_dir: str, gap_minutes: int = 30):
     integer-cent value sum of the user's events in the last
     ``gap_minutes`` (inclusive of the current event) — SQL's
     ``RANGE BETWEEN INTERVAL g PRECEDING AND CURRENT ROW`` frame."""
-    import ray
 
     gap_us = gap_minutes * 60 * 1_000_000
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
@@ -736,43 +758,40 @@ def events_trailing_window(sf_dir: str, gap_minutes: int = 30):
     sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
                                 zero_copy_batch=True)
                  .sort(["user_id", "ts_us"]).materialize())
-    refs = list(sorted_ds.to_arrow_refs())
 
-    summarize = ray.remote(_trailing_block_summary)
-    summaries = ray.get([summarize.remote(r, gap_us) for r in refs])
+    def scan(summaries):
+        empty64 = np.empty(0, np.int64)
+        carry_user = None
+        carry_ts, carry_cents = empty64, empty64
+        carry_ins: list = []
+        for s in summaries:
+            if s is None:
+                carry_ins.append((gap_us, empty64, empty64))
+                continue
+            first_u, last_u, end_ts, tail_ts, tail_cents = s
+            if carry_user == first_u:
+                carry_ins.append((gap_us, carry_ts, carry_cents))
+            else:
+                carry_ins.append((gap_us, empty64, empty64))
+            if carry_user == last_u:
+                merged_ts = np.r_[carry_ts, tail_ts]
+                merged_cents = np.r_[carry_cents, tail_cents]
+            else:
+                merged_ts, merged_cents = tail_ts, tail_cents
+            keep = merged_ts >= end_ts - gap_us
+            carry_ts, carry_cents = merged_ts[keep], merged_cents[keep]
+            carry_user = last_u
+        return carry_ins
 
-    empty64 = np.empty(0, np.int64)
-    carry_user = None
-    carry_ts, carry_cents = empty64, empty64
-    carry_ins: list = []
-    for s in summaries:
-        if s is None:
-            carry_ins.append((empty64, empty64))
-            continue
-        first_u, last_u, end_ts, tail_ts, tail_cents = s
-        if carry_user == first_u:
-            carry_ins.append((carry_ts, carry_cents))
-        else:
-            carry_ins.append((empty64, empty64))
-        if carry_user == last_u:
-            merged_ts = np.r_[carry_ts, tail_ts]
-            merged_cents = np.r_[carry_cents, tail_cents]
-        else:
-            merged_ts, merged_cents = tail_ts, tail_cents
-        keep = merged_ts >= end_ts - gap_us
-        carry_ts, carry_cents = merged_ts[keep], merged_cents[keep]
-        carry_user = last_u
-
-    label = ray.remote(_trailing_block_labels)
-    label_refs = [label.remote(r, gap_us, *carry_ins[i])
-                  for i, r in enumerate(refs) if summaries[i] is not None]
-    if not label_refs:
+    out = _sorted_block_scan(sorted_ds, _trailing_block_summary, (gap_us,),
+                             scan, _trailing_block_labels)
+    if out is None:
         empty = pa.schema([
             ("event_id", pa.int64()), ("user_id", pa.int64()),
             ("ts_us", pa.int64()), ("n_in_window", pa.int64()),
             ("win_sum_cents", pa.int64())]).empty_table()
         return ray.data.from_arrow(empty)
-    return ray.data.from_arrow_refs(label_refs).sort("event_id")
+    return out.sort("event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -845,7 +864,6 @@ def events_range_join(sf_dir: str, window_seconds: int = 30):
     ``window_seconds`` apart, as (id_a, id_b, delta_us) with id_a the
     earlier event in the global (ts, event_id) order (ties split by id,
     matching the SQL predicate exactly)."""
-    import ray
 
     win_us = window_seconds * 1_000_000
     ev = _read(sf_dir, "events", ["event_id", "ts"])
@@ -860,34 +878,30 @@ def events_range_join(sf_dir: str, window_seconds: int = 30):
     sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
                                 zero_copy_batch=True)
                  .sort(["ts_us", "event_id"]).materialize())
-    refs = list(sorted_ds.to_arrow_refs())
 
-    summarize = ray.remote(_range_block_summary)
-    summaries = ray.get([summarize.remote(r, win_us) for r in refs])
+    def scan(summaries):
+        empty64 = np.empty(0, np.int64)
+        carry_ts, carry_id = empty64, empty64
+        carry_ins: list = []
+        for s in summaries:
+            carry_ins.append((win_us, carry_ts, carry_id))
+            if s is None:
+                continue
+            end_ts, tail_ts, tail_id = s
+            merged_ts = np.r_[carry_ts, tail_ts]
+            merged_id = np.r_[carry_id, tail_id]
+            keep = merged_ts >= end_ts - win_us
+            carry_ts, carry_id = merged_ts[keep], merged_id[keep]
+        return carry_ins
 
-    empty64 = np.empty(0, np.int64)
-    carry_ts, carry_id = empty64, empty64
-    carry_ins: list = []
-    for s in summaries:
-        if s is None:
-            carry_ins.append((carry_ts, carry_id))
-            continue
-        end_ts, tail_ts, tail_id = s
-        carry_ins.append((carry_ts, carry_id))
-        merged_ts = np.r_[carry_ts, tail_ts]
-        merged_id = np.r_[carry_id, tail_id]
-        keep = merged_ts >= end_ts - win_us
-        carry_ts, carry_id = merged_ts[keep], merged_id[keep]
-
-    pairs = ray.remote(_range_block_pairs)
-    pair_refs = [pairs.remote(r, win_us, *carry_ins[i])
-                 for i, r in enumerate(refs) if summaries[i] is not None]
-    if not pair_refs:
+    out = _sorted_block_scan(sorted_ds, _range_block_summary, (win_us,),
+                             scan, _range_block_pairs)
+    if out is None:
         empty = pa.schema([
             ("id_a", pa.int64()), ("id_b", pa.int64()),
             ("delta_us", pa.int64())]).empty_table()
         return ray.data.from_arrow(empty)
-    return ray.data.from_arrow_refs(pair_refs).sort(["id_a", "id_b"])
+    return out.sort(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
