@@ -1315,23 +1315,16 @@ def doc_decontaminate(sf_dir: str, n: int = DECON_N):
     bench_grams = (reader().map_batches(
         lambda b: side_pairs(b, True).select(["g"]),
         batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("g").aggregate(Count(alias_name="_n"))
-        .select_columns(["g"]))
+        .groupby("g").aggregate(Count(alias_name="_n")))
 
     train_pairs = reader().map_batches(
         lambda b: side_pairs(b, False), batch_format="pyarrow",
         zero_copy_batch=True)
 
-    hits = hash_join(train_pairs, bench_grams, on="g", cfg=DOCS_CFG)
-
     def part_counts(b: pa.Table) -> pa.Table:
         u, c = np.unique(b.column("doc_id").to_numpy(), return_counts=True)
         return pa.table({"doc_id": pa.array(u, pa.int64()),
                          "hit_part": pa.array(c.astype(np.int64))})
-
-    per_doc = (hits.map_batches(part_counts, batch_format="pyarrow")
-               .groupby("doc_id").aggregate(Sum("hit_part",
-                                                alias_name="n_overlap")))
 
     def nonbench_ids(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy()
@@ -1340,6 +1333,30 @@ def doc_decontaminate(sf_dir: str, n: int = DECON_N):
 
     ids = read_documents(sf_dir, ["doc_id"]).map_batches(
         nonbench_ids, batch_format="pyarrow", zero_copy_batch=True)
+
+    # degenerate sides: a groupby over zero rows yields a SCHEMA-LESS
+    # empty dataset that no downstream join can consume — when the
+    # benchmark has no grams (or nothing overlaps) the answer is simply
+    # all-zeros over the non-benchmark ids (tested in test_ngram_ops)
+    per_doc = None
+    if bench_grams.count() > 0:
+        hits = hash_join(train_pairs, bench_grams.select_columns(["g"]),
+                         on="g", cfg=DOCS_CFG)
+        if hits.count() > 0:
+            per_doc = (hits.map_batches(part_counts, batch_format="pyarrow")
+                       .groupby("doc_id").aggregate(
+                           Sum("hit_part", alias_name="n_overlap")))
+    if per_doc is None:
+        def zeros(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "n_overlap": pa.array(np.zeros(n, np.int64)),
+                "contaminated": pa.array(np.zeros(n, bool)),
+            })
+
+        return ids.map_batches(zeros, batch_format="pyarrow").sort("doc_id")
+
     out = hash_join(ids, per_doc, on="doc_id", cfg=DOCS_CFG,
                     join_type="left_outer")
 
@@ -1393,9 +1410,26 @@ def doc_ngram_novelty(sf_dir: str, n: int = NOVELTY_N):
     distincts = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         distinct_fn, batch_format="pyarrow", zero_copy_batch=True)
 
+    # materialize costs nothing extra here — hash_join materializes its
+    # inputs anyway (io.py deadlock note) — and gives a cheap emptiness
+    # probe: a groupby over ZERO rows yields a schema-less dataset no
+    # downstream op can consume (tested in test_ngram_ops)
     first_seen = (read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         pairs_fn, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("g").aggregate(Min("doc_id", alias_name="first_doc")))
+        .groupby("g").aggregate(Min("doc_id", alias_name="first_doc"))
+        .materialize())
+
+    if first_seen.count() == 0:
+        def zero_fill(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "n_distinct_ngrams": pc.cast(b.column("n_distinct_ngrams"),
+                                             pa.int64()),
+                "n_new_ngrams": pa.array(np.zeros(b.num_rows, np.int64)),
+            })
+
+        return distincts.map_batches(
+            zero_fill, batch_format="pyarrow").sort("doc_id")
 
     def part_new(b: pa.Table) -> pa.Table:
         u, c = np.unique(

@@ -61,3 +61,70 @@ def test_null_text_treated_as_empty():
     assert rows.tolist() == [0, 0, 2]
     by_row, total = _grams_by_row(["a b", None, "a b"], 2)
     assert by_row == {0: {"a b"}, 2: {"a b"}} and total == 2
+
+
+def _write_docs(d, ids, texts):
+    import os
+
+    import pyarrow.parquet as pq
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(["t"] * len(ids)),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    }), f"{d}/documents.parquet")
+
+
+_LONG = "a b c d e f g h i j"
+
+
+def test_decontaminate_degenerate_sides(ray_session, tmp_path):
+    from fuzzy_dedupe_pipeline_ray.pipelines.textops import doc_decontaminate
+
+    # no benchmark docs at all -> all zeros (schema-less-groupby guard)
+    d = str(tmp_path / "nobench")
+    _write_docs(d, [1, 2, 3], [_LONG, _LONG, "short text"])
+    out = doc_decontaminate(d).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_overlap"].tolist() == [0, 0, 0]
+    assert not out["contaminated"].any()
+
+    # benchmark exists but no doc reaches n tokens -> all zeros
+    d = str(tmp_path / "short")
+    _write_docs(d, [0, 1, 2], ["a b", "c d", "e"])
+    out = doc_decontaminate(d).to_pandas()
+    assert out["n_overlap"].tolist() == [0, 0]
+
+
+def test_decontaminate_real_overlap(ray_session, tmp_path):
+    from fuzzy_dedupe_pipeline_ray.pipelines.textops import doc_decontaminate
+
+    d = str(tmp_path / "overlap")
+    # doc 0 is benchmark; doc 1 embeds the full benchmark text (shares all
+    # six 5-grams); doc 2 shares none
+    _write_docs(d, [0, 1, 2], [_LONG, "z z " + _LONG, "q r s t u v"])
+    out = doc_decontaminate(d).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_overlap"].tolist() == [6, 0]
+    assert out["contaminated"].tolist() == [True, False]
+
+
+def test_novelty_dup_docs_and_no_grams(ray_session, tmp_path):
+    from fuzzy_dedupe_pipeline_ray.pipelines.textops import doc_ngram_novelty
+
+    # identical docs: the min-doc_id one gets every gram as new
+    d = str(tmp_path / "dups")
+    _write_docs(d, [7, 3], ["x y z w", "x y z w"])
+    out = doc_ngram_novelty(d).to_pandas()
+    assert out["doc_id"].tolist() == [3, 7]
+    assert out["n_distinct_ngrams"].tolist() == [2, 2]
+    assert out["n_new_ngrams"].tolist() == [2, 0]
+
+    # no doc reaches n tokens -> zero-fill path
+    d = str(tmp_path / "nogram")
+    _write_docs(d, [1, 2], ["a b", "c"])
+    out = doc_ngram_novelty(d).to_pandas()
+    assert out["n_distinct_ngrams"].tolist() == [0, 0]
+    assert out["n_new_ngrams"].tolist() == [0, 0]
