@@ -97,9 +97,9 @@ class DedupePipeline:
     def files(self):
         if self._files_ds is not None:
             return self._files_ds
-        return ray.data.read_parquet(
-            self.input_path,
-            columns=["repo", "path", "commit", "lang", "content"])
+        from fuzzy_dedupe_pipeline_ray.sources.io import read_files
+
+        return read_files(self.input_path)
 
     def _id_remap(self):
         """128-bit mode: build (or restore from the run dir) the lo-64

@@ -129,9 +129,9 @@ class IncrementalDedupe(DedupePipeline):
     def base_files(self):
         if self._base_files_ds is not None:
             return self._base_files_ds
-        return ray.data.read_parquet(
-            self.base_input_path,
-            columns=["repo", "path", "commit", "lang", "content"])
+        from fuzzy_dedupe_pipeline_ray.sources.io import read_files
+
+        return read_files(self.base_input_path)
 
     # -- run ---------------------------------------------------------------
 

@@ -230,12 +230,38 @@ def lookup_join(left, right, *, on, cfg: PipelineConfig,
                             zero_copy_batch=True)
 
 
+FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
 def read_files(path: str):
-    """Column-pruned read of a files table (the only wide read)."""
+    """Column-pruned read of a files table (the only wide read).
+
+    Format-aware, by extension: Parquet (columnar — column pruning is
+    pushed into the scan) is the native format; JSONL (``.jsonl`` /
+    ``.json``) and CSV (``.csv``) are accepted for interchange with
+    row-oriented exports (the reference ingests Google-Sheets/DB rows —
+    ``sheets_sync/sync.py:26-31``). Row formats cannot prune columns at
+    the read, so they project immediately after the scan; CSV is parsed
+    with quoted-newline support (source content contains newlines) and
+    empty strings are NOT read as nulls, so a parquet→csv→ingest
+    round-trip is identity (pinned by ``test_source_formats``)."""
     import ray.data
 
-    return ray.data.read_parquet(
-        path, columns=["repo", "path", "commit", "lang", "content"])
+    low = path.lower()
+    if low.endswith((".jsonl", ".json")):
+        return ray.data.read_json(path).select_columns(FILES_COLUMNS)
+    if low.endswith(".csv"):
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+
+        return ray.data.read_csv(
+            path,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            convert_options=pacsv.ConvertOptions(
+                column_types={c: pa.string() for c in FILES_COLUMNS},
+                null_values=[], strings_can_be_null=False),
+        ).select_columns(FILES_COLUMNS)
+    return ray.data.read_parquet(path, columns=FILES_COLUMNS)
 
 
 def filter_pairs_touching(pairs, ids_ref):
