@@ -128,3 +128,39 @@ def test_novelty_dup_docs_and_no_grams(ray_session, tmp_path):
     out = doc_ngram_novelty(d).to_pandas()
     assert out["n_distinct_ngrams"].tolist() == [0, 0]
     assert out["n_new_ngrams"].tolist() == [0, 0]
+
+
+def test_doc_ngrams_matches_naive_reference():
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fuzzy_dedupe_pipeline_ray.functions import textnorm
+
+    ws_re = re.compile(textnorm._WS)
+
+    def naive(texts, n):
+        out = set()
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = [x for x in ws_re.split(t.strip().lower()) if x != ""]
+            for j in range(len(toks) - n + 1):
+                out.add((i, " ".join(toks[j:j + n])))
+        return out
+
+    alphabet = st.sampled_from(list("ab xyz09 .,-_\t\n\ré汉"))
+    texts_s = st.lists(
+        st.one_of(st.none(), st.text(alphabet, max_size=40)),
+        min_size=0, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts=texts_s, n=st.integers(2, 4))
+    def check(texts, n):
+        rows, grams = _doc_ngrams(
+            pa.chunked_array([pa.array(texts, pa.string())]), n)
+        got = set(zip(rows.tolist(), grams.to_pylist()))
+        assert got == naive(texts, n)
+
+    check()
