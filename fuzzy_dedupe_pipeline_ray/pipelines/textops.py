@@ -1339,13 +1339,24 @@ def doc_decontaminate(sf_dir: str, n: int = DECON_N):
     # benchmark has no grams (or nothing overlaps) the answer is simply
     # all-zeros over the non-benchmark ids (tested in test_ngram_ops)
     per_doc = None
-    if bench_grams.count() > 0:
-        hits = hash_join(train_pairs, bench_grams.select_columns(["g"]),
-                         on="g", cfg=DOCS_CFG)
-        if hits.count() > 0:
-            per_doc = (hits.map_batches(part_counts, batch_format="pyarrow")
-                       .groupby("doc_id").aggregate(
-                           Sum("hit_part", alias_name="n_overlap")))
+    bench_grams = bench_grams.materialize()
+    n_bench = bench_grams.count()
+    if n_bench > 0:
+        # membership via the tiered lookup_join: the distinct benchmark
+        # grams broadcast once under the gate and each train batch
+        # filters itself with one C `index_in` probe — the exploded
+        # train gram stream is never materialized; above the gate the
+        # distributed hash_join takes over (the 100 TB fallback)
+        from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+        hits = lookup_join(train_pairs, bench_grams.select_columns(["g"]),
+                           on="g", cfg=DOCS_CFG, right_count=n_bench)
+        per_doc = (hits.map_batches(part_counts, batch_format="pyarrow")
+                   .groupby("doc_id").aggregate(
+                       Sum("hit_part", alias_name="n_overlap"))
+                   .materialize())
+        if per_doc.count() == 0:  # nothing overlapped
+            per_doc = None
     if per_doc is None:
         def zeros(b: pa.Table) -> pa.Table:
             n = b.num_rows
