@@ -60,7 +60,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pyarrow as pa
 import ray.data
 
 from fuzzy_dedupe_pipeline_ray.config import DEFAULT_CONFIG, PipelineConfig

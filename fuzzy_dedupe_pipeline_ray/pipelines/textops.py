@@ -24,7 +24,6 @@ from fuzzy_dedupe_pipeline_ray.functions import textnorm
 from fuzzy_dedupe_pipeline_ray.functions.hashing import (
     hamming64,
     mask_keys,
-    sha256_hex,
     sha256_hex_arrow,
     sha256_u64_arrow,
 )

@@ -37,7 +37,6 @@ from fuzzy_dedupe_pipeline_ray.stages.fingerprint import (
     normalize_for_shingles_array,
 )
 from fuzzy_dedupe_pipeline_ray.stages.identity import batch_doc_ids
-from fuzzy_dedupe_pipeline_ray.stages.lsh import PAIR_SCHEMA
 
 SUB_EDGE_SCHEMA = pa.schema([
     ("id_a", pa.int64()),
