@@ -226,6 +226,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_decontaminate": textops.doc_decontaminate,
         "doc_ngram_novelty": textops.doc_ngram_novelty,
         "files_dup_rate_by_lang": textops.files_dup_rate_by_lang,
+        "doc_curation_funnel": textops.doc_curation_funnel,
+        "doc_sample_stratified": textops.doc_sample_stratified,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
             textops.doc_fingerprint_exact_family_check,
@@ -855,6 +857,47 @@ def oracle_sql() -> "dict[str, str]":
             FROM documents d
             LEFT JOIN per USING (doc_id) LEFT JOIN nw USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "doc_curation_funnel": f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       ({n_tokens}) >= 5 AND
+                       (length(text) - length(regexp_replace(text,
+                           '{_PUNCT}', '', 'g'))) * 10 < length(text) AS q
+                FROM documents),
+            toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(
+                           trim(lower(text)), '{_WS}')) AS t
+                FROM documents),
+            counts AS (SELECT doc_id, {marker_cols} FROM toks),
+            lang AS (SELECT doc_id, {langid_case} AS lp FROM counts),
+            j AS (SELECT b.doc_id, b.text, b.q, l.lp = 'en' AS en
+                  FROM base b JOIN lang l USING (doc_id))
+            SELECT count(*) AS n_total,
+                   CAST(count(*) FILTER (WHERE q) AS BIGINT)
+                       AS n_quality_ok,
+                   CAST(count(*) FILTER (WHERE q AND en) AS BIGINT)
+                       AS n_quality_en,
+                   CAST(count(DISTINCT text) FILTER (WHERE q AND en)
+                        AS BIGINT) AS n_quality_en_unique
+            FROM j
+        """,
+        "doc_sample_stratified": f"""
+            WITH h AS (
+                SELECT lang, doc_id,
+                       CAST((CAST(doc_id AS HUGEINT)
+                             * {textops._SAMPLE_MULT})
+                            % {textops._SAMPLE_MOD} AS BIGINT) AS hh
+                FROM documents),
+            r AS (SELECT lang, doc_id,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY hh, doc_id)
+                             AS sample_rank
+                  FROM h)
+            SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+            FROM r WHERE sample_rank <= {textops.STRAT_SAMPLE_K}
+            ORDER BY lang, sample_rank
         """,
         "files_dup_rate_by_lang": f"""
             SELECT lang,

@@ -1526,3 +1526,112 @@ def files_dup_rate_by_lang(sf_dir: str):
         })
 
     return agg.map_batches(final, batch_format="pyarrow").sort("lang")
+
+
+def doc_curation_funnel(sf_dir: str):
+    """The keep/drop REPORT of a curation run — how many documents
+    survive each successive filter: quality rules (≥5 tokens, punctuation
+    below 10%) → language (predicted 'en' by the same marker kernel
+    ``doc_langid`` oracles) → exact dedup. One output row:
+    (n_total, n_quality_ok, n_quality_en, n_quality_en_unique).
+
+    Shape: one streaming pass emits per-batch partial counts for the
+    three flag totals (a Sum aggregate — no groupby key, no shuffle of
+    rows); the distinct count of surviving texts is a sha groupby whose
+    OUTPUT rows are counted from block metadata. The driver only ever
+    holds four scalars."""
+    from ray.data.aggregate import Sum
+
+    def flag_arrays(b: pa.Table):
+        text = b.column("text")
+        total = pc.cast(pc.utf8_length(text), pa.int64())
+        punct = textnorm.punct_count_array(text)
+        n_tok = textnorm.token_count_array(text)
+        quality = pc.and_(
+            pc.greater_equal(n_tok, 5),
+            pc.less(pc.multiply(punct, pa.scalar(10, pa.int64())), total))
+        en = pc.equal(textnorm.lang_id_array(text), pa.scalar("en"))
+        return quality, pc.and_(quality, en)
+
+    def partials(b: pa.Table) -> pa.Table:
+        quality, q_en = flag_arrays(b)
+        return pa.table({
+            "n_part": pa.array([b.num_rows], pa.int64()),
+            "q_part": pa.array([pc.sum(pc.cast(quality, pa.int64())).as_py()
+                                or 0], pa.int64()),
+            "qe_part": pa.array([pc.sum(pc.cast(q_en, pa.int64())).as_py()
+                                 or 0], pa.int64()),
+        })
+
+    agg = (read_documents(sf_dir, ["text"]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n_part", alias_name="n_total"),
+                   Sum("q_part", alias_name="n_quality_ok"),
+                   Sum("qe_part", alias_name="n_quality_en")))
+
+    def survivors(b: pa.Table) -> pa.Table:
+        _, q_en = flag_arrays(b)
+        kept = b.column("text").filter(q_en)
+        return pa.table({"sha": pa.array(
+            sha256_hex_arrow(kept), pa.string())})
+
+    n_unique = (read_documents(sf_dir, ["text"]).map_batches(
+        survivors, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sha").aggregate(Count(alias_name="_n")).count())
+
+    return pa.table({
+        "n_total": pa.array([int(agg["n_total"])], pa.int64()),
+        "n_quality_ok": pa.array([int(agg["n_quality_ok"])], pa.int64()),
+        "n_quality_en": pa.array([int(agg["n_quality_en"])], pa.int64()),
+        "n_quality_en_unique": pa.array([int(n_unique)], pa.int64()),
+    })
+
+
+STRAT_SAMPLE_K = 20
+
+
+def doc_sample_stratified(sf_dir: str, k: int = STRAT_SAMPLE_K):
+    """Deterministic STRATIFIED sampling: per language, the ``k``
+    documents with the smallest Knuth multiplicative hash of ``doc_id``
+    (ties broken by doc_id) — a per-stratum quota sample that is a pure
+    function of the keys, so re-running any shard re-selects the same
+    rows (the property ``doc_sample`` documents, per group).
+
+    Shape: per-batch partial top-k per language (one lexsort per batch),
+    then a per-language group top-k — only ≤ k rows per (block, lang)
+    ever shuffle. Output: (lang, sample_rank, doc_id)."""
+    def hash_col(ids: np.ndarray) -> np.ndarray:
+        h = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
+            & np.uint64(_SAMPLE_MOD - 1)
+        return h.astype(np.int64)  # < 2^32, safe as int64 (SQL-comparable)
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        h = hash_col(ids)
+        lang = b.column("lang").combine_chunks()
+        order = np.lexsort((ids, h, _token_rank(lang)))
+        sl = _token_rank(lang)[order]
+        starts = np.flatnonzero(np.diff(sl, prepend=-1))
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(order))))
+        keep = np.sort(order[np.arange(len(order)) - run_start < k])
+        return pa.table({
+            "lang": lang.take(pa.array(keep)),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "h": pa.array(h[keep], pa.int64()),
+        })
+
+    def group_topk(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        h = g.column("h").to_numpy()
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({
+            "lang": g.column("lang").take(pa.array(order)),
+            "sample_rank": pa.array(np.arange(1, len(order) + 1,
+                                              dtype=np.int64)),
+            "doc_id": pa.array(ids[order], pa.int64()),
+        })
+
+    return (read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang").map_groups(group_topk, batch_format="pyarrow")
+        .sort(["lang", "sample_rank"]))

@@ -164,3 +164,37 @@ def test_doc_ngrams_matches_naive_reference():
         assert got == naive(texts, n)
 
     check()
+
+
+def test_curation_funnel_crafted_corpus(ray_session, tmp_path):
+    from fuzzy_dedupe_pipeline_ray.pipelines.textops import (
+        doc_curation_funnel,
+    )
+
+    d = str(tmp_path / "funnel")
+    en = "the cat and the dog run far away in the sun"  # en markers, clean
+    _write_docs(d, [1, 2, 3, 4, 5], [
+        en,                      # quality + en
+        en,                      # exact duplicate of 1
+        "der hund ist auf das",  # quality but de-marked
+        "a b!!!!!!!!!!!!!!!!!",  # punct-heavy -> fails quality
+        "one two",               # <5 tokens -> fails quality
+    ])
+    t = doc_curation_funnel(d).to_pydict()
+    assert t == {"n_total": [5], "n_quality_ok": [3],
+                 "n_quality_en": [2], "n_quality_en_unique": [1]}
+
+
+def test_stratified_sample_deterministic(ray_session, tmp_path):
+    from fuzzy_dedupe_pipeline_ray.pipelines.textops import (
+        doc_sample_stratified,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = doc_sample_stratified(sf).to_pandas()
+    b = doc_sample_stratified(sf).to_pandas()
+    assert a.equals(b)
+    # per-lang quota respected and ranks contiguous from 1
+    for lang, g in a.groupby("lang"):
+        assert g["sample_rank"].tolist() == list(range(1, len(g) + 1))
+        assert len(g) <= 20
