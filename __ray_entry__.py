@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 50 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 64 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (44 oracles, including all-true INVARIANT oracles
+SQL-expressible one (58 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
