@@ -198,3 +198,31 @@ def test_stratified_sample_deterministic(ray_session, tmp_path):
     for lang, g in a.groupby("lang"):
         assert g["sample_rank"].tolist() == list(range(1, len(g) + 1))
         assert len(g) <= 20
+
+
+def test_textops_distributed_tiers_match_broadcast(ray_session, monkeypatch):
+    """Force every broadcast/local fast path off (the 100 TB physical
+    plan) for the join-based text operators and require bit-identical
+    results to the default tiers — the same equivalence discipline
+    tests/test_lsh_paths.py applies to the flagship stages."""
+    import dataclasses
+
+    from fuzzy_dedupe_pipeline_ray.pipelines import textops
+
+    sf = "/root/testdata/sf0.001"
+    ops = {
+        "decontaminate": textops.doc_decontaminate,
+        "novelty": textops.doc_ngram_novelty,
+        "rarest": textops.doc_rarest_token,
+        "tfidf": textops.doc_tfidf_top_terms,
+    }
+    base = {k: f(sf).to_pandas().reset_index(drop=True)
+            for k, f in ops.items()}
+
+    forced = dataclasses.replace(
+        textops.DOCS_CFG, broadcast_max_rows=0, keyed_broadcast_max_rows=0,
+        wide_broadcast_max_rows=0, wide_broadcast_max_bytes=0)
+    monkeypatch.setattr(textops, "DOCS_CFG", forced)
+    for k, f in ops.items():
+        got = f(sf).to_pandas().reset_index(drop=True)
+        assert got.equals(base[k]), k
