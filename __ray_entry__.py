@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 64 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 68 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (58 oracles, including all-true INVARIANT oracles
+SQL-expressible one (62 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -272,6 +272,11 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "lineitem_price_histogram": relational.lineitem_price_histogram,
         "supplier_nation_stats": relational.supplier_nation_stats,
         "urgent_order_revenue": relational.urgent_order_revenue,
+        "doc_dedup_consecutive_tokens":
+            textops.doc_dedup_consecutive_tokens,
+        "events_daily_users": relational.events_daily_users,
+        "orders_rollup": relational.orders_rollup,
+        "events_value_ntile": relational.events_value_ntile,
     }
 
 
@@ -976,5 +981,77 @@ def oracle_sql() -> "dict[str, str]":
                    max(ts) AS session_end
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "doc_dedup_consecutive_tokens": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '{_WS}'),
+                                   x -> x <> '') AS ts
+                FROM documents),
+            l AS (SELECT doc_id, ts[u.i] AS tok, u.i AS i
+                  FROM t, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+            k AS (SELECT doc_id, tok, i,
+                         lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+                             AS prev
+                  FROM l),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY i)
+                               FILTER (WHERE prev IS NULL OR tok <> prev)
+                               AS text_clean,
+                           count(*) FILTER (WHERE tok = prev) AS n_removed
+                    FROM k GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+                   CAST(coalesce(len(t.ts), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN t USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "events_daily_users": """
+            WITH fu AS (
+                SELECT user_id,
+                       min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+                FROM events GROUP BY user_id),
+            nu AS (SELECT day, count(*) AS n_new FROM fu GROUP BY day),
+            du AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       count(*) AS n_events,
+                       count(DISTINCT user_id) AS n_active
+                FROM events GROUP BY day)
+            SELECT du.day,
+                   CAST(du.n_events AS BIGINT) AS n_events,
+                   CAST(du.n_active AS BIGINT) AS n_active_users,
+                   CAST(coalesce(nu.n_new, 0) AS BIGINT) AS n_new_users,
+                   CAST(sum(coalesce(nu.n_new, 0))
+                            OVER (ORDER BY du.day) AS BIGINT) AS cum_users
+            FROM du LEFT JOIN nu USING (day) ORDER BY du.day
+        """,
+        "orders_rollup": """
+            WITH o AS (
+                SELECT year(o_orderdate) AS y, o_orderpriority AS p,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders)
+            SELECT CAST(grouping(y) + grouping(p) AS BIGINT) AS lvl,
+                   CAST(coalesce(y, -1) AS BIGINT) AS o_year,
+                   coalesce(p, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS total_e2
+            FROM o GROUP BY ROLLUP(y, p)
+            ORDER BY lvl, o_year, o_orderpriority
+        """,
+        "events_value_ntile": """
+            WITH r AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       ntile(4) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS tile
+                FROM events)
+            SELECT event_type, CAST(tile - 1 AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_e2
+            FROM r GROUP BY event_type, tile
+            ORDER BY event_type, tile
         """,
     }

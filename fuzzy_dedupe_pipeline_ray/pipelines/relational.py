@@ -1498,3 +1498,308 @@ def urgent_order_revenue(sf_dir: str, segment: str = "BUILDING",
     return (j.map_batches(scale, batch_format="pyarrow")
             .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Daily active / new users — the two-level distinct + tiny ordered scan
+# ---------------------------------------------------------------------------
+
+def events_daily_users(sf_dir: str):
+    """Per-day activity report: events, DISTINCT active users, first-seen
+    ("new") users, and the running total of users ever seen — the daily
+    health dashboard of an event pipeline.
+
+    Distributed shape: ONE row-scale shuffle — per-batch (day, user)
+    partial dedup (lexsort + run heads, so at most one row per (day,
+    user, block) leaves the scan) into a ``groupby(day, user)`` — after
+    which everything is derived from that distinct table: day-level
+    counts by per-batch run-length partials (+ tiny groupby), first-seen
+    day by ``groupby(user).min(day)``, and the cumulative column by a
+    driver pass over the ≤ #calendar-days result (bounded by time, not
+    data; the same justification as the sessionize prefix scan). Days
+    ride the shuffles as int64 epoch-µs (engine keys are int64) and come
+    back as timestamp[us] at the end."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    day_us = 86_400_000_000
+
+    def du_partial(b: pa.Table) -> pa.Table:
+        ts = (b.column("ts").to_numpy()
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // day_us) * day_us
+        u = b.column("user_id").to_numpy()
+        order = np.lexsort((u, day))
+        d_s, u_s = day[order], u[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        idx = np.flatnonzero(first)
+        n = np.diff(np.r_[idx, len(d_s)])
+        return pa.table({"day": pa.array(d_s[idx], pa.int64()),
+                         "user_id": pa.array(u_s[idx], pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    du = (ev.map_batches(du_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["day", "user_id"]).aggregate(Sum("n", alias_name="n")))
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy()
+        n = b.column("n").to_numpy()
+        order = np.argsort(d, kind="stable")
+        d_s, n_s = d[order], n[order]
+        idx = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        cs = np.zeros(len(n_s) + 1, np.int64)
+        np.cumsum(n_s, out=cs[1:])
+        bounds = np.r_[idx, len(d_s)]
+        return pa.table({
+            "day": pa.array(d_s[idx], pa.int64()),
+            "n_events": pa.array(cs[bounds[1:]] - cs[bounds[:-1]]),
+            "n_active": pa.array(np.diff(bounds).astype(np.int64)),
+        })
+
+    day_tbl = (du.map_batches(day_partial, batch_format="pyarrow")
+               .groupby("day")
+               .aggregate(Sum("n_events", alias_name="n_events"),
+                          Sum("n_active", alias_name="n_active")))
+
+    first_day = du.groupby("user_id").aggregate(
+        Min("day", alias_name="day"))
+
+    def nu_partial(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy()
+        keys, counts = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(keys, pa.int64()),
+                         "n_new": pa.array(counts.astype(np.int64))})
+
+    new_tbl = (first_day.map_batches(nu_partial, batch_format="pyarrow")
+               .groupby("day").aggregate(Sum("n_new", alias_name="n_new")))
+
+    a = to_local_table(day_tbl)
+    nt = to_local_table(new_tbl)
+    if a is None or a.num_rows == 0:
+        return pa.schema([("day", pa.timestamp("us")),
+                          ("n_events", pa.int64()),
+                          ("n_active_users", pa.int64()),
+                          ("n_new_users", pa.int64()),
+                          ("cum_users", pa.int64())]).empty_table()
+    d = a.column("day").to_numpy()
+    order = np.argsort(d, kind="stable")
+    d = d[order]
+    n_ev = a.column("n_events").to_numpy()[order].astype(np.int64)
+    n_act = a.column("n_active").to_numpy()[order].astype(np.int64)
+    n_new = np.zeros(len(d), np.int64)
+    if nt is not None and nt.num_rows:
+        pos = np.searchsorted(d, nt.column("day").to_numpy())
+        n_new[pos] = nt.column("n_new").to_numpy().astype(np.int64)
+    return pa.table({
+        "day": pa.array(d.astype("datetime64[us]")),
+        "n_events": pa.array(n_ev),
+        "n_active_users": pa.array(n_act),
+        "n_new_users": pa.array(n_new),
+        "cum_users": pa.array(np.cumsum(n_new)),
+    })
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping sets — multi-granularity aggregate from ONE shuffle
+# ---------------------------------------------------------------------------
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(year, priority) over orders: order counts and
+    cent-scaled revenue at three granularities — (year, priority),
+    (year), and grand total — the OLAP grouping-sets shape.
+
+    The coarser levels are DERIVED from the finest aggregate instead of
+    re-scanning: one per-batch lexsort partial + one groupby shuffle
+    produces the (year, priority) table, whose cardinality is bounded by
+    the key domain (|years| × |priorities|), so the rollup expansion is
+    a driver-side numpy pass over a provably tiny table — the partial-
+    aggregate-reuse pattern a 100 TB cube build needs (never N shuffles
+    for N grouping sets). Sentinels (-1 / 'ALL') replace SQL's rollup
+    NULLs so row ordering is engine-independent. Output: (lvl, o_year,
+    o_orderpriority, n_orders, total_e2)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = pc.year(b.column("o_orderdate")).to_numpy().astype(np.int64)
+        p = b.column("o_orderpriority").combine_chunks()
+        enc = pc.dictionary_encode(p)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, np.int64)
+        cents = _e2(b.column("o_totalprice")).to_numpy()
+        order = np.lexsort((codes, y))
+        y_s, c_s, v_s = y[order], codes[order], cents[order]
+        idx = np.flatnonzero(
+            np.r_[True, (y_s[1:] != y_s[:-1]) | (c_s[1:] != c_s[:-1])])
+        cs = np.zeros(len(v_s) + 1, np.int64)
+        np.cumsum(v_s, out=cs[1:])
+        bounds = np.r_[idx, len(y_s)]
+        return pa.table({
+            "o_year": pa.array(y_s[idx], pa.int64()),
+            "o_orderpriority": enc.dictionary.take(pa.array(c_s[idx])),
+            "n": pa.array(np.diff(bounds).astype(np.int64)),
+            "cents": pa.array(cs[bounds[1:]] - cs[bounds[:-1]]),
+        })
+
+    fin = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby(["o_year", "o_orderpriority"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+    tbl = to_local_table(fin)
+    if tbl is None or tbl.num_rows == 0:
+        return pa.schema([("lvl", pa.int64()), ("o_year", pa.int64()),
+                          ("o_orderpriority", pa.string()),
+                          ("n_orders", pa.int64()),
+                          ("total_e2", pa.int64())]).empty_table()
+    y = tbl.column("o_year").to_numpy().astype(np.int64)
+    p = np.asarray(tbl.column("o_orderpriority").to_numpy(
+        zero_copy_only=False), object)
+    n = tbl.column("n").to_numpy().astype(np.int64)
+    v = tbl.column("cents").to_numpy().astype(np.int64)
+
+    def level(keys_y, keys_p, lvl):
+        order = np.lexsort((keys_p, keys_y))
+        ys, ps, ns, vs = keys_y[order], keys_p[order], n[order], v[order]
+        idx = np.flatnonzero(
+            np.r_[True, (ys[1:] != ys[:-1]) | (ps[1:] != ps[:-1])])
+        csn = np.zeros(len(ns) + 1, np.int64)
+        np.cumsum(ns, out=csn[1:])
+        csv = np.zeros(len(vs) + 1, np.int64)
+        np.cumsum(vs, out=csv[1:])
+        bounds = np.r_[idx, len(ys)]
+        return pa.table({
+            "lvl": pa.array(np.full(len(idx), lvl, np.int64)),
+            "o_year": pa.array(ys[idx].astype(np.int64)),
+            "o_orderpriority": pa.array(list(ps[idx]), pa.string()),
+            "n_orders": pa.array(csn[bounds[1:]] - csn[bounds[:-1]]),
+            "total_e2": pa.array(csv[bounds[1:]] - csv[bounds[:-1]]),
+        })
+
+    all_p = np.asarray(["ALL"] * len(p), object)
+    all_y = np.full(len(y), -1, np.int64)
+    return pa.concat_tables([
+        level(y, p, 0),            # finest (already distinct, re-sorted)
+        level(y, all_p, 1),        # per-year
+        level(all_y, all_p, 2),    # grand total
+    ])
+
+
+# ---------------------------------------------------------------------------
+# NTILE — equal-frequency bucketing per group (exact, distributed)
+# ---------------------------------------------------------------------------
+
+_NTILES = 4
+
+
+def _ntile_block_summary(tbl: pa.Table):
+    """Per-block run-length summary of the (sorted) event_type column."""
+    if tbl.num_rows == 0:
+        return None
+    et = np.asarray(tbl.column("event_type").to_numpy(
+        zero_copy_only=False), object)
+    idx = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    counts = np.diff(np.r_[idx, len(et)]).astype(np.int64)
+    return (list(et[idx]), counts)
+
+
+def _ntile_block_labels(tbl: pa.Table, types, starts, totals,
+                        n_tiles: int) -> pa.Table:
+    """Assign each row its exact global NTILE bucket (group rank known
+    from the driver scan) and emit per-(type, tile) PARTIAL aggregates —
+    at most |types|·n_tiles rows leave the block."""
+    et = np.asarray(tbl.column("event_type").to_numpy(
+        zero_copy_only=False), object)
+    cents = _cents(tbl.column("value")).to_numpy()
+    idx = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    counts = np.diff(np.r_[idx, len(et)]).astype(np.int64)
+    out_t, out_tile, out_n, out_sum = [], [], [], []
+    for j in range(len(idx)):
+        lo, c, start, tot = int(idx[j]), int(counts[j]), starts[j], totals[j]
+        r = start + np.arange(c, dtype=np.int64)
+        q, rem = divmod(tot, n_tiles)
+        big = (q + 1) * rem
+        tile = np.where(r < big, r // (q + 1),
+                        rem + (r - big) // max(q, 1))
+        seg = cents[lo:lo + c]
+        cs = np.zeros(c + 1, np.int64)
+        np.cumsum(seg, out=cs[1:])
+        bounds = np.searchsorted(tile, np.arange(n_tiles + 1))
+        tn = np.diff(bounds)
+        nz = np.flatnonzero(tn)
+        out_t.append(np.asarray([types[j]] * len(nz), object))
+        out_tile.append(nz.astype(np.int64))
+        out_n.append(tn[nz].astype(np.int64))
+        out_sum.append(cs[bounds[1:]][nz] - cs[bounds[:-1]][nz])
+    return pa.table({
+        "event_type": pa.array(list(np.concatenate(out_t)), pa.string()),
+        "tile": pa.array(np.concatenate(out_tile)),
+        "n": pa.array(np.concatenate(out_n)),
+        "sum_cents": pa.array(np.concatenate(out_sum)),
+    })
+
+
+def events_value_ntile(sf_dir: str, n_tiles: int = _NTILES):
+    """Exact NTILE(4) per event_type over (value, event_id) — the
+    equal-frequency quartile bucketing used for spend tiers / percentile
+    cohorts — reported as per-(type, tile) counts and cent-scaled sums.
+
+    Exact distributed ranks without a per-group sort task: global
+    ``sort(type, value, event_id)`` (the total order makes tie handling
+    engine-independent), then the sorted-block scaffold — per-block
+    run-length summaries, an O(#blocks) driver scan that hands every
+    block its groups' start ranks and totals, and a per-block labeling
+    task that computes NTILE buckets from pure arithmetic and emits only
+    per-(type, tile) partials into a tiny groupby. No group is ever
+    materialized in one task (the skew story for a hot group), and
+    driver state is O(#blocks · #types-per-block-boundary). Output:
+    (event_type, tile, n, sum_value_e2)."""
+    ev = _read(sf_dir, "events", ["event_type", "value", "event_id"])
+    sorted_ds = ev.sort(["event_type", "value", "event_id"]).materialize()
+
+    def scan(summaries):
+        run: dict = {}
+        starts_per_block = []
+        for s in summaries:
+            if s is None:
+                starts_per_block.append(None)
+                continue
+            types, counts = s
+            starts_per_block.append([run.get(t, 0) for t in types])
+            for t, c in zip(types, counts):
+                run[t] = run.get(t, 0) + int(c)
+        args = []
+        for i, s in enumerate(summaries):
+            if s is None:
+                args.append(())
+                continue
+            types, _ = s
+            args.append((types, starts_per_block[i],
+                         [run[t] for t in types], n_tiles))
+        return args
+
+    labeled = _sorted_block_scan(sorted_ds, _ntile_block_summary, (),
+                                 scan, _ntile_block_labels)
+    if labeled is None:
+        return ray.data.from_arrow(pa.schema([
+            ("event_type", pa.string()), ("tile", pa.int64()),
+            ("n", pa.int64()),
+            ("sum_value_e2", pa.int64())]).empty_table())
+
+    agg = labeled.groupby(["event_type", "tile"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "tile": pc.cast(b.column("tile"), pa.int64()),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "sum_value_e2": pc.cast(b.column("sum_cents"), pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow").sort(
+        ["event_type", "tile"])

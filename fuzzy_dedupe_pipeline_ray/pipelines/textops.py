@@ -1635,3 +1635,63 @@ def doc_sample_stratified(sf_dir: str, k: int = STRAT_SAMPLE_K):
         partial_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("lang").map_groups(group_topk, batch_format="pyarrow")
         .sort(["lang", "sample_rank"]))
+
+
+def doc_dedup_consecutive_tokens(sf_dir: str):
+    """Collapse CONSECUTIVE repeated whitespace tokens per document
+    ("the the" → "the") — the stutter-cleanup pass of a text-curation
+    pipeline (OCR doubling, template echo, generation loops). Case is
+    preserved; the token split is the same ``_WS`` regex the langid /
+    DF oracles use (trim, split, drop empties), so the DuckDB oracle is
+    bit-compatible.
+
+    Fully vectorized per batch: one regex split, one shifted Arrow
+    string compare over the flat token buffer (doc-start positions
+    forced kept so runs never leak across documents), diff-of-cumsum
+    removal counts, and one ``binary_join`` to re-materialize the
+    cleaned text. No per-row Python, no shuffle — a pure map over the
+    documents scan. Output: (doc_id, text_clean, n_tokens, n_removed)."""
+    def f(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(text, "")),
+            pattern=textnorm._WS)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lengths = (pc.list_value_length(toks)
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        rows = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        nonempty = np.asarray(
+            pc.not_equal(flat, "").to_numpy(zero_copy_only=False), bool)
+        n_tok = np.bincount(rows[nonempty],
+                            minlength=len(lengths)).astype(np.int64)
+        flat2 = flat.filter(pa.array(nonempty))
+        m = len(flat2)
+        starts = np.zeros(len(n_tok) + 1, np.int64)
+        np.cumsum(n_tok, out=starts[1:])
+        dup = np.zeros(m, bool)
+        if m > 1:
+            dup[1:] = np.asarray(pc.equal(
+                flat2.slice(1), flat2.slice(0, m - 1))
+                .to_numpy(zero_copy_only=False), bool)
+        dup[starts[:-1][n_tok > 0]] = False  # first token of each doc
+        cs = np.zeros(m + 1, np.int64)
+        np.cumsum(dup, out=cs[1:])
+        n_removed = cs[starts[1:]] - cs[starts[:-1]]
+        kept = n_tok - n_removed
+        off3 = np.zeros(len(kept) + 1, np.int64)
+        np.cumsum(kept, out=off3[1:])
+        flat3 = flat2.filter(pa.array(~dup))
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off3, pa.int32()), flat3),
+            " ")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text_clean": clean,
+            "n_tokens": pa.array(n_tok),
+            "n_removed": pa.array(n_removed),
+        })
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
