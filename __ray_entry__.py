@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 68 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 71 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (62 oracles, including all-true INVARIANT oracles
+SQL-expressible one (65 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -277,6 +277,10 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_daily_users": relational.events_daily_users,
         "orders_rollup": relational.orders_rollup,
         "events_value_ntile": relational.events_value_ntile,
+        "events_funnel_conversion": relational.events_funnel_conversion,
+        "events_user_retention": relational.events_user_retention,
+        "events_value_quantile_sketch_check":
+            relational.events_value_quantile_sketch_check,
     }
 
 
@@ -1053,5 +1057,43 @@ def oracle_sql() -> "dict[str, str]":
                    CAST(sum(cents) AS BIGINT) AS sum_value_e2
             FROM r GROUP BY event_type, tile
             ORDER BY event_type, tile
+        """,
+        "events_funnel_conversion": """
+            WITH fv AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            conv AS (
+                SELECT DISTINCT e.user_id
+                FROM events e JOIN fv USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND e.ts >= fv.t0
+                  AND e.ts <= fv.t0 + INTERVAL 7 DAY)
+            SELECT CAST((SELECT count(*) FROM fv) AS BIGINT)
+                       AS n_users_first,
+                   CAST((SELECT count(*) FROM conv) AS BIGINT)
+                       AS n_users_converted,
+                   CAST((SELECT count(*) FROM conv) * 10000
+                        // (SELECT count(*) FROM fv) AS BIGINT)
+                       AS conversion_bps
+        """,
+        "events_user_retention": """
+            WITH du AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                           AS day, user_id
+                FROM events),
+            fd AS (SELECT user_id, min(day) AS cohort_day
+                   FROM du GROUP BY user_id)
+            SELECT fd.cohort_day,
+                   CAST(date_diff('day', fd.cohort_day, du.day) AS BIGINT)
+                       AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM du JOIN fd USING (user_id)
+            GROUP BY fd.cohort_day, day_offset
+            ORDER BY fd.cohort_day, day_offset
+        """,
+        "events_value_quantile_sketch_check": """
+            SELECT CAST(q_bp AS BIGINT) AS q_bp, TRUE AS sketch_ok
+            FROM (VALUES (2500), (5000), (9000), (9900)) AS t(q_bp)
+            ORDER BY q_bp
         """,
     }

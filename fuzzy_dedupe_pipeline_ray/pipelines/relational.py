@@ -958,21 +958,17 @@ def customers_inactive_since(sf_dir: str, cutoff: str = "2000-06-01"):
 # Exact distributed quantiles (global order statistics)
 # ---------------------------------------------------------------------------
 
-def lineitem_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
-    """EXACT quantiles of ``l_extendedprice`` (cent-scaled) by distributed
-    selection: global sort on the cents column, then the k-th order
-    statistic is located from per-block row counts (block METADATA — no
-    extra pass) and only the owning blocks are touched, one tiny slice
-    task each. No driver materialization of the data; the driver handles
-    O(#blocks) counts and |qs| scalars. Matches DuckDB ``quantile_disc``
-    (index ceil(q*n)-1, verified in tests)."""
+def _exact_cents_quantiles(cents_ds, qs):
+    """EXACT ``quantile_disc`` order statistics of a one-column int64
+    ``cents`` Dataset by distributed selection: global sort, locate the
+    ceil(q·n)−1 index from per-block row counts (block METADATA — no
+    extra pass), touch only the owning blocks with one tiny slice task
+    each. Returns ``(n, [(q_scaled, value), ...])`` with q scaled ×100
+    (the shared kernel for ``lineitem_quantiles`` and the sketch-error
+    check). Driver state: O(#blocks) counts + |qs| scalars."""
     import ray
 
-    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    cents = li.map_batches(
-        lambda b: pa.table({"cents": _e2(b.column("l_extendedprice"))}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    s = cents.sort("cents").materialize()
+    s = cents_ds.sort("cents").materialize()
 
     refs, counts = [], []
     for bundle in s.iter_internal_ref_bundles():
@@ -982,12 +978,11 @@ def lineitem_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
                 counts.append(meta.num_rows)
     n = int(sum(counts))
     if n == 0:
-        return ray.data.from_arrow(pa.schema(
-            [("q_e2", pa.int64()), ("value_cents", pa.int64())]).empty_table())
+        return 0, []
 
     starts = np.cumsum([0] + counts[:-1])
     # quantile_disc: 0-based index ceil(q*n) - 1
-    want = {}  # block_idx -> [(q_e2, local_idx)]
+    want = {}  # block_idx -> [(q_scaled, local_idx)]
     for q in qs:
         gidx = max(0, int(math.ceil(q * n)) - 1)
         b_idx = int(np.searchsorted(starts, gidx, side="right") - 1)
@@ -996,12 +991,28 @@ def lineitem_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
 
     def pick(tbl: pa.Table, pairs):
         vals = tbl.column("cents")
-        return [(qe2, vals[i].as_py()) for qe2, i in pairs]
+        return [(qs_, vals[i].as_py()) for qs_, i in pairs]
 
     pick_r = ray.remote(pick)
     got = ray.get([pick_r.remote(refs[b], pairs)
                    for b, pairs in sorted(want.items())])
-    rows = sorted(p for chunk in got for p in chunk)
+    return n, sorted(p for chunk in got for p in chunk)
+
+
+def lineitem_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """EXACT quantiles of ``l_extendedprice`` (cent-scaled) by the
+    distributed-selection kernel (``_exact_cents_quantiles``). Matches
+    DuckDB ``quantile_disc`` (index ceil(q*n)-1, verified in tests)."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    cents = li.map_batches(
+        lambda b: pa.table({"cents": _e2(b.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n, rows = _exact_cents_quantiles(cents, qs)
+    if n == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("q_e2", pa.int64()), ("value_cents", pa.int64())]).empty_table())
     return ray.data.from_arrow(pa.table({
         "q_e2": pa.array([r[0] for r in rows], pa.int64()),
         "value_cents": pa.array([r[1] for r in rows], pa.int64()),
@@ -1540,7 +1551,18 @@ def events_daily_users(sf_dir: str):
 
     du = (ev.map_batches(du_partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-          .groupby(["day", "user_id"]).aggregate(Sum("n", alias_name="n")))
+          .groupby(["day", "user_id"]).aggregate(Sum("n", alias_name="n"))
+          .materialize())
+    empty = pa.schema([("day", pa.timestamp("us")),
+                       ("n_events", pa.int64()),
+                       ("n_active_users", pa.int64()),
+                       ("n_new_users", pa.int64()),
+                       ("cum_users", pa.int64())]).empty_table()
+    if du.count() == 0:
+        # a groupby over zero rows yields a SCHEMA-LESS empty dataset no
+        # downstream map/select can consume — short-circuit (same guard
+        # as doc_decontaminate)
+        return empty
 
     def day_partial(b: pa.Table) -> pa.Table:
         d = b.column("day").to_numpy()
@@ -1577,11 +1599,7 @@ def events_daily_users(sf_dir: str):
     a = to_local_table(day_tbl)
     nt = to_local_table(new_tbl)
     if a is None or a.num_rows == 0:
-        return pa.schema([("day", pa.timestamp("us")),
-                          ("n_events", pa.int64()),
-                          ("n_active_users", pa.int64()),
-                          ("n_new_users", pa.int64()),
-                          ("cum_users", pa.int64())]).empty_table()
+        return empty
     d = a.column("day").to_numpy()
     order = np.argsort(d, kind="stable")
     d = d[order]
@@ -1707,6 +1725,17 @@ def _ntile_block_summary(tbl: pa.Table):
     return (list(et[idx]), counts)
 
 
+def _ntile_of_ranks(r: np.ndarray, tot: int, n_tiles: int) -> np.ndarray:
+    """SQL NTILE bucket (0-based) of 0-based ranks ``r`` in a group of
+    ``tot`` rows: the first ``tot % n_tiles`` buckets hold ``ceil(tot /
+    n_tiles)`` rows, the rest ``floor`` — pure arithmetic, property-
+    tested against a naive size-list reference."""
+    q, rem = divmod(tot, n_tiles)
+    big = (q + 1) * rem
+    return np.where(r < big, r // (q + 1),
+                    rem + (r - big) // max(q, 1))
+
+
 def _ntile_block_labels(tbl: pa.Table, types, starts, totals,
                         n_tiles: int) -> pa.Table:
     """Assign each row its exact global NTILE bucket (group rank known
@@ -1721,10 +1750,7 @@ def _ntile_block_labels(tbl: pa.Table, types, starts, totals,
     for j in range(len(idx)):
         lo, c, start, tot = int(idx[j]), int(counts[j]), starts[j], totals[j]
         r = start + np.arange(c, dtype=np.int64)
-        q, rem = divmod(tot, n_tiles)
-        big = (q + 1) * rem
-        tile = np.where(r < big, r // (q + 1),
-                        rem + (r - big) // max(q, 1))
+        tile = _ntile_of_ranks(r, tot, n_tiles)
         seg = cents[lo:lo + c]
         cs = np.zeros(c + 1, np.int64)
         np.cumsum(seg, out=cs[1:])
@@ -1803,3 +1829,224 @@ def events_value_ntile(sf_dir: str, n_tiles: int = _NTILES):
 
     return agg.map_batches(cast, batch_format="pyarrow").sort(
         ["event_type", "tile"])
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion — ordered two-step sequence matching
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def events_funnel_conversion(sf_dir: str, first: str = "view",
+                             then: str = "purchase",
+                             window_days: int = _FUNNEL_WINDOW_DAYS):
+    """Two-step funnel: of the users who ever did ``first``, how many did
+    ``then`` within ``window_days`` AFTER their first ``first`` — the
+    product-analytics conversion query (a sequence pattern, not a plain
+    join). Output one row: (n_users_first, n_users_converted,
+    conversion_bps).
+
+    Distributed shape: first-step anchor = ``groupby(user).min(ts)``
+    over a filtered scan; second-step events probe the anchor table
+    through the tiered ``lookup_join`` (broadcast under the gate, hash
+    join above — the 100 TB path since the anchor table is
+    one-row-per-user); the window test is a vectorized int64 compare;
+    converted users collapse through a per-batch unique + groupby. The
+    driver holds two scalars."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    win_us = window_days * 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def step_rows(which):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("event_type"), which)
+            t = b.filter(m)
+            ts = (t.column("ts").to_numpy()
+                  .astype("datetime64[us]").astype(np.int64))
+            return pa.table({"user_id": t.column("user_id"),
+                             "ts_us": pa.array(ts, pa.int64())})
+        return ev.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    anchors = (step_rows(first).groupby("user_id")
+               .aggregate(Min("ts_us", alias_name="t0")).materialize())
+    n_first = anchors.count()
+    if n_first == 0:
+        return pa.table({"n_users_first": pa.array([0], pa.int64()),
+                         "n_users_converted": pa.array([0], pa.int64()),
+                         "conversion_bps": pa.array([0], pa.int64())})
+
+    j = lookup_join(step_rows(then), anchors, on="user_id",
+                    cfg=DEFAULT_CONFIG, right_count=n_first)
+
+    def in_window_users(b: pa.Table) -> pa.Table:
+        ts = b.column("ts_us").to_numpy()
+        t0 = b.column("t0").to_numpy()
+        ok = (ts >= t0) & (ts <= t0 + win_us)
+        u = np.unique(b.column("user_id").to_numpy()[ok])
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    matched = j.map_batches(in_window_users,
+                            batch_format="pyarrow").materialize()
+    # probe before the distinct groupby: zero matched rows would make it
+    # a schema-less empty aggregate (same guard as doc_decontaminate)
+    n_conv = 0 if matched.count() == 0 else (
+        matched.groupby("user_id").aggregate(Count(alias_name="_n"))
+        .count())
+    return pa.table({
+        "n_users_first": pa.array([n_first], pa.int64()),
+        "n_users_converted": pa.array([n_conv], pa.int64()),
+        "conversion_bps": pa.array([n_conv * 10000 // n_first], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix — first-seen cohort × day offset
+# ---------------------------------------------------------------------------
+
+def events_user_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-seen day, counted on each
+    later day they were active — the (cohort_day, day_offset, n_users)
+    retention matrix.
+
+    Distributed shape: ONE (day, user) distinct shuffle (per-batch
+    lexsort partials, same kernel as ``events_daily_users``), a
+    ``groupby(user).min(day)`` for the cohort, and a tiered
+    ``lookup_join`` of the distinct table against the per-user cohort
+    (broadcast under the gate, hash join above). Counting is per-batch
+    partials into a tiny (≤ #days²-row) groupby; days ride shuffles as
+    int64 epoch-µs."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    day_us = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def du_partial(b: pa.Table) -> pa.Table:
+        ts = (b.column("ts").to_numpy()
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // day_us) * day_us
+        u = b.column("user_id").to_numpy()
+        order = np.lexsort((u, day))
+        d_s, u_s = day[order], u[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        idx = np.flatnonzero(first)
+        return pa.table({"day": pa.array(d_s[idx], pa.int64()),
+                         "user_id": pa.array(u_s[idx], pa.int64())})
+
+    du = (ev.map_batches(du_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["day", "user_id"]).aggregate(Count(alias_name="_n"))
+          .materialize())
+    if du.count() == 0:
+        # schema-less empty aggregate — short-circuit (same guard as
+        # events_daily_users / doc_decontaminate)
+        return ray.data.from_arrow(pa.schema(
+            [("cohort_day", pa.timestamp("us")),
+             ("day_offset", pa.int64()),
+             ("n_users", pa.int64())]).empty_table())
+    du = du.select_columns(["day", "user_id"]).materialize()
+
+    cohort = du.groupby("user_id").aggregate(
+        Min("day", alias_name="cohort_day"))
+    j = lookup_join(du, cohort, on="user_id", cfg=DEFAULT_CONFIG)
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        c = b.column("cohort_day").to_numpy()
+        off = (b.column("day").to_numpy() - c) // day_us
+        order = np.lexsort((off, c))
+        c_s, o_s = c[order], off[order]
+        idx = np.flatnonzero(
+            np.r_[True, (c_s[1:] != c_s[:-1]) | (o_s[1:] != o_s[:-1])])
+        return pa.table({
+            "cohort_day": pa.array(c_s[idx], pa.int64()),
+            "day_offset": pa.array(o_s[idx], pa.int64()),
+            "n": pa.array(np.diff(np.r_[idx, len(c_s)]).astype(np.int64)),
+        })
+
+    agg = (j.map_batches(partial_counts, batch_format="pyarrow")
+           .groupby(["cohort_day", "day_offset"])
+           .aggregate(Sum("n", alias_name="n_users")))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": pa.array(
+                b.column("cohort_day").to_numpy().astype("datetime64[us]")),
+            "day_offset": pc.cast(b.column("day_offset"), pa.int64()),
+            "n_users": pc.cast(b.column("n_users"), pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow").sort(
+        ["cohort_day", "day_offset"])
+
+
+# ---------------------------------------------------------------------------
+# Relative-error quantile sketch (DDSketch-style log buckets)
+# ---------------------------------------------------------------------------
+
+_DD_GAMMA = 1.02  # ≤2% relative error per bucket
+
+
+def events_value_quantile_sketch_check(sf_dir: str,
+                                       qs=(0.25, 0.5, 0.9, 0.99),
+                                       gamma: float = _DD_GAMMA):
+    """All-true INVARIANT pinning a mergeable relative-error quantile
+    sketch (DDSketch-shaped log-γ buckets; Masson et al., VLDB'19
+    public): bucket(v) = ceil(log_γ v), estimate = γ^bucket — the
+    estimate must satisfy exact ≤ est ≤ exact·γ for every queried
+    quantile, because the true order statistic provably lies inside the
+    reported bucket (v ∈ (γ^(k-1), γ^k]).
+
+    The sketch is the 100 TB path for quantiles: per-batch vectorized
+    bucket bincount partials → a tiny groupby — the merged histogram is
+    bounded by the VALUE RANGE (log_γ(max/min) buckets), not the row
+    count, unlike the exact-selection kernel whose global sort is an
+    all-to-all shuffle. The exact side of the check reuses
+    ``_exact_cents_quantiles``. Assumes strictly positive values (true
+    of ``events.value``; DDSketch handles zero/negative with extra
+    stores — out of scope here). Output: (q_bp, sketch_ok) rows."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    ev = _read(sf_dir, "events", ["value"])
+    lng = math.log(gamma)
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        pos = v[v > 0]
+        k = np.ceil(np.log(pos) / lng).astype(np.int64)
+        keys, counts = np.unique(k, return_counts=True)
+        return pa.table({"bucket": pa.array(keys, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    hist = to_local_table(
+        ev.map_batches(bucket_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+
+    cents = ev.map_batches(
+        lambda b: pa.table({"cents": _e2(b.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n, exact_rows = _exact_cents_quantiles(cents, qs)
+    if n == 0 or hist is None or hist.num_rows == 0:
+        return pa.schema([("q_bp", pa.int64()),
+                          ("sketch_ok", pa.bool_())]).empty_table()
+
+    buckets = hist.column("bucket").to_numpy().astype(np.int64)
+    counts = hist.column("n").to_numpy().astype(np.int64)
+    order = np.argsort(buckets)
+    buckets, counts = buckets[order], counts[order]
+    cum = np.cumsum(counts)
+    exact = {r[0]: r[1] for r in exact_rows}
+
+    out_q, out_ok = [], []
+    for q in qs:
+        rank = max(1, int(math.ceil(q * n)))
+        k = buckets[int(np.searchsorted(cum, rank))]
+        est = gamma ** int(k)
+        x = exact[int(round(q * 100))] / 100.0
+        ok = (est >= x * (1 - 1e-9)) and (est <= x * gamma * (1 + 1e-9))
+        out_q.append(int(round(q * 10000)))
+        out_ok.append(bool(ok))
+    return pa.table({"q_bp": pa.array(out_q, pa.int64()),
+                     "sketch_ok": pa.array(out_ok)})
