@@ -281,6 +281,10 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_user_retention": relational.events_user_retention,
         "events_value_quantile_sketch_check":
             relational.events_value_quantile_sketch_check,
+        "q5_region_supplier_volume": relational.q5_region_supplier_volume,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
     }
 
 
@@ -1095,5 +1099,65 @@ def oracle_sql() -> "dict[str, str]":
             SELECT CAST(q_bp AS BIGINT) AS q_bp, TRUE AS sketch_ok
             FROM (VALUES (2500), (5000), (9000), (9900)) AS t(q_bp)
             ORDER BY q_bp
+        """,
+        "q5_region_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+            ORDER BY revenue_e4 DESC, n_name
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+                SELECT CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT) AS rev_e4,
+                       p_type = 'PROMO' AS is_promo
+                FROM lineitem JOIN part ON p_partkey = l_partkey)
+            SELECT CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END)
+                        AS BIGINT) AS promo_rev_e4,
+                   CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+                   CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END)
+                        * 10000 // sum(rev_e4) AS BIGINT) AS promo_bps
+            FROM j
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+            SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_e2,
+                   big.sum_qty
+            FROM big
+            JOIN orders o ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY total_e2 DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q17_small_qty_revenue": """
+            WITH pp AS (
+                SELECT l_partkey, count(*) AS n,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS s
+                FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(count(*) AS BIGINT) AS qualifying_rows,
+                   CAST(coalesce(sum(CAST(round(l.l_extendedprice
+                                                * (1 - l.l_discount)
+                                                * 10000) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem l JOIN pp USING (l_partkey)
+            WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * pp.n < pp.s
         """,
     }

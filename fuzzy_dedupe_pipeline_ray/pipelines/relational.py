@@ -2050,3 +2050,277 @@ def events_value_quantile_sketch_check(sf_dir: str,
         out_ok.append(bool(ok))
     return pa.table({"q_bp": pa.array(out_q, pa.int64()),
                      "sketch_ok": pa.array(out_ok)})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-way joins (Q5 / Q14 / Q17 / Q18 analogs)
+# ---------------------------------------------------------------------------
+
+def _rev_e4(b: pa.Table) -> pa.Array:
+    """Per-row revenue l_extendedprice·(1−l_discount) as an EXACT e4 int
+    (2-decimal price × 2-decimal discount factor = 4 decimals); summing
+    ints makes every revenue aggregate order-independent."""
+    return _e4(pc.multiply(
+        b.column("l_extendedprice"),
+        pc.subtract(pa.scalar(1.0), b.column("l_discount"))))
+
+
+def q5_region_supplier_volume(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5 shape: per-nation revenue where the customer and the
+    supplier sit in the SAME nation of one region — the 6-table join
+    (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier).
+
+    Distributed shape: the two tiny dimensions (nation filtered by
+    region, supplier key→nation) broadcast; orders ⋈ customer and
+    lineitem ⋈ orders go through the tiered ``lookup_join`` (broadcast
+    under the gate, hash join above — the 100 TB path, since lineitem
+    and orders are the two big tables); the same-nation test is a
+    vectorized equality filter AFTER both joins, and revenue partials
+    collapse per batch before the final tiny per-nation groupby.
+    Output: (n_name, revenue_e4) sorted by revenue DESC."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import (lookup_join,
+                                                      to_local_table)
+
+    cfg = DEFAULT_CONFIG
+    reg = to_local_table(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]).map_batches(
+            lambda b: b.filter(pc.equal(b.column("r_name"), region)),
+            batch_format="pyarrow"))
+    nat = to_local_table(_read(sf_dir, "nation",
+                               ["n_nationkey", "n_name", "n_regionkey"]))
+    keep = pc.is_in(nat.column("n_regionkey"),
+                    value_set=reg.column("r_regionkey"))
+    nat = nat.filter(keep)
+    nation_keys = nat.column("n_nationkey")
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(
+                lambda b: b.filter(pc.is_in(b.column("c_nationkey"),
+                                            value_set=nation_keys)),
+                batch_format="pyarrow", zero_copy_batch=True))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_nat = lookup_join(
+        orders.map_batches(
+            lambda b: pa.table({"c_custkey": b.column("o_custkey"),
+                                "o_orderkey": b.column("o_orderkey")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        cust.map_batches(
+            lambda b: pa.table({"c_custkey": b.column("c_custkey"),
+                                "c_nationkey": b.column("c_nationkey")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        on="c_custkey", cfg=cfg).select_columns(
+            ["o_orderkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("l_orderkey"),
+                            "l_suppkey": b.column("l_suppkey"),
+                            "rev_e4": _rev_e4(b)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = lookup_join(li, o_nat, on="o_orderkey", cfg=cfg)
+
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .map_batches(
+                lambda b: pa.table({"l_suppkey": b.column("s_suppkey"),
+                                    "s_nationkey": b.column("s_nationkey")}),
+                batch_format="pyarrow", zero_copy_batch=True))
+    j = lookup_join(j, supp, on="l_suppkey", cfg=cfg)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("c_nationkey"), b.column("s_nationkey"))
+        t = b.filter(m)
+        nk = t.column("c_nationkey").to_numpy()
+        rv = t.column("rev_e4").to_numpy()
+        keys, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "n_nationkey": pa.array(keys.astype(np.int64)),
+            "rev_e4": pa.array(np.bincount(
+                inv, weights=rv, minlength=len(keys)).astype(np.int64)),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("n_nationkey").aggregate(
+               Sum("rev_e4", alias_name="revenue_e4")))
+    out = to_local_table(agg)
+    if out is None or out.num_rows == 0:
+        return pa.schema([("n_name", pa.string()),
+                          ("revenue_e4", pa.int64())]).empty_table()
+    pos = pc.index_in(out.column("n_nationkey"),
+                      value_set=nation_keys.combine_chunks())
+    res = pa.table({
+        "n_name": nat.column("n_name").take(pos),
+        "revenue_e4": pc.cast(out.column("revenue_e4"), pa.int64()),
+    })
+    order = pc.sort_indices(res, sort_keys=[("revenue_e4", "descending"),
+                                            ("n_name", "ascending")])
+    return res.take(order)
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: share of revenue from PROMO-type parts, in
+    basis points (integer). lineitem probes the part type map through
+    the tiered ``lookup_join``; per-batch partials keep only two int64
+    counters per batch; the driver sees one row.
+    Output: (promo_rev_e4, total_rev_e4, promo_bps)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join, \
+        to_local_table
+
+    cfg = DEFAULT_CONFIG
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table({"l_partkey": b.column("p_partkey"),
+                            "is_promo": pc.equal(b.column("p_type"),
+                                                 "PROMO")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda b: pa.table({"l_partkey": b.column("l_partkey"),
+                            "rev_e4": _rev_e4(b)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = lookup_join(li, part, on="l_partkey", cfg=cfg)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rv = b.column("rev_e4").to_numpy()
+        promo = b.column("is_promo").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_rev_e4": pa.array([int(rv[promo].sum())], pa.int64()),
+            "total_rev_e4": pa.array([int(rv.sum())], pa.int64()),
+        })
+
+    agg = j.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    t = to_local_table(agg)
+    if t is None or t.num_rows == 0:
+        promo_s = total_s = 0
+    else:
+        promo_s = int(pc.sum(t.column("promo_rev_e4")).as_py() or 0)
+        total_s = int(pc.sum(t.column("total_rev_e4")).as_py() or 0)
+    bps = promo_s * 10000 // total_s if total_s else 0
+    return pa.table({"promo_rev_e4": pa.array([promo_s], pa.int64()),
+                     "total_rev_e4": pa.array([total_s], pa.int64()),
+                     "promo_bps": pa.array([bps], pa.int64())})
+
+
+def q18_large_orders(sf_dir: str, threshold: int = 300, k: int = 100):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds the
+    threshold (GROUP BY + HAVING), enriched with customer names — the
+    big-table groupby feeding a selective join back. Quantities are
+    whole numbers, so the sum is exact int64. Per-batch quantity
+    partials collapse before the orderkey shuffle; the surviving
+    (tiny) order set joins orders and customer through the tiered
+    ``lookup_join``. Output: (c_name, c_custkey, o_orderkey,
+    o_orderdate, total_e2, sum_qty) top-k by (total_e2 DESC,
+    o_orderkey)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    cfg = DEFAULT_CONFIG
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy()
+        q = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
+        keys, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(keys.astype(np.int64)),
+            "sum_qty": pa.array(np.bincount(inv, weights=q,
+                                            minlength=len(keys)
+                                            ).astype(np.int64)),
+        })
+
+    big = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+           .map_batches(qty_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("o_orderkey").aggregate(Sum("sum_qty",
+                                                alias_name="sum_qty"))
+           .map_batches(
+               lambda b: b.filter(pc.greater(b.column("sum_qty"),
+                                             threshold)),
+               batch_format="pyarrow"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    j = lookup_join(orders, big, on="o_orderkey", cfg=cfg)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                            "c_name": b.column("c_name")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = lookup_join(j, cust, on="o_custkey", cfg=cfg)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": b.column("c_name"),
+            "c_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_orderdate": b.column("o_orderdate"),
+            "total_e2": _e2(b.column("o_totalprice")),
+            "sum_qty": pc.cast(b.column("sum_qty"), pa.int64()),
+        })
+
+    return (j.map_batches(shape, batch_format="pyarrow")
+            .sort(["total_e2", "o_orderkey"], descending=[True, False])
+            .limit(k))
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue of lineitems whose quantity is below 20%
+    of their part's average quantity — the correlated-subquery pattern
+    as a per-part aggregate joined back onto the fact table. The
+    comparison ``qty < 0.2·avg`` is evaluated as EXACT integer math
+    (``5·qty·n < sum_qty``, quantities are whole numbers), so Ray and
+    the SQL oracle agree bit-for-bit even at the boundary. Per-part
+    stats flow through the tiered ``lookup_join`` (broadcast under the
+    gate); the answer is two driver scalars.
+    Output: (qualifying_rows, revenue_e4)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join, \
+        to_local_table
+
+    cfg = DEFAULT_CONFIG
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy()
+        q = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
+        keys, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "l_partkey": pa.array(keys.astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=len(keys)
+                                      ).astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=q, minlength=len(keys)
+                                      ).astype(np.int64)),
+        })
+
+    per_part = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+                .map_batches(part_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("l_partkey")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("s", alias_name="s")))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"]).map_batches(
+        lambda b: pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "qty": pa.array(np.rint(b.column("l_quantity").to_numpy()
+                                    ).astype(np.int64)),
+            "rev_e4": _rev_e4(b)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = lookup_join(li, per_part, on="l_partkey", cfg=cfg)
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = b.column("qty").to_numpy()
+        n = b.column("n").to_numpy().astype(np.int64)
+        s = b.column("s").to_numpy().astype(np.int64)
+        m = 5 * q * n < s
+        rv = b.column("rev_e4").to_numpy()
+        return pa.table({
+            "rows": pa.array([int(m.sum())], pa.int64()),
+            "rev_e4": pa.array([int(rv[m].sum())], pa.int64()),
+        })
+
+    t = to_local_table(j.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+    rows = int(pc.sum(t.column("rows")).as_py() or 0) if t is not None else 0
+    rev = int(pc.sum(t.column("rev_e4")).as_py() or 0) if t is not None else 0
+    return pa.table({"qualifying_rows": pa.array([rows], pa.int64()),
+                     "revenue_e4": pa.array([rev], pa.int64())})
