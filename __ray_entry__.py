@@ -285,6 +285,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q18_large_orders": relational.q18_large_orders,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+        "orders_cube": relational.orders_cube,
+        "doc_pack_bins": textops.doc_pack_bins,
+        "doc_mix_weights": textops.doc_mix_weights,
     }
 
 
@@ -1159,5 +1162,37 @@ def oracle_sql() -> "dict[str, str]":
                         AS BIGINT) AS revenue_e4
             FROM lineitem l JOIN pp USING (l_partkey)
             WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * pp.n < pp.s
+        """,
+        "orders_cube": """
+            WITH o AS (
+                SELECT year(o_orderdate) AS y, o_orderpriority AS p,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders)
+            SELECT CAST(grouping(y) * 2 + grouping(p) AS BIGINT) AS lvl,
+                   CAST(coalesce(y, -1) AS BIGINT) AS o_year,
+                   coalesce(p, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS total_e2
+            FROM o GROUP BY CUBE(y, p)
+            ORDER BY lvl, o_year, o_orderpriority
+        """,
+        "doc_pack_bins": f"""
+            WITH t AS (
+                SELECT doc_id, CAST({n_tokens} AS BIGINT) AS n_tok
+                FROM documents)
+            SELECT doc_id, n_tok AS n_tokens,
+                   CAST((sum(n_tok) OVER (ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                         - n_tok) // 2048 AS BIGINT) AS bin_id
+            FROM t ORDER BY doc_id
+        """,
+        "doc_mix_weights": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents
+                       GROUP BY lang)
+            SELECT lang, CAST(n AS BIGINT) AS n_docs,
+                   CAST((SELECT sum(n) FROM c) * 10000
+                        // ((SELECT count(*) FROM c) * n) AS BIGINT)
+                       AS weight_bps
+            FROM c ORDER BY lang
         """,
     }

@@ -2324,3 +2324,85 @@ def q17_small_qty_revenue(sf_dir: str):
     rev = int(pc.sum(t.column("rev_e4")).as_py() or 0) if t is not None else 0
     return pa.table({"qualifying_rows": pa.array([rows], pa.int64()),
                      "revenue_e4": pa.array([rev], pa.int64())})
+
+
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE(year, priority) over orders — all four grouping
+    sets from ONE shuffle. Same partial-aggregate-reuse shape as
+    ``orders_rollup`` (the finest (year, priority) aggregate is bounded
+    by the key domain, so the three coarser levels are driver-side
+    numpy passes over a provably tiny table). ``lvl`` encodes the
+    grouping mask (grouping(year)·2 + grouping(priority): 0 finest, 1
+    per-year, 2 per-priority, 3 grand total); sentinels (-1 / 'ALL')
+    replace SQL's NULLs. Output: (lvl, o_year, o_orderpriority,
+    n_orders, total_e2)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = pc.year(b.column("o_orderdate")).to_numpy().astype(np.int64)
+        p = b.column("o_orderpriority").combine_chunks()
+        enc = pc.dictionary_encode(p)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, np.int64)
+        cents = _e2(b.column("o_totalprice")).to_numpy()
+        order = np.lexsort((codes, y))
+        y_s, c_s, v_s = y[order], codes[order], cents[order]
+        idx = np.flatnonzero(
+            np.r_[True, (y_s[1:] != y_s[:-1]) | (c_s[1:] != c_s[:-1])])
+        cs = np.zeros(len(v_s) + 1, np.int64)
+        np.cumsum(v_s, out=cs[1:])
+        bounds = np.r_[idx, len(y_s)]
+        return pa.table({
+            "o_year": pa.array(y_s[idx], pa.int64()),
+            "o_orderpriority": enc.dictionary.take(pa.array(c_s[idx])),
+            "n": pa.array(np.diff(bounds).astype(np.int64)),
+            "cents": pa.array(cs[bounds[1:]] - cs[bounds[:-1]]),
+        })
+
+    fin = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby(["o_year", "o_orderpriority"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+    tbl = to_local_table(fin)
+    if tbl is None or tbl.num_rows == 0:
+        return pa.schema([("lvl", pa.int64()), ("o_year", pa.int64()),
+                          ("o_orderpriority", pa.string()),
+                          ("n_orders", pa.int64()),
+                          ("total_e2", pa.int64())]).empty_table()
+    y = tbl.column("o_year").to_numpy().astype(np.int64)
+    p = np.asarray(tbl.column("o_orderpriority").to_numpy(
+        zero_copy_only=False), object)
+    n = tbl.column("n").to_numpy().astype(np.int64)
+    v = tbl.column("cents").to_numpy().astype(np.int64)
+
+    def level(keys_y, keys_p, lvl):
+        order = np.lexsort((keys_p, keys_y))
+        ys, ps, ns, vs = keys_y[order], keys_p[order], n[order], v[order]
+        idx = np.flatnonzero(
+            np.r_[True, (ys[1:] != ys[:-1]) | (ps[1:] != ps[:-1])])
+        csn = np.zeros(len(ns) + 1, np.int64)
+        np.cumsum(ns, out=csn[1:])
+        csv = np.zeros(len(vs) + 1, np.int64)
+        np.cumsum(vs, out=csv[1:])
+        bounds = np.r_[idx, len(ys)]
+        return pa.table({
+            "lvl": pa.array(np.full(len(idx), lvl, np.int64)),
+            "o_year": pa.array(ys[idx].astype(np.int64)),
+            "o_orderpriority": pa.array(list(ps[idx]), pa.string()),
+            "n_orders": pa.array(csn[bounds[1:]] - csn[bounds[:-1]]),
+            "total_e2": pa.array(csv[bounds[1:]] - csv[bounds[:-1]]),
+        })
+
+    all_p = np.asarray(["ALL"] * len(p), object)
+    all_y = np.full(len(y), -1, np.int64)
+    return pa.concat_tables([
+        level(y, p, 0),            # (year, priority)
+        level(y, all_p, 1),        # per-year      (grouping(p)=1)
+        level(all_y, p, 2),        # per-priority  (grouping(y)=1)
+        level(all_y, all_p, 3),    # grand total
+    ])

@@ -1695,3 +1695,103 @@ def doc_dedup_consecutive_tokens(sf_dir: str):
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — distributed prefix sum over the ordered corpus
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def doc_pack_bins(sf_dir: str, budget: int = _PACK_BUDGET):
+    """Assign each document to a training-sequence bin by streaming
+    concatenation: documents in ``doc_id`` order fill bins of ``budget``
+    tokens, ``bin_id = floor(tokens_before_this_doc / budget)`` — the
+    packing step that turns a curated corpus into fixed-token-budget
+    training sequences (documents may straddle bins, as concat-then-
+    chunk training pipelines do).
+
+    Distributed shape: the global prefix sum SQL writes as one window
+    function is the ordered-scan pattern Ray Data has no operator for —
+    sort by doc_id, one tiny per-block token-total summary, the
+    O(#blocks) driver prefix scan, then one labeling task per block
+    (local cumsum + the block's prefix). Driver state is one int per
+    block. Output: (doc_id, n_tokens, bin_id)."""
+    from fuzzy_dedupe_pipeline_ray.pipelines.relational import \
+        _sorted_block_scan
+
+    toks = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": textnorm.token_count_array(b.column("text"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sorted_ds = toks.sort("doc_id").materialize()
+
+    def summarize(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        return int(pc.sum(tbl.column("n_tokens")).as_py())
+
+    def scan(summaries):
+        args, acc = [], 0
+        for s in summaries:
+            args.append((acc, budget))
+            acc += s or 0
+        return args
+
+    def label(tbl: pa.Table, prefix: int, b: int) -> pa.Table:
+        n = tbl.column("n_tokens").to_numpy()
+        before = prefix + np.cumsum(n) - n
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "n_tokens": tbl.column("n_tokens"),
+            "bin_id": pa.array(before // b, pa.int64()),
+        })
+
+    labeled = _sorted_block_scan(sorted_ds, summarize, (), scan, label)
+    if labeled is None:
+        return pa.schema([("doc_id", pa.int64()),
+                          ("n_tokens", pa.int64()),
+                          ("bin_id", pa.int64())]).empty_table()
+    return labeled
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing weights — rebalance the language distribution
+# ---------------------------------------------------------------------------
+
+def doc_mix_weights(sf_dir: str):
+    """Per-language sampling weight (basis points) that rebalances the
+    corpus to a UNIFORM language mix: weight_bps = total·10⁴ //
+    (n_langs·n_docs_lang) — >10⁴ upsamples a rare language, <10⁴
+    downsamples a dominant one; exact integer math so the SQL oracle is
+    bitwise. Per-batch count partials → one tiny groupby — the weight
+    table a sampling stage would broadcast. Output: (lang, n_docs,
+    weight_bps)."""
+    from ray.data.aggregate import Sum
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = b.column("lang").combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"lang": enc.dictionary,
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (read_documents(sf_dir, ["lang"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("lang").aggregate(Sum("n", alias_name="n")))
+    t = to_local_table(agg)
+    if t is None or t.num_rows == 0:
+        return pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
+                          ("weight_bps", pa.int64())]).empty_table()
+    n = t.column("n").to_numpy().astype(np.int64)
+    total, n_langs = int(n.sum()), len(n)
+    w = (total * 10000) // (n_langs * n)
+    out = pa.table({"lang": t.column("lang"),
+                    "n_docs": pa.array(n),
+                    "weight_bps": pa.array(w.astype(np.int64))})
+    return out.take(pc.sort_indices(out, sort_keys=[("lang", "ascending")]))
