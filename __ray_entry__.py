@@ -288,6 +288,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "orders_cube": relational.orders_cube,
         "doc_pack_bins": textops.doc_pack_bins,
         "doc_mix_weights": textops.doc_mix_weights,
+        "doc_edit_distance_pairs": textops.doc_edit_distance_pairs,
     }
 
 
@@ -1194,5 +1195,17 @@ def oracle_sql() -> "dict[str, str]":
                         // ((SELECT count(*) FROM c) * n) AS BIGINT)
                        AS weight_bps
             FROM c ORDER BY lang
+        """,
+        "doc_edit_distance_pairs": """
+            WITH d AS (SELECT doc_id, lang, n_chars, text FROM documents
+                       WHERE n_chars <= 600)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT)
+                       AS edit_distance
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 2
+            WHERE levenshtein(a.text, b.text) <= 60
+            ORDER BY id_a, id_b
         """,
     }

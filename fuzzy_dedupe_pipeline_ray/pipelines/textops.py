@@ -1795,3 +1795,183 @@ def doc_mix_weights(sf_dir: str):
                     "n_docs": pa.array(n),
                     "weight_bps": pa.array(w.astype(np.int64))})
     return out.take(pc.sort_indices(out, sort_keys=[("lang", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance pair scoring — length-blocked banded Levenshtein
+# ---------------------------------------------------------------------------
+# The reference README *claims* Levenshtein pair scoring but never ships
+# it (SURVEY §0: rapidfuzz/python-Levenshtein declared, zero imports);
+# implemented here for real as a blocked pair operator with an exact
+# DuckDB ``levenshtein()`` oracle.
+
+_EDIT_MAX_LEN = 600     # candidate gate: both docs at most this long
+_EDIT_LEN_DIFF = 2      # candidate gate: |len(a) - len(b)| bound
+_EDIT_MAX_DIST = 60     # report pairs with distance <= this
+_EDIT_BUCKET_W = 32     # length-bucket width (must exceed _EDIT_LEN_DIFF)
+
+
+def _banded_levenshtein(a_pad: np.ndarray, b_pad: np.ndarray,
+                        la: np.ndarray, lb: np.ndarray,
+                        k: int, check_every: int = 16) -> np.ndarray:
+    """Exact Levenshtein distance for P string pairs AT ONCE, banded to
+    |i−j| ≤ k (values > k are reported as k+1): a_pad/b_pad are (P, L)
+    uint8 matrices padded with mismatching sentinels, la/lb the true
+    lengths. One python iteration per ROW (never per pair or per cell);
+    the in-row left-to-right insertion dependency is resolved with the
+    ``j + min.accumulate(t − j)`` transform, so each row is pure numpy
+    over the (P, 2k+1) band. Every ``check_every`` rows, pairs whose
+    band minimum already exceeds ``k`` are COMPACTED OUT — each DP cell
+    is ≥ the previous row's band minimum, so the final distance of a
+    dead pair provably exceeds k; unrelated same-length-block pairs die
+    within a few multiples of k rows, so the effective cost is
+    O(dead·k² + survivors·L·k), not O(P·L·k)."""
+    P = a_pad.shape[0]
+    W = 2 * k + 1
+    INF = np.int32(1 << 20)
+    m_idx = np.arange(W, dtype=np.int32)
+    out = np.full(P, k + 1, np.int64)            # default: exceeded
+    done0 = la == 0
+    out[done0] = np.minimum(lb[done0], k + 1)
+    idx = np.flatnonzero(la > 0)                 # active → original index
+    if len(idx) == 0:
+        return out
+    A, B = a_pad[idx], b_pad[idx]
+    aL, bL = la[idx], lb[idx]
+    band = np.full((len(idx), W), INF, np.int32)
+    band[:, k:] = m_idx[None, k:] - k
+    for i in range(1, int(aL.max()) + 1):
+        n = len(idx)
+        up = np.concatenate([band[:, 1:], np.full((n, 1), INF, np.int32)],
+                            axis=1)
+        # cost[m] compares a[i-1] with b[j-1], j-1 = i-k+m-1
+        j0 = i - k - 1  # b index at m=0
+        lo_m = max(0, -j0)            # first m with a valid b index
+        hi_m = min(W, B.shape[1] - j0)
+        cost = np.ones((n, W), np.int32)
+        if hi_m > lo_m:
+            cost[:, lo_m:hi_m] = (
+                A[:, i - 1, None]
+                != B[:, j0 + lo_m:j0 + hi_m]).astype(np.int32)
+        t = np.minimum(up + 1, band + cost)
+        if i <= k:
+            t[:, :k - i] = INF        # j<0 positions stay INF
+        band = np.minimum.accumulate(t - m_idx[None, :], axis=1) \
+            + m_idx[None, :]
+        np.minimum(band, INF, out=band)
+        hit = aL == i
+        finished = hit.any()
+        if finished:
+            m_read = bL[hit] - i + k
+            ok = (m_read >= 0) & (m_read < W)
+            vals = np.full(int(hit.sum()), INF, np.int32)
+            vals[ok] = band[hit][ok, m_read[ok]]
+            out[idx[hit]] = np.where(vals > k, k + 1, vals)
+        if finished or i % check_every == 0:
+            alive = (aL > i) & (band.min(axis=1) <= k)
+            if not alive.all():
+                if not alive.any():
+                    break
+                band, A, B = band[alive], A[alive], B[alive]
+                aL, bL, idx = aL[alive], bL[alive], idx[alive]
+    return out
+
+
+def doc_edit_distance_pairs(sf_dir: str, max_len: int = _EDIT_MAX_LEN,
+                            len_diff: int = _EDIT_LEN_DIFF,
+                            max_dist: int = _EDIT_MAX_DIST):
+    """Levenshtein-scored near-pairs: documents of the same language
+    whose lengths differ by ≤ ``len_diff`` (and are ≤ ``max_len``),
+    reported when edit distance ≤ ``max_dist`` — the classic blocked
+    pair-scoring shape (length blocking is the standard cheap filter:
+    |len(a)−len(b)| lower-bounds the distance).
+
+    Distributed shape: each doc fans out to its length bucket
+    (``n_chars // W``) as HOME and to the next bucket as GUEST, so every
+    qualifying pair meets in exactly one group (home×home, or
+    guest×home for bucket-straddling pairs — guest×guest pairs belong
+    to the previous group); ``groupby(bucket).map_groups`` emits
+    candidates with a two-pointer window over the (lang, n_chars) sort
+    and scores ALL of a group's pairs in one vectorized banded-DP call
+    (``_banded_levenshtein`` — one python iteration per text row, never
+    per pair). Content rides the length shuffle once; group size is
+    bounded by the bucket/lang blocking. Output: (id_a, id_b,
+    edit_distance)."""
+    w = _EDIT_BUCKET_W
+    assert w > len_diff
+
+    docs = read_documents(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less_equal(b.column("n_chars"), max_len))
+        n = t.num_rows
+        bucket = pc.cast(pc.divide(t.column("n_chars"), w), pa.int64())
+        home = pa.table({
+            "bucket": bucket, "guest": pa.array(np.zeros(n, bool)),
+            "doc_id": t.column("doc_id"), "lang": t.column("lang"),
+            "n_chars": t.column("n_chars"), "text": t.column("text")})
+        guest = home.set_column(0, "bucket",
+                                pc.add(bucket, pa.scalar(1, pa.int64()))) \
+                    .set_column(1, "guest", pa.array(np.ones(n, bool)))
+        return pa.concat_tables([home, guest])
+
+    def group_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "edit_distance": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        lang = pc.dictionary_encode(t.column("lang").combine_chunks())
+        lcode = np.asarray(lang.indices, np.int64)
+        nch = t.column("n_chars").to_numpy().astype(np.int64)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        guest = t.column("guest").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nch, lcode))
+        lcode, nch, ids, guest = (lcode[order], nch[order], ids[order],
+                                  guest[order])
+        # two-pointer window: partners j>i with same lang, diff<=len_diff
+        key = lcode * (max_len + len_diff + 2) + nch
+        hi = np.searchsorted(key, key + len_diff, side="right")
+        starts = np.arange(len(key)) + 1
+        cnt = np.maximum(hi - starts, 0)
+        if cnt.sum() == 0:
+            return empty
+        ii = np.repeat(np.arange(len(key)), cnt)
+        jj = (np.arange(len(ii))
+              - np.repeat(np.cumsum(cnt) - cnt, cnt)
+              + np.repeat(starts, cnt))
+        # guest×guest pairs are the previous bucket's home×home pairs
+        keep = ~(guest[ii] & guest[jj])
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return empty
+        texts = t.column("text").combine_chunks().take(pa.array(order))
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        buf = np.frombuffer(texts.buffers()[2], np.uint8)
+        off_t = np.int64 if pa.types.is_large_string(texts.type) \
+            else np.int32
+        offs = np.frombuffer(texts.buffers()[1], off_t)
+        # byte-level distance == char-level for this corpus (ASCII-only
+        # by construction; the oracle's levenshtein() is char-based)
+        la, lb = nch[ii], nch[jj]
+        Lmax = int(max(la.max(), lb.max()))
+        P = len(ii)
+        a_pad = np.zeros((P, Lmax), np.uint8)          # sentinel 0
+        b_pad = np.full((P, Lmax), 1, np.uint8)        # ≠ a's sentinel
+        for r in range(P):  # bounded gather: ≤Lmax bytes per pair side
+            a_pad[r, :la[r]] = buf[offs[ii[r]]:offs[ii[r]] + la[r]]
+            b_pad[r, :lb[r]] = buf[offs[jj[r]]:offs[jj[r]] + lb[r]]
+        dist = _banded_levenshtein(a_pad, b_pad, la, lb, max_dist)
+        m = dist <= max_dist
+        id_a = np.minimum(ids[ii[m]], ids[jj[m]])
+        id_b = np.maximum(ids[ii[m]], ids[jj[m]])
+        return pa.table({"id_a": pa.array(id_a, pa.int64()),
+                         "id_b": pa.array(id_b, pa.int64()),
+                         "edit_distance": pa.array(dist[m], pa.int64())})
+
+    pairs = (docs.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("bucket")
+             .map_groups(group_pairs, batch_format="pyarrow"))
+    return pairs.sort(["id_a", "id_b"])

@@ -84,3 +84,64 @@ def test_cube_levels_consistent(tmp_path, ray_session):
     assert by_prio.loc["1-URGENT", "n_orders"] == 2
     assert by_prio.loc["2-HIGH", "total_e2"] == 11000
     assert (out[out.lvl == 2].o_year == -1).all()
+
+
+def _naive_lev(a, b):
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, lb + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1,
+                       prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[lb]
+
+
+def test_banded_levenshtein_exact_with_compaction():
+    from fuzzy_dedupe_pipeline_ray.pipelines.textops import \
+        _banded_levenshtein
+
+    rng = np.random.default_rng(11)
+    for _ in range(120):
+        k = int(rng.integers(1, 10))
+        ce = int(rng.integers(1, 5))  # small check_every stresses pruning
+        P = int(rng.integers(1, 6))
+        pairs = []
+        for _ in range(P):
+            la = int(rng.integers(0, 22))
+            lb = int(rng.integers(max(0, la - k - 3), la + k + 4))
+            pairs.append((rng.integers(97, 100, la).astype(np.uint8),
+                          rng.integers(97, 100, lb).astype(np.uint8)))
+        L = max(max(len(a), len(b)) for a, b in pairs) or 1
+        a_pad = np.zeros((P, L), np.uint8)
+        b_pad = np.full((P, L), 1, np.uint8)
+        la_v = np.zeros(P, np.int64)
+        lb_v = np.zeros(P, np.int64)
+        for r, (a, b) in enumerate(pairs):
+            a_pad[r, :len(a)] = a
+            b_pad[r, :len(b)] = b
+            la_v[r], lb_v[r] = len(a), len(b)
+        got = _banded_levenshtein(a_pad, b_pad, la_v, lb_v, k,
+                                  check_every=ce)
+        for r, (a, b) in enumerate(pairs):
+            true = _naive_lev(a.tolist(), b.tolist())
+            assert got[r] == (true if true <= k else k + 1)
+
+
+def test_edit_distance_pairs_blocking(tmp_path, ray_session):
+    # doc 0/1: 1 substitution apart, same bucket; doc 2/3: lengths 31 and
+    # 33 straddle the 32-wide bucket boundary (guest×home path); doc 4:
+    # same text as 0 but different lang — excluded; doc 5: length differs
+    # by 3 from doc 0 — excluded by the length gate
+    texts = ["a" * 30, "a" * 29 + "b",
+             "c" * 31, "c" * 33,
+             "a" * 30, "a" * 27]
+    langs = ["en", "en", "en", "en", "fr", "en"]
+    _write_parts(tmp_path, "documents", _docs_df(texts, langs), 3)
+    out = textops.doc_edit_distance_pairs(str(tmp_path)).to_pandas()
+    got = {(r.id_a, r.id_b): r.edit_distance for r in out.itertuples()}
+    # (0,2)/(1,2) are unrelated but inside the length gate and under
+    # max_dist=60, so they are reported with their true distance
+    assert got == {(0, 1): 1, (2, 3): 2, (0, 2): 31, (1, 2): 31}
