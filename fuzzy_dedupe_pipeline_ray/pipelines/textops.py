@@ -1344,11 +1344,22 @@ def doc_decontaminate(sf_dir: str, n: int = DECON_N):
         # membership via the tiered lookup_join: the distinct benchmark
         # grams broadcast once under the gate and each train batch
         # filters itself with one C `index_in` probe — the exploded
-        # train gram stream is never materialized; above the gate the
-        # distributed hash_join takes over (the 100 TB fallback)
-        from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+        # train gram stream is never materialized; above the gate a
+        # broadcast BLOOM filter (16 bits/gram vs ~100-byte gram
+        # strings, no false negatives) prunes the train stream to
+        # near-hits BEFORE the distributed hash_join shuffles it (the
+        # 100 TB fallback; the exact join removes the ~0.04% false
+        # positives, so the tier is bit-identical — equivalence-tested
+        # in test_ngram_ops)
+        from fuzzy_dedupe_pipeline_ray.sources.io import (bloom_semi_filter,
+                                                          lookup_join)
 
-        hits = lookup_join(train_pairs, bench_grams.select_columns(["g"]),
+        gram_keys = bench_grams.select_columns(["g"])
+        if n_bench > DOCS_CFG.broadcast_max_rows:
+            train_pairs = bloom_semi_filter(train_pairs, gram_keys,
+                                            on="g", cfg=DOCS_CFG,
+                                            right_count=n_bench)
+        hits = lookup_join(train_pairs, gram_keys,
                            on="g", cfg=DOCS_CFG, right_count=n_bench)
         per_doc = (hits.map_batches(part_counts, batch_format="pyarrow")
                    .groupby("doc_id").aggregate(

@@ -290,3 +290,115 @@ def filter_pairs_touching(pairs, ids_ref):
 
     return pairs.map_batches(keep_touching, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def bloom_semi_filter(left, right, *, on, cfg: PipelineConfig,
+                      bits_per_key: int = 16, n_hashes: int = 7,
+                      right_count: "int | None" = None):
+    """Broadcast Bloom-filter pre-pass for a big-left inner/semi join:
+    returns ``left`` filtered to rows whose key MIGHT appear in
+    ``right`` — never drops a true match (no false negatives), passes
+    ~0.04% false positives at 16 bits/key × 7 hashes (classic bound
+    (1−e^(−kn/m))^k), which the exact join downstream removes.
+
+    The 100 TB story: when the right side exceeds the broadcast gate,
+    the fallback hash join shuffles the ENTIRE left stream; a Bloom
+    filter is 500× smaller than the keys it summarizes (16 bits vs a
+    ~100-byte gram string), so it broadcasts at sizes where the key
+    table cannot, and the left stream shrinks to near-hits before the
+    all-to-all exchange. Build is distributed: one partial bitmap task
+    per right block, OR-merged in a fan-in-8 reduce tree; the driver
+    never sees the key stream. Hashes: two independent sha256 words per
+    string key (``sha256_u64_arrow``), splitmix64 double-hashing for
+    int keys; bit i = (h1 + i·h2) mod m.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        _GOLDEN, sha256_u64_arrow, splitmix64)
+
+    if right_count is None:
+        right = right.materialize()
+        right_count = right.count()
+    if right_count == 0:
+        return left.limit(0)
+    m_bits = max(1024, bits_per_key * right_count)
+    m_bytes = (m_bits + 7) // 8
+    m_bits = m_bytes * 8
+
+    def _two_hashes(col) -> "tuple[np.ndarray, np.ndarray]":
+        if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type) or pa.types.is_binary(col.type):
+            w = sha256_u64_arrow(col, words=2)
+            return w[:, 0], w[:, 1]
+        x = col.to_numpy().astype(np.uint64)
+        h1 = splitmix64(x)
+        h2 = splitmix64(x ^ _GOLDEN)
+        return h1, h2
+
+    def _partial_bitmap(tbl: pa.Table) -> np.ndarray:
+        bm = np.zeros(m_bytes, np.uint8)
+        col = tbl.column(on).combine_chunks()
+        if len(col) == 0:
+            return bm
+        h1, h2 = _two_hashes(col)
+        for i in range(n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(bm, (idx >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(
+                                 np.uint8(1),
+                                 (idx & np.uint64(7)).astype(np.uint8)))
+        return bm
+
+    def _or_merge(*bms: np.ndarray) -> np.ndarray:
+        out = bms[0].copy()
+        for b in bms[1:]:
+            np.bitwise_or(out, b, out=out)
+        return out
+
+    part = ray.remote(_partial_bitmap)
+    refs = [part.remote(r) for r in right.to_arrow_refs()]
+    merge = ray.remote(_or_merge)
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    bitmap_ref = refs[0]
+
+    def probe(b: pa.Table) -> pa.Table:
+        bm = _prepared_bloom(bitmap_ref)
+        col = b.column(on).combine_chunks()
+        if len(col) == 0:
+            return b
+        h1, h2 = _two_hashes(col)
+        keep = np.ones(len(col), bool)
+        for i in range(n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            bits = bm[(idx >> np.uint64(3)).astype(np.int64)]
+            keep &= ((bits >> (idx & np.uint64(7)).astype(np.uint8))
+                     & np.uint8(1)).astype(bool)
+            if not keep.any():
+                break
+        return b.filter(pa.array(keep))
+
+    return left.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+_BLOOM_CACHE: dict = {}
+
+
+def _prepared_bloom(ref):
+    """Once-per-worker fetch of the broadcast bitmap (zero-copy from
+    plasma; the cache avoids per-batch ray.get bookkeeping)."""
+    import ray
+
+    key = ref.hex()
+    hit = _BLOOM_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _BLOOM_CACHE[key] = hit
+        if len(_BLOOM_CACHE) > 8:
+            _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+    return hit

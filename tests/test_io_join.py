@@ -99,3 +99,47 @@ def test_hash_join_empty_left_materialized_short_circuit(ray_session):
         out = hash_join(left, right, on="k", join_type=jt, cfg=CFG)
         assert out.count() == 0
         assert set(out.schema().names) == {"k", "v", "w"}
+
+
+def test_bloom_semi_filter_no_false_negatives(ray_session):
+    """Every true match survives the Bloom pre-pass (string and int
+    keys), and unrelated keys are mostly pruned (fp rate ~0.04% at 16
+    bits/key — assert a loose < 5% bound on 4k probes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.config import DEFAULT_CONFIG
+    from fuzzy_dedupe_pipeline_ray.sources.io import bloom_semi_filter
+
+    rng = np.random.default_rng(3)
+    right_keys = [f"gram-{i}" for i in range(1000)]
+    left_hit = [right_keys[int(i)] for i in rng.integers(0, 1000, 500)]
+    left_miss = [f"other-{i}" for i in range(4000)]
+    left = ray.data.from_arrow(pa.table(
+        {"g": pa.array(left_hit + left_miss),
+         "row": pa.array(range(len(left_hit) + len(left_miss)),
+                         pa.int64())})).repartition(4)
+    right = ray.data.from_arrow(pa.table({"g": pa.array(right_keys)})) \
+        .repartition(3)
+    out = bloom_semi_filter(left, right, on="g",
+                            cfg=DEFAULT_CONFIG).to_pandas()
+    kept = set(out.row)
+    assert set(range(500)) <= kept          # no false negatives
+    fp = len(kept) - 500
+    assert fp < 0.05 * 4000, fp             # real pruning
+
+    # int64 keys take the splitmix64 path
+    ir = ray.data.from_arrow(pa.table(
+        {"k": pa.array(np.arange(0, 2000, 2), pa.int64())}))
+    il = ray.data.from_arrow(pa.table(
+        {"k": pa.array(np.arange(3000), pa.int64())}))
+    got = bloom_semi_filter(il, ir, on="k", cfg=DEFAULT_CONFIG).to_pandas()
+    want = set(range(0, 2000, 2))
+    assert want <= set(got.k)
+    assert len(got) - len(want) < 0.05 * 3000
+
+    # empty right short-circuits to an empty left
+    er = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert bloom_semi_filter(il, er, on="k",
+                             cfg=DEFAULT_CONFIG).count() == 0
