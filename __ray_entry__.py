@@ -233,6 +233,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
             textops.doc_fingerprint_exact_family_check,
         # similarity search
         "ann_topk": ann.ann_topk,
+        "embedding_knn_graph": ann.embedding_knn_graph,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_lsh_recall_check": ann.ann_lsh_recall_check,
         "ann_ivf_topk": ann.ann_ivf_topk,
@@ -1195,6 +1196,21 @@ def oracle_sql() -> "dict[str, str]":
                         // ((SELECT count(*) FROM c) * n) AS BIGINT)
                        AS weight_bps
             FROM c ORDER BY lang
+        """,
+        "embedding_knn_graph": """
+            WITH s AS (
+                SELECT a.vec_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.embedding, b.embedding)
+                           AS sim
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id)
+            SELECT vec_id, neighbor_id, rank FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC,
+                                                   neighbor_id ASC) AS rank
+                FROM s)
+            WHERE rank <= 5 ORDER BY vec_id, rank
         """,
         "doc_edit_distance_pairs": """
             WITH d AS (SELECT doc_id, lang, n_chars, text FROM documents
