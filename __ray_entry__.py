@@ -290,6 +290,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_pack_bins": textops.doc_pack_bins,
         "doc_mix_weights": textops.doc_mix_weights,
         "doc_edit_distance_pairs": textops.doc_edit_distance_pairs,
+        "doc_mix_sample": textops.doc_mix_sample,
+        "events_value_delta": relational.events_value_delta,
     }
 
 
@@ -1196,6 +1198,31 @@ def oracle_sql() -> "dict[str, str]":
                         // ((SELECT count(*) FROM c) * n) AS BIGINT)
                        AS weight_bps
             FROM c ORDER BY lang
+        """,
+        "doc_mix_sample": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents
+                       GROUP BY lang),
+            thr AS (
+                SELECT lang,
+                       least(4294967296,
+                             CAST(4294967296 AS HUGEINT)
+                             * (SELECT sum(n) FROM c)
+                             // ((SELECT count(*) FROM c) * n)) AS t
+                FROM c)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE (d.doc_id * 2654435761) % 4294967296 < thr.t
+            ORDER BY d.doc_id
+        """,
+        "events_value_delta": """
+            WITH r AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id, event_id, cents,
+                   cents - lag(cents) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS delta_e2
+            FROM r ORDER BY user_id, event_id
         """,
         "embedding_knn_graph": """
             WITH s AS (

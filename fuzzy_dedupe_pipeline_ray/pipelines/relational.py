@@ -2406,3 +2406,71 @@ def orders_cube(sf_dir: str):
         level(all_y, p, 2),        # per-priority  (grouping(y)=1)
         level(all_y, all_p, 3),    # grand total
     ])
+
+
+def events_value_delta(sf_dir: str):
+    """Per-user LAG delta: each event's cent-value minus the user's
+    previous event's (NULL on a user's first event) — the lag/lead
+    window family on the shared sorted-block scaffold. The only
+    cross-block state is one (user, cents) pair per block boundary;
+    deltas are a numpy shifted-subtract per block. Output: (user_id,
+    event_id, cents, delta_e2)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+            "event_id": b.column("event_id"),
+            "cents": _e2(b.column("value")),
+        })
+
+    sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .sort(["user_id", "ts_us", "event_id"]).materialize())
+
+    def summarize(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        u = tbl.column("user_id").to_numpy()
+        c = tbl.column("cents").to_numpy()
+        return (int(u[0]), int(u[-1]), int(c[-1]))
+
+    def scan(summaries):
+        args, carry = [], None   # carry = (last_user, last_cents)
+        for s in summaries:
+            if s is None:
+                args.append((None, None))
+                continue
+            first_u, last_u, last_c = s
+            if carry is not None and carry[0] == first_u:
+                args.append((carry[0], carry[1]))
+            else:
+                args.append((None, None))
+            carry = (last_u, last_c)
+        return args
+
+    def label(tbl: pa.Table, cont_user, cont_cents) -> pa.Table:
+        u = tbl.column("user_id").to_numpy()
+        c = tbl.column("cents").to_numpy()
+        prev = np.r_[np.int64(cont_cents if cont_cents is not None else 0),
+                     c[:-1]]
+        has_prev = np.r_[cont_user is not None and cont_user == u[0],
+                         u[1:] == u[:-1]]
+        delta = c - prev
+        return pa.table({
+            "user_id": tbl.column("user_id"),
+            "event_id": tbl.column("event_id"),
+            "cents": tbl.column("cents"),
+            "delta_e2": pa.array(delta, pa.int64(),
+                                 mask=~has_prev.astype(bool)),
+        })
+
+    labeled = _sorted_block_scan(sorted_ds, summarize, (), scan, label)
+    if labeled is None:
+        return pa.schema([("user_id", pa.int64()),
+                          ("event_id", pa.int64()),
+                          ("cents", pa.int64()),
+                          ("delta_e2", pa.int64())]).empty_table()
+    return labeled.sort(["user_id", "event_id"])

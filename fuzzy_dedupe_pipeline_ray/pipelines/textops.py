@@ -1986,3 +1986,59 @@ def doc_edit_distance_pairs(sf_dir: str, max_len: int = _EDIT_MAX_LEN,
              .groupby("bucket")
              .map_groups(group_pairs, batch_format="pyarrow"))
     return pairs.sort(["id_a", "id_b"])
+
+
+def doc_mix_sample(sf_dir: str):
+    """Weighted rebalancing sampler: downsample over-represented
+    languages toward the uniform mix — per-language acceptance
+    probability min(1, total/(n_langs·n_lang)) (the ``doc_mix_weights``
+    fraction), realized deterministically per doc by the same Knuth
+    multiplicative hash as ``doc_sample`` (stable across runs,
+    partitionings, and engines). All integer math: keep doc ⟺
+    hash(doc_id) < min(2³², 2³²·total // (n_langs·n_lang)) — thresholds
+    computed once per DISTINCT language in python ints (no overflow at
+    any corpus size), so the SQL oracle is bitwise. The tiny per-lang
+    count table broadcasts into one ``index_in`` probe — the
+    aggregate → broadcast → filter composition of a 100 TB curation
+    pass. Output: (doc_id, lang)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = b.column("lang").combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"lang": enc.dictionary,
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (read_documents(sf_dir, ["lang"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("lang").aggregate(Sum("n", alias_name="n")))
+    t = to_local_table(agg)
+    if t is None or t.num_rows == 0:
+        return pa.schema([("doc_id", pa.int64()),
+                          ("lang", pa.string())]).empty_table()
+    langs = t.column("lang").combine_chunks()
+    counts = t.column("n").to_numpy().astype(np.int64)
+    total, nl = int(counts.sum()), len(counts)
+    thr = np.array([min(_SAMPLE_MOD,
+                        (_SAMPLE_MOD * total) // (nl * int(x)))
+                    for x in counts], np.uint64)
+    ref = ray.put((langs, thr))
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, th = ray.get(ref)
+        ids = b.column("doc_id").to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(_SAMPLE_MULT)) & np.uint64(_SAMPLE_MOD - 1)
+        pos = pc.index_in(b.column("lang"), value_set=lg).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = h < th[pos]
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "lang": b.column("lang")}).filter(pa.array(keep))
+
+    return (read_documents(sf_dir, ["doc_id", "lang"])
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+            .sort("doc_id"))
