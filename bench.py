@@ -131,7 +131,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "embedding_near_dup_pairs", "q1_pricing_summary",
                  "events_hourly_window", "events_sessionize",
                  "doc_ngram_jaccard_pairs", "events_asof_join",
-                 "events_rolling"):
+                 "events_rolling", "q5_region_supplier_volume",
+                 "doc_edit_distance_pairs", "embedding_knn_graph",
+                 "doc_pack_bins"):
         t0 = time.time()
         res = qs[name](sf_dir)
         # consume fully (count) so lazy datasets actually execute
