@@ -62,6 +62,48 @@ def build_config(config_path: "str | None", overrides: "list[str]"):
     return PipelineConfig(**base)
 
 
+def run_status(run_dir: str) -> dict:
+    """Run-dir inspection for operators of long (resumable) runs: which
+    stages are committed in the manifest (with partition/row counts) and
+    the per-stage dedupe_log rows — what the reference surfaces by
+    querying its ``dedupe_log`` table (``main.py:119-142``), readable
+    here straight off the checkpoint directory with NO Ray session (a
+    100 TB run's manifest is KBs; never touches the data files)."""
+    import os
+
+    out: dict = {"run_dir": run_dir}
+    mpath = os.path.join(run_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        out["status"] = "no_manifest"
+        return out
+    with open(mpath) as f:
+        m = json.load(f)
+    out["status"] = "found"
+    out["config_hash"] = m.get("config_hash")
+    stages = []
+    for name, s in sorted(m.get("stages", {}).items()):
+        parts = s.get("partitions", [])
+        stages.append({
+            "stage": name,
+            "completed_at": s.get("completed_at"),
+            "duration_ms": s.get("duration_ms"),
+            "n_partitions": len(parts),
+            "rows": sum(p.get("rows", 0) for p in parts),
+            "error": s.get("error"),
+        })
+    out["stages"] = stages
+    log_path = os.path.join(run_dir, "dedupe_log.parquet")
+    if os.path.exists(log_path):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(log_path)
+        out["dedupe_log"] = [
+            {k: row[k] for k in ("stage_name", "status",
+                                 "records_processed", "duration_ms")}
+            for row in t.to_pylist() if row.get("partition_id") == -1]
+    return out
+
+
 def main(argv: "list[str] | None" = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m fuzzy_dedupe_pipeline_ray",
@@ -86,7 +128,15 @@ def main(argv: "list[str] | None" = None) -> int:
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="ray.init(num_cpus=...) when starting a local "
                          "session (ignored when Ray is already initialized)")
+    ap.add_argument("--status", action="store_true",
+                    help="inspect --run-dir WITHOUT running: per-stage "
+                         "completion, partition/row counts, and the "
+                         "dedupe_log summary (no Ray session)")
     args = ap.parse_args(argv)
+
+    if args.status:
+        print(json.dumps(run_status(args.run_dir)))
+        return 0
 
     cfg = build_config(args.config, args.set)
 

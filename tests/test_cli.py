@@ -65,3 +65,30 @@ def test_cli_config_parsing():
     assert cfg.num_perms == 64 and cfg.num_bands == 16
     assert cfg.minhash_mode == "classic"
     assert cfg.lowercase is True
+
+
+def test_status_mode(tmp_path, capsys):
+    """--status inspects a run dir without Ray: no manifest → explicit
+    marker; after a manifest exists, per-stage rows surface."""
+    import json
+
+    from fuzzy_dedupe_pipeline_ray.__main__ import main, run_status
+
+    empty = run_status(str(tmp_path))
+    assert empty["status"] == "no_manifest"
+
+    (tmp_path / "manifest.json").write_text(json.dumps({
+        "config_hash": "abc",
+        "stages": {"docs": {
+            "completed_at": "2026-01-01T00:00:00", "duration_ms": 5,
+            "partitions": [{"partition_id": 0, "rows": 7, "file": "x"}]}},
+    }))
+    rc = main(["--input", "ignored", "--run-dir", str(tmp_path),
+               "--status"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["config_hash"] == "abc"
+    assert out["stages"] == [{"stage": "docs",
+                              "completed_at": "2026-01-01T00:00:00",
+                              "duration_ms": 5, "n_partitions": 1,
+                              "rows": 7, "error": None}]
