@@ -292,6 +292,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_edit_distance_pairs": textops.doc_edit_distance_pairs,
         "doc_mix_sample": textops.doc_mix_sample,
         "events_value_delta": relational.events_value_delta,
+        "events_hourly_signup_error": relational.events_hourly_signup_error,
     }
 
 
@@ -1223,6 +1224,17 @@ def oracle_sql() -> "dict[str, str]":
                                             ORDER BY ts, event_id)
                        AS delta_e2
             FROM r ORDER BY user_id, event_id
+        """,
+        "events_hourly_signup_error": """
+            WITH s AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+                       FROM events WHERE event_type = 'signup' GROUP BY h),
+            e AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+                  FROM events WHERE event_type = 'error' GROUP BY h)
+            SELECT CAST(coalesce(s.h, e.h) AS TIMESTAMP) AS hour_start,
+                   CAST(coalesce(s.n, 0) AS BIGINT) AS n_signup,
+                   CAST(coalesce(e.n, 0) AS BIGINT) AS n_error
+            FROM s FULL OUTER JOIN e ON s.h = e.h
+            ORDER BY hour_start
         """,
         "embedding_knn_graph": """
             WITH s AS (

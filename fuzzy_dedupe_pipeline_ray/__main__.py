@@ -122,9 +122,11 @@ def main(argv: "list[str] | None" = None) -> int:
     ap.add_argument("--cleaned-out", default=None,
                     help="also write the one-row-per-cluster cleaned output "
                          "here (the reference's stage-3 export)")
-    ap.add_argument("--fmt", default="parquet", choices=("parquet", "csv"),
+    ap.add_argument("--fmt", default="parquet",
+                    choices=("parquet", "csv", "jsonl"),
                     help="cleaned-output format (csv = stringified rows, "
-                         "the Sheets-writer analog)")
+                         "the Sheets-writer analog; jsonl = one JSON "
+                         "object per row)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="ray.init(num_cpus=...) when starting a local "
                          "session (ignored when Ray is already initialized)")

@@ -302,9 +302,12 @@ class DedupePipeline:
 
         ``fmt="csv"`` applies the reference's row stringifier first (M10,
         ``sync.py:177-184``): every column cast to string, nulls → '' —
-        the Sheets-writer analog; ``fmt="parquet"`` (default) keeps types.
+        the Sheets-writer analog; ``fmt="jsonl"`` writes one JSON object
+        per row (``write_json``, Ray's per-block JSONL sink — the export
+        downstream ingestion tools consume); ``fmt="parquet"`` (default)
+        keeps types.
         """
-        if fmt not in ("parquet", "csv"):
+        if fmt not in ("parquet", "csv", "jsonl"):
             raise ValueError(f"bad fmt {fmt!r}")
         cfg = self.cfg
 
@@ -338,6 +341,8 @@ class DedupePipeline:
 
             joined.map_batches(stringify,
                                batch_format="pyarrow").write_csv(out_dir)
+        elif fmt == "jsonl":
+            joined.write_json(out_dir)
         else:
             joined.write_parquet(out_dir)
         return out_dir

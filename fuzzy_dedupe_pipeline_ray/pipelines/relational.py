@@ -2474,3 +2474,36 @@ def events_value_delta(sf_dir: str):
                           ("cents", pa.int64()),
                           ("delta_e2", pa.int64())]).empty_table()
     return labeled.sort(["user_id", "event_id"])
+
+
+def events_hourly_signup_error(sf_dir: str):
+    """Hourly signup counts FULL OUTER JOIN hourly error counts — the
+    one join type the engine had not yet exercised (Ray's native
+    ``full_outer`` hash join through the ``hash_join`` wrapper, which
+    also handles the empty-side degenerations streaming-side). Hours
+    where only one stream fired keep a row with the other count 0.
+    Output: (hour_start, n_signup, n_error)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def side(which):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), which))
+            return pa.table({
+                "h": pc.floor_temporal(t.column("ts"), unit="hour")})
+        return (ev.map_batches(f, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("h").aggregate(Count(alias_name=f"n_{which}")))
+
+    j = hash_join(side("signup"), side("error"), on="h",
+                  cfg=DEFAULT_CONFIG, join_type="full_outer")
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour_start": b.column("h"),
+            "n_signup": pc.fill_null(
+                pc.cast(b.column("n_signup"), pa.int64()), 0),
+            "n_error": pc.fill_null(
+                pc.cast(b.column("n_error"), pa.int64()), 0),
+        })
+
+    return j.map_batches(shape, batch_format="pyarrow").sort("hour_start")

@@ -91,24 +91,30 @@ def hash_join(left, right, *, on, right_on=None, join_type: str = "inner",
 
     if n_right == 0 or n_left == 0:
         # Acero on the two empty tables yields the exact joined schema
-        arrow_type = {"inner": "inner", "left_outer": "left outer"}[join_type]
+        arrow_type = {"inner": "inner", "left_outer": "left outer",
+                      "full_outer": "full outer"}[join_type]
         joined_empty = _empty_arrow(left).join(
             _empty_arrow(right), join_type=arrow_type,
             keys=list(on_t), right_keys=list(r_on_t))
-        if join_type == "inner" or n_left == 0:
+        outer_side = None  # the side whose rows survive an empty partner
+        if join_type == "left_outer" and n_right == 0:
+            outer_side = left
+        elif join_type == "full_outer" and (n_left == 0) != (n_right == 0):
+            outer_side = left if n_right == 0 else right
+        if outer_side is None:
             return ray.data.from_arrow(joined_empty).materialize()
-        # left_outer with an empty right: left rows + null right columns,
-        # appended streaming — no shuffle needed
+        # outer join with one empty side: surviving rows + null partner
+        # columns, appended streaming — no shuffle needed
         extra = [f for f in joined_empty.schema
-                 if f.name not in _empty_arrow(left).schema.names]
+                 if f.name not in _empty_arrow(outer_side).schema.names]
 
         def add_nulls(b: pa.Table) -> pa.Table:
             for f in extra:
                 b = b.append_column(f, pa.nulls(b.num_rows, f.type))
             return b
 
-        return left.map_batches(add_nulls,
-                                batch_format="pyarrow").materialize()
+        return outer_side.map_batches(add_nulls,
+                                      batch_format="pyarrow").materialize()
 
     return left.join(
         right,

@@ -143,3 +143,33 @@ def test_bloom_semi_filter_no_false_negatives(ray_session):
     er = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     assert bloom_semi_filter(il, er, on="k",
                              cfg=DEFAULT_CONFIG).count() == 0
+
+
+def test_hash_join_full_outer_and_empty_sides(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.config import DEFAULT_CONFIG
+    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
+
+    a = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "x": [10, 20, 30]}))
+    b = ray.data.from_arrow(pa.table({"k": [2, 3, 4], "y": [7, 8, 9]}))
+    df = hash_join(a, b, on="k", cfg=DEFAULT_CONFIG,
+                   join_type="full_outer").to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    assert df.k.tolist() == [1, 2, 3, 4]
+    assert df.x.fillna(-1).tolist() == [10, 20, 30, -1]
+    assert df.y.fillna(-1).tolist() == [-1, 7, 8, 9]
+
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                          "y": pa.array([], pa.int64())}))
+    # empty right: left rows survive with null y
+    d2 = hash_join(a, empty, on="k", cfg=DEFAULT_CONFIG,
+                   join_type="full_outer").to_pandas()
+    assert sorted(d2.k) == [1, 2, 3] and d2.y.isna().all()
+    # empty left: right rows survive with null x
+    d3 = hash_join(ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()),
+                  "x2": pa.array([], pa.int64())})), a, on="k",
+        cfg=DEFAULT_CONFIG, join_type="full_outer").to_pandas()
+    assert sorted(d3.k) == [1, 2, 3] and d3.x2.isna().all()
