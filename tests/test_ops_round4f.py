@@ -145,3 +145,37 @@ def test_edit_distance_pairs_blocking(tmp_path, ray_session):
     # (0,2)/(1,2) are unrelated but inside the length gate and under
     # max_dist=60, so they are reported with their true distance
     assert got == {(0, 1): 1, (2, 3): 2, (0, 2): 31, (1, 2): 31}
+
+
+def test_relational_join_ops_distributed_tiers_match(ray_session,
+                                                     monkeypatch):
+    """Force the broadcast gates off for the round-4 join-based
+    relational ops (the 100 TB physical plan: every lookup_join falls to
+    the distributed hash join) and require bit-identical results — the
+    same equivalence discipline test_ngram_ops applies to the text
+    ops."""
+    import dataclasses
+
+    sf = "/root/testdata/sf0.001"
+    ops = {
+        "q5": relational.q5_region_supplier_volume,
+        "q14": relational.q14_promo_revenue,
+        "q17": relational.q17_small_qty_revenue,
+        "q18": relational.q18_large_orders,
+        "funnel": relational.events_funnel_conversion,
+        "retention": relational.events_user_retention,
+    }
+
+    def run(f):
+        r = f(sf)
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        return df.reset_index(drop=True)
+
+    base = {k: run(f) for k, f in ops.items()}
+    forced = dataclasses.replace(
+        relational.DEFAULT_CONFIG, broadcast_max_rows=0,
+        keyed_broadcast_max_rows=0, wide_broadcast_max_rows=0,
+        wide_broadcast_max_bytes=0)
+    monkeypatch.setattr(relational, "DEFAULT_CONFIG", forced)
+    for k, f in ops.items():
+        assert run(f).equals(base[k]), k
