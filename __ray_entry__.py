@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 82 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 85 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (76 oracles, including all-true INVARIANT oracles
+SQL-expressible one (79 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -293,6 +293,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_mix_sample": textops.doc_mix_sample,
         "events_value_delta": relational.events_value_delta,
         "events_hourly_signup_error": relational.events_hourly_signup_error,
+        "events_value_rank_window": relational.events_value_rank_window,
+        "events_distinct_users_hll": relational.events_distinct_users_hll,
     }
 
 
@@ -1224,6 +1226,34 @@ def oracle_sql() -> "dict[str, str]":
                                             ORDER BY ts, event_id)
                        AS delta_e2
             FROM r ORDER BY user_id, event_id
+        """,
+        "events_value_rank_window": """
+            SELECT event_id, event_type,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                   CAST(rank() OVER w - 1 AS BIGINT) AS pr_num,
+                   CAST(count(*) OVER (PARTITION BY event_type
+                                       ORDER BY value
+                                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+                        AS BIGINT) AS cd_num,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_part
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value)
+            ORDER BY event_type, rnk, event_id
+        """,
+        "events_distinct_users_hll": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS hll_ok
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL' AS event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS hll_ok
+            FROM events
+            ORDER BY event_type
         """,
         "events_hourly_signup_error": """
             WITH s AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n

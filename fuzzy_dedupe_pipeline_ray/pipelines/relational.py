@@ -2507,3 +2507,298 @@ def events_hourly_signup_error(sf_dir: str):
         })
 
     return j.map_batches(shape, batch_format="pyarrow").sort("hour_start")
+
+
+# ---------------------------------------------------------------------------
+# Rank-window family — RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST
+# ---------------------------------------------------------------------------
+
+def _rank_block_summary(tbl: pa.Table):
+    """Per-block summary for the rank-window scan: per-type row and
+    distinct-value-run counts plus the block's first/last (type, value)
+    runs, so the driver can stitch peer groups that span blocks."""
+    if tbl.num_rows == 0:
+        return None
+    et = np.asarray(tbl.column("event_type").to_numpy(
+        zero_copy_only=False), object)
+    v = tbl.column("value").to_numpy()
+    tb = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])     # type starts
+    rb = np.flatnonzero(np.r_[True, (et[1:] != et[:-1])
+                              | (v[1:] != v[:-1])])         # value runs
+    rows_per_type = np.diff(np.r_[tb, len(et)]).astype(np.int64)
+    runs_per_type = np.diff(np.searchsorted(rb, np.r_[tb, len(et)]))
+    run_bounds = np.r_[rb, len(et)]
+    return (list(et[tb]), rows_per_type, runs_per_type,
+            et[0], float(v[0]), int(run_bounds[1] - run_bounds[0]),
+            et[-1], float(v[-1]), int(run_bounds[-1] - run_bounds[-2]),
+            int(rb.size))
+
+
+def _rank_block_labels(tbl: pa.Table, types, starts, denses, totals,
+                       cont: bool, carry: int, trail: int) -> pa.Table:
+    """Assign each row its exact global RANK / DENSE_RANK numerators
+    (peer-group arithmetic is per-run, then np.repeat — no Python rows).
+    ``starts``/``denses``/``totals`` are aligned with ``types``; ``cont``
+    + ``carry`` correct the block's first run when it continues the
+    previous block's peer group; ``trail`` extends the last run's
+    cumulative count into later blocks."""
+    et = np.asarray(tbl.column("event_type").to_numpy(
+        zero_copy_only=False), object)
+    v = tbl.column("value").to_numpy()
+    n = len(et)
+    tb = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    rb = np.flatnonzero(np.r_[True, (et[1:] != et[:-1])
+                              | (v[1:] != v[:-1])])
+    run_len = np.diff(np.r_[rb, n]).astype(np.int64)
+    n_runs = len(rb)
+    # map each value-run to its type index (runs are ordered; type starts
+    # are a subset of run starts)
+    run_type = np.searchsorted(tb, rb, side="right") - 1
+    start_by_run = np.asarray([starts[t] for t in run_type], np.int64)
+    dense_by_run = np.asarray([denses[t] for t in run_type], np.int64)
+    total_by_run = np.asarray([totals[t] for t in run_type], np.int64)
+    # local (within-type) run index and row prefix, per run
+    first_of_type = np.r_[True, run_type[1:] != run_type[:-1]]
+    local_dense = (np.arange(n_runs, dtype=np.int64)
+                   - np.maximum.accumulate(
+                       np.where(first_of_type,
+                                np.arange(n_runs, dtype=np.int64), 0)) + 1)
+    cum = np.zeros(n_runs + 1, np.int64)
+    np.cumsum(run_len, out=cum[1:])
+    type_base = np.maximum.accumulate(
+        np.where(first_of_type, cum[:-1], 0))
+    local_prefix = cum[:-1] - type_base          # rows before run, in type
+    local_cume = cum[1:] - type_base             # rows through run end
+    rnk = start_by_run + local_prefix + 1
+    drnk = dense_by_run + local_dense
+    cd = start_by_run + local_cume
+    if cont and n_runs:
+        rnk[0] -= carry
+        # the first run's value was already counted as a distinct in an
+        # earlier block: every run of the block's FIRST type shifts by 1
+        drnk[:int(np.searchsorted(run_type, 1))] -= 1
+    if n_runs:
+        cd[-1] += trail
+    rep = np.repeat(np.arange(n_runs), run_len)
+    return pa.table({
+        "event_id": tbl.column("event_id"),
+        "event_type": tbl.column("event_type"),
+        "rnk": pa.array(rnk[rep]),
+        "drnk": pa.array(drnk[rep]),
+        "pr_num": pa.array((rnk - 1)[rep]),
+        "cd_num": pa.array(cd[rep]),
+        "n_part": pa.array(total_by_run[rep]),
+    })
+
+
+def _rank_prefix_scan(summaries):
+    """Driver scan for the rank-window family: forward pass accumulates
+    per-type row counts / distinct-value counts and the length of the
+    peer-group chain ending at each block boundary; backward pass
+    computes how far each block's LAST peer group extends into later
+    blocks. O(#blocks · types-per-block) state, never rows. Returns one
+    label-arg tuple per block (empty tuple for None summaries)."""
+    live = [(i, s) for i, s in enumerate(summaries) if s is not None]
+    rows_so_far: dict = {}
+    dense_so_far: dict = {}
+    prev_last = None
+    carried = 0
+    fwd = {}
+    for i, s in live:
+        (types, rows_pt, runs_pt, f_t, f_v, f_len,
+         l_t, l_v, l_len, n_runs) = s
+        cont = prev_last == (f_t, f_v)
+        fwd[i] = ([rows_so_far.get(t, 0) for t in types],
+                  [dense_so_far.get(t, 0) for t in types],
+                  cont, carried if cont else 0)
+        for t, r, k in zip(types, rows_pt, runs_pt):
+            rows_so_far[t] = rows_so_far.get(t, 0) + int(r)
+            dense_so_far[t] = dense_so_far.get(t, 0) + int(k)
+        if cont:
+            dense_so_far[f_t] -= 1
+        carried = (carried + l_len) if (cont and n_runs == 1) else l_len
+        prev_last = (l_t, l_v)
+    # backward pass: rows of each block's LAST run in later blocks
+    trail = {}
+    nxt = 0
+    for i, s in reversed(live):
+        trail[i] = nxt
+        (types, _, _, f_t, f_v, f_len, l_t, l_v, l_len, n_runs) = s
+        if fwd[i][2]:
+            nxt = f_len + (nxt if n_runs == 1 else 0)
+        else:
+            nxt = 0
+    args = []
+    for i, s in enumerate(summaries):
+        if s is None:
+            args.append(())
+            continue
+        types = s[0]
+        st, dn, cont, carry = fwd[i]
+        args.append((types, st, dn, [rows_so_far[t] for t in types],
+                     cont, carry, trail[i]))
+    return args
+
+
+def events_value_rank_window(sf_dir: str):
+    """RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST per event row over
+    ``PARTITION BY event_type ORDER BY value`` — the rank-window family
+    (spend percentiles, score normalization for curation).
+
+    Exact distributed shape on the sorted-block scaffold: global
+    ``sort(event_type, value, event_id)``, one tiny summary per block
+    (per-type row/run counts + the boundary runs), an O(#blocks) driver
+    scan that stitches peer groups spanning blocks (forward pass for
+    start offsets / distinct counts / carried peer rows, backward pass
+    for trailing peer rows), then one vectorized labeling task per
+    block. Driver state is O(#blocks · types-per-block), never rows.
+
+    Fraction-valued functions are emitted as EXACT integer numerators
+    (repo float discipline): percent_rank = pr_num/(n_part-1),
+    cume_dist = cd_num/n_part. Output: (event_id, event_type, rnk,
+    drnk, pr_num, cd_num, n_part) sorted by (event_type, rnk,
+    event_id)."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    sorted_ds = ev.sort(["event_type", "value", "event_id"]).materialize()
+    labeled = _sorted_block_scan(sorted_ds, _rank_block_summary, (),
+                                 _rank_prefix_scan, _rank_block_labels)
+    if labeled is None:
+        return ray.data.from_arrow(pa.schema([
+            ("event_id", pa.int64()), ("event_type", pa.string()),
+            ("rnk", pa.int64()), ("drnk", pa.int64()),
+            ("pr_num", pa.int64()), ("cd_num", pa.int64()),
+            ("n_part", pa.int64())]).empty_table())
+    return labeled.sort(["event_type", "rnk", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — approximate COUNT(DISTINCT) that
+# merges (the 100 TB cardinality path: registers are bounded by 2^p, not
+# by the row count, and merge is an elementwise max)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12  # 4096 registers; standard error 1.04/sqrt(4096) ~ 1.6%
+
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros over uint64 (branch ladder;
+    returns 63 for v == 0 — callers special-case zero)."""
+    v = v.astype(np.uint64, copy=True)
+    n = np.zeros(v.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v < (np.uint64(1) << np.uint64(64 - s))
+        n += np.where(m, s, 0)
+        v = np.where(m, v << np.uint64(s), v)
+    return n
+
+
+def _hll_partial(b: pa.Table, p: int) -> pa.Table:
+    """Per-batch HLL register partials: (event_type, reg, rho) rows with
+    rho already maxed within the batch — at most #types·2^p rows leave,
+    typically far fewer. Flajolet et al. 2007 (+ the 64-bit-hash
+    variant): reg = top p hash bits, rho = 1 + leading zeros of the
+    remaining 64-p bits."""
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import splitmix64
+
+    et = np.asarray(b.column("event_type").to_numpy(
+        zero_copy_only=False), object)
+    h = splitmix64(b.column("user_id").to_numpy().view(np.uint64))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)
+    rho = np.where(w == 0, np.int64(64 - p + 1), _clz64(w) + 1)
+    # max rho per (type, reg): sort and take the last of each run
+    order = np.lexsort((rho, reg, et))
+    et_s, reg_s, rho_s = et[order], reg[order], rho[order]
+    last = np.r_[(et_s[1:] != et_s[:-1]) | (reg_s[1:] != reg_s[:-1]), True]
+    idx = np.flatnonzero(last)
+    return pa.table({
+        "event_type": pa.array(list(et_s[idx]), pa.string()),
+        "reg": pa.array(reg_s[idx]),
+        "rho": pa.array(rho_s[idx]),
+    })
+
+
+def _hll_estimate(rho_by_reg: np.ndarray, p: int) -> float:
+    """Raw HLL estimate with the small-range linear-counting correction
+    (large-range correction is unnecessary with 64-bit hashes)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-rho_by_reg.astype(np.float64)))
+    zeros = int(np.sum(rho_by_reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return float(est)
+
+
+def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
+    """Approximate distinct users per event_type (plus an 'ALL' row) via
+    a mergeable HyperLogLog sketch, CHECKED against the exact distinct
+    count computed by the engine's own distinct shuffle — ``hll_ok`` is
+    an all-true invariant (|est − exact| ≤ 8% + 2, vs the sketch's
+    1.6% standard error at p=12), and ``n_exact`` is fully
+    DuckDB-oracled.
+
+    Distributed shape: per-batch vectorized register partials
+    (lexsort + run-max, ≤ #types·2^p rows per batch) → ONE tiny
+    ``groupby(type, reg).max(rho)`` → a driver-local estimate over the
+    ≤ #types·2^p merged registers. The 'ALL' registers are the
+    elementwise max across types — demonstrating the merge property a
+    multi-tenant 100 TB cardinality service relies on. The exact side
+    is a (type, user) distinct shuffle + per-type count (bounded by
+    true cardinality, not rows). Output: (event_type, n_exact,
+    hll_ok)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    regs = to_local_table(
+        ev.map_batches(_hll_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, fn_args=(p,))
+        .groupby(["event_type", "reg"]).aggregate(
+            Max("rho", alias_name="rho")))
+
+    du = (ev.groupby(["event_type", "user_id"])
+          .aggregate(Count(alias_name="_n")))
+    exact = to_local_table(
+        du.map_batches(
+            lambda t: pa.table({"event_type": t.column("event_type"),
+                                "one": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        .groupby("event_type").aggregate(Sum("one", alias_name="n")))
+    gu = (ev.groupby("user_id").aggregate(Count(alias_name="_n"))
+          .count())
+
+    schema = pa.schema([("event_type", pa.string()),
+                        ("n_exact", pa.int64()), ("hll_ok", pa.bool_())])
+    if regs is None or regs.num_rows == 0:
+        return schema.empty_table()
+
+    m = 1 << p
+    et = np.asarray(regs.column("event_type").to_numpy(
+        zero_copy_only=False), object)
+    reg = regs.column("reg").to_numpy()
+    rho = regs.column("rho").to_numpy()
+    exact_n = {r["event_type"]: int(r["n"]) for r in exact.to_pylist()}
+    exact_n["ALL"] = int(gu)
+
+    all_regs = np.zeros(m, np.int64)
+    out_t, out_n, out_ok = [], [], []
+    for t in sorted(set(et)):
+        sel = et == t
+        dense = np.zeros(m, np.int64)
+        dense[reg[sel]] = rho[sel]
+        np.maximum(all_regs, dense, out=all_regs)
+        est = _hll_estimate(dense, p)
+        x = exact_n[t]
+        out_t.append(t)
+        out_n.append(x)
+        out_ok.append(abs(est - x) <= 0.08 * x + 2)
+    est_all = _hll_estimate(all_regs, p)
+    x = exact_n["ALL"]
+    rows = sorted(zip(out_t + ["ALL"], out_n + [x],
+                      out_ok + [abs(est_all - x) <= 0.08 * x + 2]))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_exact": pa.array([r[1] for r in rows], pa.int64()),
+        "hll_ok": pa.array([r[2] for r in rows]),
+    })
