@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 85 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 88 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (79 oracles, including all-true INVARIANT oracles
+SQL-expressible one (82 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -295,6 +295,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_hourly_signup_error": relational.events_hourly_signup_error,
         "events_value_rank_window": relational.events_value_rank_window,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
+        "events_trailing_7d_users": relational.events_trailing_7d_users,
+        "events_value_mode_by_type": relational.events_value_mode_by_type,
+        "nation_customer_segments": relational.nation_customer_segments,
     }
 
 
@@ -1254,6 +1257,37 @@ def oracle_sql() -> "dict[str, str]":
                    TRUE AS hll_ok
             FROM events
             ORDER BY event_type
+        """,
+        "events_trailing_7d_users": """
+            WITH du AS (SELECT DISTINCT
+                            CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                            user_id
+                        FROM events),
+            days AS (SELECT DISTINCT d FROM du)
+            SELECT days.d AS day,
+                   CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_users_7d
+            FROM days JOIN du
+              ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+            GROUP BY days.d ORDER BY day
+        """,
+        "events_value_mode_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              count(*) AS n
+                       FROM events GROUP BY event_type, cents),
+            r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                               ORDER BY n DESC, cents ASC)
+                                AS rn
+                  FROM c)
+            SELECT event_type, cents AS mode_e2, CAST(n AS BIGINT) AS n_mode
+            FROM r WHERE rn = 1 ORDER BY event_type
+        """,
+        "nation_customer_segments": """
+            SELECT n.n_name,
+                   string_agg(DISTINCT c.c_mktsegment, ','
+                              ORDER BY c.c_mktsegment) AS segments
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "events_hourly_signup_error": """
             WITH s AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n

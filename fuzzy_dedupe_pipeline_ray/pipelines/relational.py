@@ -2802,3 +2802,209 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
         "n_exact": pa.array([r[1] for r in rows], pa.int64()),
         "hll_ok": pa.array([r[2] for r in rows]),
     })
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day distinct users (rolling DAU/WAU) — window-expanded
+# distinct, the standard "WAU per day" report
+# ---------------------------------------------------------------------------
+
+def events_trailing_7d_users(sf_dir: str, window_days: int = 7):
+    """Distinct users active in the trailing ``window_days``-day window
+    ending on each observed day (the WAU-per-day report).
+
+    Distributed shape: ONE (day, user) distinct shuffle, then each
+    distinct row is expanded to the ≤7 window-end days it contributes
+    to (vectorized np.repeat, filtered against the broadcast tiny set
+    of OBSERVED days so absent calendar days emit nothing), a second
+    (window_day, user) distinct, and per-batch count partials into a
+    tiny groupby. Expansion factor is bounded by the window length —
+    no self-join, no per-day rescan. Output: (day, n_users_7d)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    day_us = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def du_partial(b: pa.Table) -> pa.Table:
+        ts = (b.column("ts").to_numpy()
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // day_us) * day_us
+        u = b.column("user_id").to_numpy()
+        order = np.lexsort((u, day))
+        d_s, u_s = day[order], u[order]
+        keep = np.r_[True, (d_s[1:] != d_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        return pa.table({"day": pa.array(d_s[keep], pa.int64()),
+                         "user_id": pa.array(u_s[keep], pa.int64())})
+
+    du = (ev.map_batches(du_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["day", "user_id"]).aggregate(Count(alias_name="_n"))
+          .materialize())
+    if du.count() == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("day", pa.timestamp("us")),
+             ("n_users_7d", pa.int64())]).empty_table())
+    du = du.select_columns(["day", "user_id"]).materialize()
+
+    days_tbl = to_local_table(
+        du.groupby("day").aggregate(Count(alias_name="_n")))
+    days = np.sort(days_tbl.column("day").to_numpy().astype(np.int64))
+
+    def expand(b: pa.Table, days_sorted: np.ndarray, k: int) -> pa.Table:
+        d = b.column("day").to_numpy().astype(np.int64)
+        u = b.column("user_id").to_numpy()
+        wd = (np.repeat(d, k)
+              + np.tile(np.arange(k, dtype=np.int64) * day_us, len(d)))
+        uu = np.repeat(u, k)
+        pos = np.searchsorted(days_sorted, wd)
+        ok = (pos < len(days_sorted)) & (
+            days_sorted[np.minimum(pos, len(days_sorted) - 1)] == wd)
+        return pa.table({"day": pa.array(wd[ok]),
+                         "user_id": pa.array(uu[ok])})
+
+    wau = (du.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          fn_args=(days, window_days))
+           .groupby(["day", "user_id"]).aggregate(Count(alias_name="_n")))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy().astype(np.int64)
+        d_s = np.sort(d)
+        idx = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        return pa.table({
+            "day": pa.array(d_s[idx]),
+            "n": pa.array(np.diff(np.r_[idx, len(d_s)]).astype(np.int64)),
+        })
+
+    agg = (wau.map_batches(count_partial, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("n", alias_name="n_users_7d")))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pa.array(
+                b.column("day").to_numpy().astype("datetime64[us]")),
+            "n_users_7d": pc.cast(b.column("n_users_7d"), pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow").sort("day")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group MODE with deterministic ties (max count, then min value)
+# ---------------------------------------------------------------------------
+
+def events_value_mode_by_type(sf_dir: str):
+    """Exact mode of the cent-scaled value per event_type; ties broken
+    deterministically toward the SMALLEST value (SQL row_number over
+    (count DESC, value ASC)).
+
+    Distributed shape: per-batch (type, cents) count partials → one
+    ``groupby(type, cents)`` merge (bounded by distinct values, not
+    rows) → per-batch per-type best partials (lexsort argmax) → a tiny
+    final per-type reduce. No group ever materializes in one task.
+    Output: (event_type, mode_e2, n_mode)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        et = np.asarray(b.column("event_type").to_numpy(
+            zero_copy_only=False), object)
+        cents = _e2(b.column("value")).to_numpy()
+        order = np.lexsort((cents, et))
+        e_s, c_s = et[order], cents[order]
+        idx = np.flatnonzero(
+            np.r_[True, (e_s[1:] != e_s[:-1]) | (c_s[1:] != c_s[:-1])])
+        return pa.table({
+            "event_type": pa.array(list(e_s[idx]), pa.string()),
+            "cents": pa.array(c_s[idx]),
+            "n": pa.array(np.diff(np.r_[idx, len(e_s)]).astype(np.int64)),
+        })
+
+    counts = (ev.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "cents"])
+              .aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    if counts.count() == 0:
+        # schema-less empty aggregate — short-circuit with the output
+        # schema (same guard as events_daily_users)
+        return ray.data.from_arrow(pa.schema(
+            [("event_type", pa.string()), ("mode_e2", pa.int64()),
+             ("n_mode", pa.int64())]).empty_table())
+
+    def best_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        et = np.asarray(b.column("event_type").to_numpy(
+            zero_copy_only=False), object)
+        cents = b.column("cents").to_numpy().astype(np.int64)
+        n = b.column("n").to_numpy().astype(np.int64)
+        # best per type = last row under (type asc, n asc, -cents asc)
+        order = np.lexsort((-cents, n, et))
+        e_s, c_s, n_s = et[order], cents[order], n[order]
+        last = np.r_[e_s[1:] != e_s[:-1], True]
+        idx = np.flatnonzero(last)
+        return pa.table({
+            "event_type": pa.array(list(e_s[idx]), pa.string()),
+            "cents": pa.array(c_s[idx]),
+            "n": pa.array(n_s[idx]),
+        })
+
+    partials = counts.map_batches(best_partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        t = best_partial(g)
+        return pa.table({"event_type": t.column("event_type"),
+                         "mode_e2": t.column("cents"),
+                         "n_mode": t.column("n")})
+
+    out = partials.groupby("event_type").map_groups(
+        final, batch_format="pyarrow")
+    return out.sort("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Grouped string aggregation — ordered, distinct string_agg per group
+# ---------------------------------------------------------------------------
+
+def nation_customer_segments(sf_dir: str):
+    """Per nation: the sorted, distinct market segments of its
+    customers, joined into one comma-separated string (grouped
+    STRING_AGG — the one aggregate family the engine had not yet
+    exercised; group payloads are bounded by the segment vocabulary).
+
+    Distributed shape: broadcast-join customer→nation (25-row small
+    side), ONE (nation, segment) distinct shuffle, then a per-group
+    vectorized join — each group is ≤ |segment vocabulary| rows, so
+    ``map_groups`` holds only the distinct strings, never the customer
+    rows. Output: (n_name, segments)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    j = lookup_join(
+        cust.map_batches(
+            lambda b: pa.table({"n_nationkey": b.column("c_nationkey"),
+                                "c_mktsegment": b.column("c_mktsegment")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        nation, on="n_nationkey", cfg=DEFAULT_CONFIG)
+
+    distinct = (j.groupby(["n_name", "c_mktsegment"])
+                .aggregate(Count(alias_name="_n")).materialize())
+    if distinct.count() == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("n_name", pa.string()),
+             ("segments", pa.string())]).empty_table())
+
+    def agg(g: pa.Table) -> pa.Table:
+        segs = sorted(set(g.column("c_mktsegment").to_pylist()))
+        return pa.table({
+            "n_name": pa.array([g.column("n_name")[0].as_py()],
+                               pa.string()),
+            "segments": pa.array([",".join(segs)], pa.string()),
+        })
+
+    return (distinct.groupby("n_name")
+            .map_groups(agg, batch_format="pyarrow").sort("n_name"))

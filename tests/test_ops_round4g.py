@@ -13,6 +13,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from fuzzy_dedupe_pipeline_ray.pipelines import relational
+from tests.test_ops_round4e import _write_parts
 from fuzzy_dedupe_pipeline_ray.pipelines.relational import (
     _clz64,
     _hll_estimate,
@@ -198,3 +199,77 @@ def test_hll_pipeline_end_to_end(tmp_path, ray_session):
     assert int(out.loc[out.event_type == "ALL", "n_exact"].iloc[0]) \
         == df["user_id"].nunique()
     assert list(out["event_type"]) == sorted(out["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day distinct users / per-group mode / grouped string_agg
+# ---------------------------------------------------------------------------
+
+def test_trailing_7d_users_window_edges(tmp_path, ray_session):
+    """A user on day d counts toward windows d..d+6 only, and absent
+    calendar days emit no row."""
+    D = np.timedelta64(86_400_000_000, "us")
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    rows = [
+        (1, t0),              # user 1 active day 0
+        (2, t0),              # user 2 active day 0
+        (2, t0 + 6 * D),      # day 6: still within user 1's window
+        (3, t0 + 7 * D),      # day 7: user 1 aged out
+        (3, t0 + 20 * D),     # isolated far day
+    ]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "ts": np.array([r[1] for r in rows], dtype="datetime64[us]"),
+        "user_id": np.array([r[0] for r in rows], np.int64),
+        "event_type": pd.array(["click"] * len(rows), dtype="string"),
+        "value": np.ones(len(rows)),
+        "props": pd.array(["{}"] * len(rows), dtype="string")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "events.parquet"))
+    out = relational.events_trailing_7d_users(str(tmp_path)).to_pandas()
+    got = {np.datetime64(r.day, "us"): int(r.n_users_7d)
+           for r in out.itertuples()}
+    assert got == {
+        t0: 2,                    # users 1, 2
+        t0 + 6 * D: 2,            # users 1, 2 (day-0 events still in)
+        t0 + 7 * D: 2,            # users 2 (day 6), 3 — user 1 aged out
+        t0 + 20 * D: 1,           # user 3 alone
+    }
+
+
+def test_mode_tie_breaks_to_smallest_value(tmp_path, ray_session):
+    """Equal counts → smallest cents wins; counts merge across blocks."""
+    vals = [2.00] * 5 + [1.00] * 5 + [3.00] * 4   # tie between 1.00/2.00
+    df = pd.DataFrame({
+        "event_id": np.arange(len(vals), dtype=np.int64),
+        "ts": np.repeat(np.datetime64("2024-01-01", "us"), len(vals)),
+        "user_id": np.zeros(len(vals), np.int64),
+        "event_type": pd.array(["a"] * len(vals), dtype="string"),
+        "value": np.asarray(vals),
+        "props": pd.array(["{}"] * len(vals), dtype="string")})
+    _write_parts(str(tmp_path), "events", df, 4)  # force several blocks
+    out = relational.events_value_mode_by_type(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert int(out["mode_e2"].iloc[0]) == 100     # 1.00, not 2.00
+    assert int(out["n_mode"].iloc[0]) == 5
+
+
+def test_nation_customer_segments_distinct_sorted(tmp_path, ray_session):
+    nat = pd.DataFrame({
+        "n_nationkey": np.array([0, 1], np.int64),
+        "n_name": pd.array(["ALGERIA", "BRAZIL"], dtype="string"),
+        "n_regionkey": np.zeros(2, np.int64),
+        "n_comment": pd.array(["", ""], dtype="string")})
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(6, dtype=np.int64),
+        "c_nationkey": np.array([0, 0, 0, 1, 1, 1], np.int64),
+        "c_mktsegment": pd.array(
+            ["HOUSEHOLD", "AUTOMOBILE", "HOUSEHOLD",
+             "MACHINERY", "MACHINERY", "MACHINERY"], dtype="string")})
+    pq.write_table(pa.Table.from_pandas(nat, preserve_index=False),
+                   os.path.join(tmp_path, "nation.parquet"))
+    pq.write_table(pa.Table.from_pandas(cust, preserve_index=False),
+                   os.path.join(tmp_path, "customer.parquet"))
+    out = relational.nation_customer_segments(str(tmp_path)).to_pandas()
+    assert list(out["n_name"]) == ["ALGERIA", "BRAZIL"]
+    assert list(out["segments"]) == ["AUTOMOBILE,HOUSEHOLD", "MACHINERY"]
