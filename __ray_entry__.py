@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 88 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 90 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (82 oracles, including all-true INVARIANT oracles
+SQL-expressible one (84 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -298,6 +298,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_trailing_7d_users": relational.events_trailing_7d_users,
         "events_value_mode_by_type": relational.events_value_mode_by_type,
         "nation_customer_segments": relational.nation_customer_segments,
+        "q4_priority_with_discounted_lines":
+            relational.q4_priority_with_discounted_lines,
+        "q22_idle_rich_customers": relational.q22_idle_rich_customers,
     }
 
 
@@ -1257,6 +1260,36 @@ def oracle_sql() -> "dict[str, str]":
                    TRUE AS hll_ok
             FROM events
             ORDER BY event_type
+        """,
+        "q4_priority_with_discounted_lines": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_discount > 0.08)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q22_idle_rich_customers": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(round(c_acctbal * 100) AS BIGINT)
+                                  AS cents
+                       FROM customer),
+            p AS (SELECT count(*) AS n, sum(cents) AS s
+                  FROM c WHERE cents > 0),
+            k AS (SELECT c.c_nationkey, c.cents
+                  FROM c, p
+                  WHERE c.cents * p.n > p.s
+                    AND NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_custkey = c.c_custkey
+                                      AND o.o_orderdate >=
+                                          TIMESTAMP '2000-01-01'))
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(k.cents) AS BIGINT) AS total_acctbal_e2
+            FROM k JOIN nation n ON n.n_nationkey = k.c_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "events_trailing_7d_users": """
             WITH du AS (SELECT DISTINCT

@@ -3008,3 +3008,190 @@ def nation_customer_segments(sf_dir: str):
 
     return (distinct.groupby("n_name")
             .map_groups(agg, batch_format="pyarrow").sort("n_name"))
+
+
+# ---------------------------------------------------------------------------
+# Q4-shaped EXISTS semi-join: orders with >=1 qualifying lineitem,
+# counted per priority — the big-big semi-join where only DISTINCT keys
+# of the inner side ever move
+# ---------------------------------------------------------------------------
+
+def q4_priority_with_discounted_lines(sf_dir: str,
+                                      date_lo: str = "1996-01-01",
+                                      date_hi: str = "1996-07-01",
+                                      min_discount: float = 0.08):
+    """TPC-H Q4 shape (EXISTS): orders in a date window having at least
+    one heavily-discounted lineitem, counted per o_orderpriority.
+
+    Scale shape: the EXISTS side (lineitem, the biggest table) never
+    joins row-for-row — it collapses to its DISTINCT qualifying
+    order keys (batch-level pc.unique combiner → one narrow groupby),
+    and orders semi-join that key set through the tiered lookup_join
+    (broadcast under the gate, hash join above). Counting is per-batch
+    partials into a ≤5-row groupby. Output: (o_orderpriority,
+    n_orders)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    disc = pa.scalar(min_discount)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_discount"])
+
+    def qual_keys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_discount"), disc))
+        return pa.table({"o_orderkey": pc.unique(b.column("l_orderkey"))})
+
+    qual = (li.map_batches(qual_keys, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("o_orderkey").aggregate(Count(alias_name="_m"))
+            .materialize())
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def in_window(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        return b.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    win = orders.map_batches(in_window, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    schema = pa.schema([("o_orderpriority", pa.string()),
+                        ("n_orders", pa.int64())])
+    if qual.count() == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    j = lookup_join(win, qual, on="o_orderkey", cfg=DEFAULT_CONFIG,
+                    right_count=qual.count())
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        p = np.asarray(b.column("o_orderpriority").to_numpy(
+            zero_copy_only=False), object)
+        p_s = np.sort(p)
+        idx = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+        return pa.table({
+            "o_orderpriority": pa.array(list(p_s[idx]), pa.string()),
+            "n": pa.array(np.diff(np.r_[idx, len(p_s)]).astype(np.int64)),
+        })
+
+    agg = (j.map_batches(count_partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n_orders")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_orders": pc.cast(b.column("n_orders"), pa.int64())}),
+        batch_format="pyarrow").sort("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Q22-shaped anti-join + global scalar threshold: rich customers with no
+# orders, per nation — EXACT integer cross-multiplied average compare
+# ---------------------------------------------------------------------------
+
+def q22_idle_rich_customers(sf_dir: str, cutoff: str = "2000-01-01"):
+    """TPC-H Q22 shape: customers whose balance exceeds the average
+    POSITIVE balance and who have placed NO order since ``cutoff``
+    (lapsed high-value accounts), counted (and their balances summed)
+    per nation.
+
+    Exactness: the `acctbal > avg(positive acctbal)` comparison is the
+    integer cross-multiplication ``cents · n_pos > sum_pos_cents`` —
+    no float division on either engine, so the boundary is exact (the
+    oracle SQL uses the identical inequality). Scale shape: the global
+    (n_pos, sum_pos) scalar is a per-batch partial reduce collected to
+    two ints; orders collapse to DISTINCT custkeys; the anti-join is a
+    left-outer tiered lookup_join keeping null markers; nation names
+    arrive through the 25-row broadcast. Output: (n_name, n_customers,
+    total_acctbal_e2)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join, \
+        to_local_table
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        cents = _e2(b.column("c_acctbal")).to_numpy()
+        pos = cents[cents > 0]
+        return pa.table({"n": pa.array([len(pos)], pa.int64()),
+                         "s": pa.array([int(pos.sum())], pa.int64())})
+
+    stats = to_local_table(
+        cust.map_batches(pos_partial, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    n_pos = int(pc.sum(stats.column("n")).as_py() or 0)
+    s_pos = int(pc.sum(stats.column("s")).as_py() or 0)
+
+    schema = pa.schema([("n_name", pa.string()),
+                        ("n_customers", pa.int64()),
+                        ("total_acctbal_e2", pa.int64())])
+    if n_pos == 0:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = _e2(b.column("c_acctbal"))
+        keep = pc.greater(pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(s_pos, pa.int64()))
+        b = b.append_column("cents", cents).filter(keep)
+        return b.select(["c_custkey", "c_nationkey", "cents"])
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("o_orderdate"), cut))
+        return pa.table({"c_custkey": pc.unique(b.column("o_custkey"))})
+
+    ordered = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+               .map_batches(recent_keys, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("c_custkey").aggregate(Count(alias_name="_m"))
+               .materialize())
+    if ordered.count() > 0:
+        j = lookup_join(rich_ds, ordered, on="c_custkey",
+                        cfg=DEFAULT_CONFIG, join_type="left_outer",
+                        right_count=ordered.count())
+        rich_ds = j.map_batches(
+            lambda b: b.filter(pc.is_null(b.column("_m")))
+                       .select(["c_custkey", "c_nationkey", "cents"]),
+            batch_format="pyarrow")
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    jn = lookup_join(
+        rich_ds.map_batches(
+            lambda b: pa.table({"n_nationkey": b.column("c_nationkey"),
+                                "cents": b.column("cents")}),
+            batch_format="pyarrow"),
+        nation, on="n_nationkey", cfg=DEFAULT_CONFIG)
+
+    def partial(b: pa.Table) -> pa.Table:
+        nm = np.asarray(b.column("n_name").to_numpy(
+            zero_copy_only=False), object)
+        c = b.column("cents").to_numpy().astype(np.int64)
+        order = np.argsort(nm, kind="stable")
+        nm_s, c_s = nm[order], c[order]
+        idx = np.flatnonzero(np.r_[True, nm_s[1:] != nm_s[:-1]])
+        cs = np.zeros(len(c_s) + 1, np.int64)
+        np.cumsum(c_s, out=cs[1:])
+        bounds = np.r_[idx, len(nm_s)]
+        return pa.table({
+            "n_name": pa.array(list(nm_s[idx]), pa.string()),
+            "n": pa.array(np.diff(bounds).astype(np.int64)),
+            "s": pa.array(cs[bounds[1:]] - cs[bounds[:-1]]),
+        })
+
+    agg = (jn.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_name").aggregate(
+               Sum("n", alias_name="n_customers"),
+               Sum("s", alias_name="total_acctbal_e2"))
+           .materialize())
+    if agg.count() == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_name": b.column("n_name"),
+            "n_customers": pc.cast(b.column("n_customers"), pa.int64()),
+            "total_acctbal_e2": pc.cast(b.column("total_acctbal_e2"),
+                                        pa.int64())}),
+        batch_format="pyarrow").sort("n_name")

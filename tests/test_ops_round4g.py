@@ -273,3 +273,82 @@ def test_nation_customer_segments_distinct_sorted(tmp_path, ray_session):
     out = relational.nation_customer_segments(str(tmp_path)).to_pandas()
     assert list(out["n_name"]) == ["ALGERIA", "BRAZIL"]
     assert list(out["segments"]) == ["AUTOMOBILE,HOUSEHOLD", "MACHINERY"]
+
+
+# ---------------------------------------------------------------------------
+# Q4 / Q22 shapes
+# ---------------------------------------------------------------------------
+
+def test_q4_semi_join_counts_order_once(tmp_path, ray_session):
+    """An order with THREE qualifying lineitems counts once (EXISTS
+    semantics, not join multiplicity); non-qualifying and out-of-window
+    orders drop."""
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([1, 2, 3, 4], np.int64),
+        "o_custkey": np.zeros(4, np.int64),
+        "o_orderstatus": pd.array(["O"] * 4, dtype="string"),
+        "o_totalprice": np.ones(4),
+        "o_orderdate": np.array(
+            ["1996-02-01", "1996-03-01", "1996-04-01", "1995-01-01"],
+            dtype="datetime64[us]"),
+        "o_orderpriority": pd.array(
+            ["1-URGENT", "1-URGENT", "2-HIGH", "1-URGENT"],
+            dtype="string")})
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 1, 1, 2, 3, 4], np.int64),
+        "l_partkey": np.zeros(6, np.int64),
+        "l_suppkey": np.zeros(6, np.int64),
+        "l_linenumber": np.arange(6, dtype=np.int64),
+        "l_quantity": np.ones(6),
+        "l_extendedprice": np.ones(6),
+        # order 1: three qualifying; order 2: none; order 3: one;
+        # order 4: qualifying but out of window
+        "l_discount": np.array([0.10, 0.09, 0.095, 0.01, 0.09, 0.10]),
+        "l_tax": np.zeros(6),
+        "l_returnflag": pd.array(["N"] * 6, dtype="string"),
+        "l_linestatus": pd.array(["O"] * 6, dtype="string"),
+        "l_shipdate": np.repeat(np.datetime64("1996-02-02", "us"), 6)})
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   os.path.join(tmp_path, "orders.parquet"))
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   os.path.join(tmp_path, "lineitem.parquet"))
+    out = relational.q4_priority_with_discounted_lines(
+        str(tmp_path)).to_pandas()
+    got = dict(zip(out["o_orderpriority"], out["n_orders"]))
+    assert got == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_q22_average_boundary_and_lapsed(tmp_path, ray_session):
+    """Exactly-at-average balances are excluded (strict integer
+    cross-multiplied compare); a customer with only PRE-cutoff orders
+    still counts as lapsed."""
+    # positives: 100.00, 200.00, 300.00 -> avg 200.00 exactly
+    cust = pd.DataFrame({
+        "c_custkey": np.array([1, 2, 3, 4], np.int64),
+        "c_name": pd.array(["a", "b", "c", "d"], dtype="string"),
+        "c_nationkey": np.zeros(4, np.int64),
+        "c_acctbal": np.array([100.0, 200.0, 300.0, -50.0]),
+        "c_mktsegment": pd.array(["X"] * 4, dtype="string")})
+    nat = pd.DataFrame({
+        "n_nationkey": np.array([0], np.int64),
+        "n_name": pd.array(["ALGERIA"], dtype="string"),
+        "n_regionkey": np.zeros(1, np.int64),
+        "n_comment": pd.array([""], dtype="string")})
+    # customer 3 (above avg): one order BEFORE the cutoff -> lapsed;
+    # customer 2 (exactly at avg): excluded regardless of orders
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([10], np.int64),
+        "o_custkey": np.array([3], np.int64),
+        "o_orderstatus": pd.array(["F"], dtype="string"),
+        "o_totalprice": np.ones(1),
+        "o_orderdate": np.array(["1997-01-01"], dtype="datetime64[us]"),
+        "o_orderpriority": pd.array(["1-URGENT"], dtype="string")})
+    for name, df in (("customer", cust), ("nation", nat),
+                     ("orders", orders)):
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(tmp_path, f"{name}.parquet"))
+    out = relational.q22_idle_rich_customers(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out["n_name"].iloc[0] == "ALGERIA"
+    assert int(out["n_customers"].iloc[0]) == 1        # customer 3 only
+    assert int(out["total_acctbal_e2"].iloc[0]) == 30000
