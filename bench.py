@@ -133,7 +133,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "doc_ngram_jaccard_pairs", "events_asof_join",
                  "events_rolling", "q5_region_supplier_volume",
                  "doc_edit_distance_pairs", "embedding_knn_graph",
-                 "doc_pack_bins"):
+                 "doc_pack_bins", "events_value_rank_window",
+                 "events_distinct_users_hll", "events_trailing_7d_users",
+                 "q4_priority_with_discounted_lines",
+                 "q22_idle_rich_customers"):
         t0 = time.time()
         res = qs[name](sf_dir)
         # consume fully (count) so lazy datasets actually execute

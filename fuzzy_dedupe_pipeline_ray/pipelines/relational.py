@@ -2750,14 +2750,21 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
     from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    # ONE events scan: the (type, user) distinct shuffle feeds BOTH
+    # sides of the check. Register max-rho is idempotent under
+    # duplicates, so sketching the distinct table gives bit-identical
+    # registers to sketching raw events (a standalone 100 TB sketch —
+    # no exact side — would map raw events directly and skip this
+    # shuffle entirely; here the exact comparison already pays for it).
+    du = (ev.groupby(["event_type", "user_id"])
+          .aggregate(Count(alias_name="_n"))
+          .select_columns(["event_type", "user_id"]).materialize())
     regs = to_local_table(
-        ev.map_batches(_hll_partial, batch_format="pyarrow",
+        du.map_batches(_hll_partial, batch_format="pyarrow",
                        zero_copy_batch=True, fn_args=(p,))
         .groupby(["event_type", "reg"]).aggregate(
             Max("rho", alias_name="rho")))
-
-    du = (ev.groupby(["event_type", "user_id"])
-          .aggregate(Count(alias_name="_n")))
     exact = to_local_table(
         du.map_batches(
             lambda t: pa.table({"event_type": t.column("event_type"),
@@ -2765,7 +2772,7 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
                                     np.ones(t.num_rows, np.int64))}),
             batch_format="pyarrow")
         .groupby("event_type").aggregate(Sum("one", alias_name="n")))
-    gu = (ev.groupby("user_id").aggregate(Count(alias_name="_n"))
+    gu = (du.groupby("user_id").aggregate(Count(alias_name="_n"))
           .count())
 
     schema = pa.schema([("event_type", pa.string()),
