@@ -301,6 +301,14 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "q4_priority_with_discounted_lines":
             relational.q4_priority_with_discounted_lines,
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
+        "q7_nation_trade_volume": relational.q7_nation_trade_volume,
+        "q8_market_share": relational.q8_market_share,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q13_order_count_distribution":
+            relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "events_props_extract": relational.events_props_extract,
     }
 
 
@@ -1359,5 +1367,124 @@ def oracle_sql() -> "dict[str, str]":
              AND abs(a.n_chars - b.n_chars) <= 2
             WHERE levenshtein(a.text, b.text) <= 60
             ORDER BY id_a, id_b
+        """,
+        "q7_nation_trade_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT year(o.o_orderdate) AS o_year,
+                       CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT) AS rev_e4,
+                       (n2.n_name = 'NATION_3') AS is_nat
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = 'ECONOMY'
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                             AND r.r_name = 'ASIA'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+                WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN is_nat THEN rev_e4 ELSE 0 END)
+                        AS BIGINT) AS nation_rev_e4,
+                   CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+                   CAST(sum(CASE WHEN is_nat THEN rev_e4 ELSE 0 END)
+                        * 10000 // sum(rev_e4) AS BIGINT) AS share_bps
+            FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        "q10_returned_revenue": """
+            WITH rev AS (
+                SELECT o.o_custkey AS c_custkey,
+                       CAST(sum(CAST(round(l.l_extendedprice
+                                           * (1 - l.l_discount) * 10000)
+                                     AS BIGINT)) AS BIGINT) AS revenue_e4
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+            SELECT CAST(rev.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+                   n.n_name,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_e2,
+                   revenue_e4
+            FROM rev JOIN customer c ON c.c_custkey = rev.c_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+        """,
+        "q13_order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM per_cust GROUP BY c_count
+            ORDER BY n_customers DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                           * (1 - l_discount) * 10000)
+                                     AS BIGINT)) AS BIGINT)
+                           AS total_rev_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+            SELECT CAST(rev.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   total_rev_e4
+            FROM rev JOIN supplier s ON s.s_suppkey = rev.s_suppkey
+            WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice
+                                                * (1 - l_discount)
+                                                * 10000) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12'
+                   AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23'
+                   AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#24'
+                   AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "events_props_extract": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            WHERE k IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
     }

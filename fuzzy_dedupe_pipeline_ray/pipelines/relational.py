@@ -3202,3 +3202,562 @@ def q22_idle_rich_customers(sf_dir: str, cutoff: str = "2000-01-01"):
             "total_acctbal_e2": pc.cast(b.column("total_acctbal_e2"),
                                         pa.int64())}),
         batch_format="pyarrow").sort("n_name")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analogs, second batch (Q7 / Q8 / Q10 / Q13 / Q15 / Q19)
+# — completes the TPC-H query family expressible over the tables this
+# corpus carries (no partsupp table, so Q2/Q9/Q11/Q16/Q20 are out of
+# scope; Q12/Q21 need l_shipmode/l_receiptdate, absent here).
+# ---------------------------------------------------------------------------
+
+def _group_sum_partial(keys_cols: "dict[str, np.ndarray]",
+                       vals: "dict[str, np.ndarray]") -> pa.Table:
+    """Batch-level grouped-sum combiner over 1-2 int64 key columns:
+    lexsort + run boundaries + cumsum diffs — the pre-aggregation shape
+    every wide groupby here uses so the shuffle only moves partials."""
+    ks = list(keys_cols.values())
+    order = np.lexsort(ks[::-1])
+    ks_s = [k[order] for k in ks]
+    new = np.zeros(len(order), bool)
+    new[:1] = True
+    for k in ks_s:
+        new[1:] |= k[1:] != k[:-1]
+    idx = np.flatnonzero(new)
+    bounds = np.r_[idx, len(order)]
+    out = {n: pa.array(k[idx]) for n, k in zip(keys_cols, ks_s)}
+    for n, v in vals.items():
+        cs = np.zeros(len(order) + 1, np.int64)
+        np.cumsum(v[order], out=cs[1:])
+        out[n] = pa.array((cs[bounds[1:]] - cs[bounds[:-1]]).astype(np.int64))
+    return pa.table(out)
+
+
+def q7_nation_trade_volume(sf_dir: str, nation_a: str = "NATION_1",
+                           nation_b: str = "NATION_2",
+                           date_lo: str = "1996-01-01",
+                           date_hi: str = "1998-01-01"):
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations — supplier in one, the ordering customer in the other — per
+    ship year.
+
+    Scale shape: both dimension maps (supplier key→nation, order
+    key→customer nation) are pre-FILTERED to the two nations before the
+    join, so the big-table probes drop non-qualifying rows at the first
+    batch they touch; orders⋈customer and lineitem⋈orders run through
+    the tiered ``lookup_join`` (broadcast under the gate, hash join
+    above); revenue collapses per batch into (supp_nation, cust_nation,
+    year) partials before one tiny groupby. Output: (supp_nation,
+    cust_nation, l_year, revenue_e4) sorted by the three keys."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import (lookup_join,
+                                                      to_local_table)
+
+    cfg = DEFAULT_CONFIG
+    nat = to_local_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    m = pc.is_in(nat.column("n_name"),
+                 value_set=pa.array([nation_a, nation_b]))
+    nat = nat.filter(m)
+    nation_keys = nat.column("n_nationkey").combine_chunks()
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b.column("c_nationkey"),
+                                        value_set=nation_keys)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(
+            lambda b: pa.table({"c_custkey": b.column("o_custkey"),
+                                "o_orderkey": b.column("o_orderkey")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    o_nat = lookup_join(orders, cust, on="c_custkey", cfg=cfg) \
+        .map_batches(
+            lambda b: pa.table({"o_orderkey": b.column("o_orderkey"),
+                                "cust_nk": b.column("c_nationkey")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                       pc.less(b.column("l_shipdate"), hi))
+        b = b.filter(keep)
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "l_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+            "rev_e4": _rev_e4(b)})
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "l_suppkey": b.column("s_suppkey"),
+                "supp_nk": b.column("s_nationkey")}).filter(
+                    pc.is_in(b.column("s_nationkey"),
+                             value_set=nation_keys)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    j = lookup_join(li, supp, on="l_suppkey", cfg=cfg)
+    j = lookup_join(j, o_nat, on="o_orderkey", cfg=cfg)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sn = b.column("supp_nk").to_numpy()
+        cn = b.column("cust_nk").to_numpy()
+        b = b.filter(pa.array(sn != cn))  # cross-nation pairs only
+        return _group_sum_partial(
+            {"supp_nk": b.column("supp_nk").to_numpy(),
+             "cust_nk": b.column("cust_nk").to_numpy(),
+             "l_year": b.column("l_year").to_numpy()},
+            {"rev_e4": b.column("rev_e4").to_numpy()})
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["supp_nk", "cust_nk", "l_year"])
+           .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+           .materialize())
+    schema = pa.schema([("supp_nation", pa.string()),
+                        ("cust_nation", pa.string()),
+                        ("l_year", pa.int64()),
+                        ("revenue_e4", pa.int64())])
+    out = to_local_table(agg)
+    if out is None or out.num_rows == 0:
+        return schema.empty_table()
+    res = pa.table({
+        "supp_nation": pa.array([name_of[k] for k in
+                                 out.column("supp_nk").to_pylist()]),
+        "cust_nation": pa.array([name_of[k] for k in
+                                 out.column("cust_nk").to_pylist()]),
+        "l_year": pc.cast(out.column("l_year"), pa.int64()),
+        "revenue_e4": pc.cast(out.column("revenue_e4"), pa.int64())})
+    order = pc.sort_indices(res, sort_keys=[("supp_nation", "ascending"),
+                                            ("cust_nation", "ascending"),
+                                            ("l_year", "ascending")])
+    return res.take(order)
+
+
+def q8_market_share(sf_dir: str, region: str = "ASIA",
+                    nation: str = "NATION_3", ptype: str = "ECONOMY",
+                    date_lo: str = "1996-01-01",
+                    date_hi: str = "1998-01-01"):
+    """TPC-H Q8 shape (national market share): among orders placed by
+    customers of one REGION for parts of one TYPE, the share of revenue
+    (basis points) supplied by one NATION, per order year.
+
+    Scale shape: part keys of the type and region-filtered customer keys
+    collapse to key sets before any big-table probe; lineitem semi-joins
+    the part keys, orders semi-join the customer keys — both through the
+    tiered ``lookup_join``; the supplier→nation map probes as a
+    broadcast flag column. Partials carry (year, nation_rev, total_rev)
+    only. Output: (o_year, nation_rev_e4, total_rev_e4, share_bps)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import (lookup_join,
+                                                      to_local_table)
+
+    cfg = DEFAULT_CONFIG
+    reg = to_local_table(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]).map_batches(
+            lambda b: b.filter(pc.equal(b.column("r_name"), region)),
+            batch_format="pyarrow"))
+    nat = to_local_table(_read(sf_dir, "nation",
+                               ["n_nationkey", "n_name", "n_regionkey"]))
+    region_nation_keys = nat.filter(
+        pc.is_in(nat.column("n_regionkey"),
+                 value_set=reg.column("r_regionkey"))) \
+        .column("n_nationkey").combine_chunks()
+    target = nat.filter(pc.equal(nat.column("n_name"), nation))
+    if target.num_rows == 0:
+        raise ValueError(f"unknown nation {nation!r}")
+    target_nk = target.column("n_nationkey")[0].as_py()
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table({"l_partkey": b.column("p_partkey")}).filter(
+            pc.equal(b.column("p_type"), ptype)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(
+            lambda b: pa.table({"c_custkey": b.column("c_custkey")}).filter(
+                pc.is_in(b.column("c_nationkey"),
+                         value_set=region_nation_keys)),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: (lambda f: pa.table({
+            "c_custkey": f.column("o_custkey"),
+            "o_orderkey": f.column("o_orderkey"),
+            "o_year": pc.cast(pc.year(f.column("o_orderdate")),
+                              pa.int64())}))(
+                b.filter(pc.and_(pc.greater_equal(b.column("o_orderdate"),
+                                                  lo),
+                                 pc.less(b.column("o_orderdate"), hi)))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    o_keep = lookup_join(orders, cust, on="c_custkey", cfg=cfg) \
+        .select_columns(["o_orderkey", "o_year"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"]).map_batches(
+        lambda b: pa.table({"l_partkey": b.column("l_partkey"),
+                            "o_orderkey": b.column("l_orderkey"),
+                            "l_suppkey": b.column("l_suppkey"),
+                            "rev_e4": _rev_e4(b)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = lookup_join(li, part, on="l_partkey", cfg=cfg)
+    j = lookup_join(j, o_keep, on="o_orderkey", cfg=cfg)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(
+            lambda b: pa.table({"l_suppkey": b.column("s_suppkey"),
+                                "s_nationkey": b.column("s_nationkey")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    j = lookup_join(j, supp, on="l_suppkey", cfg=cfg)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = b.column("rev_e4").to_numpy()
+        is_nat = b.column("s_nationkey").to_numpy() == target_nk
+        return _group_sum_partial(
+            {"o_year": b.column("o_year").to_numpy()},
+            {"nation_rev_e4": np.where(is_nat, rev, 0),
+             "total_rev_e4": rev})
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("nation_rev_e4", alias_name="nation_rev_e4"),
+                      Sum("total_rev_e4", alias_name="total_rev_e4"))
+           .materialize())
+    schema = pa.schema([("o_year", pa.int64()),
+                        ("nation_rev_e4", pa.int64()),
+                        ("total_rev_e4", pa.int64()),
+                        ("share_bps", pa.int64())])
+    out = to_local_table(agg)
+    if out is None or out.num_rows == 0:
+        return schema.empty_table()
+    nrev = out.column("nation_rev_e4").to_numpy().astype(np.int64)
+    trev = out.column("total_rev_e4").to_numpy().astype(np.int64)
+    res = pa.table({
+        "o_year": pc.cast(out.column("o_year"), pa.int64()),
+        "nation_rev_e4": pa.array(nrev),
+        "total_rev_e4": pa.array(trev),
+        "share_bps": pa.array(
+            np.where(trev > 0, nrev * 10000 // np.maximum(trev, 1), 0)
+            .astype(np.int64))})
+    return res.take(pc.sort_indices(res, sort_keys=[("o_year",
+                                                     "ascending")]))
+
+
+def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01", k: int = 20):
+    """TPC-H Q10 shape (returned-item reporting): top-k customers by
+    revenue lost to returned lineitems (l_returnflag='R') for orders
+    placed in a 3-month window, with nation name attached.
+
+    Scale shape: the order window collapses to an (orderkey→custkey) map
+    probed by the R-filtered lineitem scan via the tiered
+    ``lookup_join``; revenue pre-aggregates per custkey inside each
+    batch, one narrow groupby, then ONLY the k winners join customer /
+    nation detail (k rows — driver-side take is constant).
+    Output: (c_custkey, c_name, n_name, acctbal_e2, revenue_e4)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import (lookup_join,
+                                                      to_local_table)
+
+    cfg = DEFAULT_CONFIG
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi)))
+        .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag",
+                "l_extendedprice", "l_discount"]).map_batches(
+        lambda b: (lambda f: pa.table({
+            "o_orderkey": f.column("l_orderkey"),
+            "rev_e4": _rev_e4(f)}))(
+                b.filter(pc.equal(b.column("l_returnflag"), "R"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = lookup_join(li, orders, on="o_orderkey", cfg=cfg)
+
+    agg = (j.map_batches(
+        lambda b: _group_sum_partial(
+            {"c_custkey": b.column("o_custkey").to_numpy()},
+            {"revenue_e4": b.column("rev_e4").to_numpy()}),
+        batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+    # top-k: per-block partial top-k, then one tiny driver merge (the
+    # same shape as top_customers / part_brand_topk)
+    top = to_local_table(agg.map_batches(
+        lambda b: b.take(pc.select_k_unstable(
+            b, k, sort_keys=[("revenue_e4", "descending"),
+                             ("c_custkey", "ascending")])),
+        batch_format="pyarrow"))
+    schema = pa.schema([("c_custkey", pa.int64()),
+                        ("c_name", pa.string()), ("n_name", pa.string()),
+                        ("acctbal_e2", pa.int64()),
+                        ("revenue_e4", pa.int64())])
+    if top is None or top.num_rows == 0:
+        return schema.empty_table()
+    top = top.take(pc.select_k_unstable(
+        top, k, sort_keys=[("revenue_e4", "descending"),
+                           ("c_custkey", "ascending")]))
+
+    cust = to_local_table(
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b.column("c_custkey"),
+                                        value_set=top.column("c_custkey")
+                                        .combine_chunks())),
+            batch_format="pyarrow", zero_copy_batch=True))
+    nat = to_local_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    pos = pc.index_in(top.column("c_custkey"),
+                      value_set=cust.column("c_custkey").combine_chunks())
+    npos = pc.index_in(cust.column("c_nationkey").take(pos),
+                       value_set=nat.column("n_nationkey").combine_chunks())
+    res = pa.table({
+        "c_custkey": pc.cast(top.column("c_custkey"), pa.int64()),
+        "c_name": cust.column("c_name").take(pos),
+        "n_name": nat.column("n_name").take(npos),
+        "acctbal_e2": _e2(cust.column("c_acctbal").take(pos)),
+        "revenue_e4": pc.cast(top.column("revenue_e4"), pa.int64())})
+    return res.take(pc.sort_indices(
+        res, sort_keys=[("revenue_e4", "descending"),
+                        ("c_custkey", "ascending")]))
+
+
+def q13_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly N orders, INCLUDING the zero-order customers a plain
+    inner join would drop.
+
+    Scale shape: per-custkey order counts pre-aggregate inside each
+    batch (no row-level shuffle); the zero bucket is computed
+    arithmetically — total customers (a streaming count) minus distinct
+    ordering customers — instead of materializing a left-outer join of
+    the full customer table, which at 100 TB would move every customer
+    row to answer a ~50-row histogram. Output: (c_count, n_customers)
+    sorted by n_customers DESC, c_count DESC (the TPC-H order)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    per_cust = (_read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: _group_sum_partial(
+            {"c_custkey": b.column("o_custkey").to_numpy()},
+            {"n": np.ones(b.num_rows, np.int64)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey").aggregate(Sum("n", alias_name="c_count")))
+
+    hist = to_local_table(per_cust.map_batches(
+        lambda b: _group_sum_partial(
+            {"c_count": pc.cast(b.column("c_count"),
+                                pa.int64()).to_numpy()},
+            {"n_customers": np.ones(b.num_rows, np.int64)}),
+        batch_format="pyarrow")
+        .groupby("c_count").aggregate(Sum("n_customers",
+                                          alias_name="n_customers")))
+    schema = pa.schema([("c_count", pa.int64()),
+                        ("n_customers", pa.int64())])
+    rows = {"c_count": [], "n_customers": []}
+    n_with_orders = 0
+    if hist is not None and hist.num_rows:
+        rows["c_count"] = hist.column("c_count").to_pylist()
+        rows["n_customers"] = [int(v) for v in
+                               hist.column("n_customers").to_pylist()]
+        n_with_orders = sum(rows["n_customers"])
+    if n_customers - n_with_orders > 0:
+        rows["c_count"].append(0)
+        rows["n_customers"].append(n_customers - n_with_orders)
+    res = pa.table({"c_count": pa.array(rows["c_count"], pa.int64()),
+                    "n_customers": pa.array(rows["n_customers"],
+                                            pa.int64())},
+                   schema=schema)
+    return res.take(pc.sort_indices(
+        res, sort_keys=[("n_customers", "descending"),
+                        ("c_count", "descending")]))
+
+
+def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
+                     date_hi: str = "1996-04-01"):
+    """TPC-H Q15 shape (top supplier): the supplier(s) with MAX total
+    revenue over a 3-month ship window — ties all kept, like the SQL
+    view formulation.
+
+    Scale shape: revenue per supplier pre-aggregates per batch into a
+    narrow groupby; the global max is a streaming ``Dataset.aggregate``
+    (no driver materialization of the per-supplier table); only the
+    argmax row(s) — almost always one — gather supplier detail.
+    Output: (s_suppkey, s_name, total_rev_e4)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"]).map_batches(
+        lambda b: (lambda f: _group_sum_partial(
+            {"s_suppkey": f.column("l_suppkey").to_numpy()},
+            {"total_rev_e4": _rev_e4(f).to_numpy()}))(
+                b.filter(pc.and_(
+                    pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi)))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    per_supp = (li.groupby("s_suppkey")
+                .aggregate(Sum("total_rev_e4", alias_name="total_rev_e4"))
+                .materialize())
+    schema = pa.schema([("s_suppkey", pa.int64()),
+                        ("s_name", pa.string()),
+                        ("total_rev_e4", pa.int64())])
+    if per_supp.count() == 0:
+        return schema.empty_table()
+    best = per_supp.aggregate(Max("total_rev_e4", alias_name="m"))["m"]
+    winners = to_local_table(per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_rev_e4"),
+                                    pa.scalar(best))),
+        batch_format="pyarrow", zero_copy_batch=True))
+    supp = to_local_table(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+            lambda b: b.filter(pc.is_in(
+                b.column("s_suppkey"),
+                value_set=winners.column("s_suppkey").combine_chunks())),
+            batch_format="pyarrow", zero_copy_batch=True))
+    pos = pc.index_in(winners.column("s_suppkey"),
+                      value_set=supp.column("s_suppkey").combine_chunks())
+    res = pa.table({
+        "s_suppkey": pc.cast(winners.column("s_suppkey"), pa.int64()),
+        "s_name": supp.column("s_name").take(pos),
+        "total_rev_e4": pc.cast(winners.column("total_rev_e4"),
+                                pa.int64())})
+    return res.take(pc.sort_indices(res, sort_keys=[("s_suppkey",
+                                                     "ascending")]))
+
+
+_Q19_ARMS = (  # (brand, size_lo, size_hi, qty_lo, qty_hi) — inclusive
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#24", 1, 15, 20, 30),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str, arms=_Q19_ARMS):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    total revenue of lineitems whose part matches ANY of three
+    (brand, size-range, quantity-range) arms.
+
+    Scale shape: the part side collapses to a (partkey → arm bitmask)
+    map holding ONLY parts that satisfy at least one arm's brand+size
+    test (a small fraction of part), broadcast through the tiered
+    ``lookup_join``; the quantity test per arm is a vectorized bitmask
+    AND on the joined batch; one scalar sum leaves each batch.
+    Output: a single row (revenue_e4)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    cfg = DEFAULT_CONFIG
+
+    def part_mask(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand")
+        size = b.column("p_size").to_numpy()
+        bits = np.zeros(b.num_rows, np.int64)
+        for i, (bname, s_lo, s_hi, _, _) in enumerate(arms):
+            m = (pc.equal(brand, bname).to_numpy(zero_copy_only=False)
+                 & (size >= s_lo) & (size <= s_hi))
+            bits |= m.astype(np.int64) << i
+        keep = bits != 0
+        return pa.table({
+            "l_partkey": b.column("p_partkey").filter(pa.array(keep)),
+            "arm_bits": pa.array(bits[keep])})
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_mask, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    j = lookup_join(li, part, on="l_partkey", cfg=cfg)
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy()
+        bits = b.column("arm_bits").to_numpy()
+        hit = np.zeros(b.num_rows, bool)
+        for i, (_, _, _, q_lo, q_hi) in enumerate(arms):
+            hit |= ((bits >> i) & 1).astype(bool) \
+                & (qty >= q_lo) & (qty <= q_hi)
+        rev = _rev_e4(b).to_numpy()
+        return pa.table({"revenue_e4": pa.array(
+            [int(rev[hit].sum())], pa.int64())})
+
+    total = j.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    val = int(total["revenue_e4"]) if total and \
+        total.get("revenue_e4") is not None else 0
+    return pa.table({"revenue_e4": pa.array([val], pa.int64())})
+
+
+def events_props_extract(sf_dir: str):
+    """JSON side-field extraction: parse the integer ``k`` field out of
+    the events table's JSON ``props`` column with ONE vectorized Arrow
+    ``extract_regex`` pass (no per-row json.loads), then aggregate
+    (count, sum, min, max) per event_type.
+
+    The regex path is deliberate: at 100 TB the props column is the
+    widest part of the events table, and a C-level regex over the Arrow
+    string buffer extracts a single scalar field ~10× cheaper than a
+    JSON parser materializing per-row dicts. Output: (event_type, n,
+    sum_k, min_k, max_k) sorted by event_type."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(b.column("props"),
+                               pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        valid = pc.is_valid(k)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "k": k}).filter(valid)
+        if t.num_rows == 0:  # block of all-malformed props
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_k": pa.array([], pa.int64()),
+                             "min_k": pa.array([], pa.int64()),
+                             "max_k": pa.array([], pa.int64())})
+        et = np.asarray(t.column("event_type").to_numpy(
+            zero_copy_only=False), object)
+        kv = t.column("k").to_numpy()
+        order = np.argsort(et, kind="stable")
+        et_s, k_s = et[order], kv[order]
+        idx = np.flatnonzero(np.r_[True, et_s[1:] != et_s[:-1]])
+        bounds = np.r_[idx, len(et_s)]
+        cs = np.zeros(len(k_s) + 1, np.int64)
+        np.cumsum(k_s, out=cs[1:])
+        mins = np.minimum.reduceat(k_s, idx) if len(k_s) else k_s
+        maxs = np.maximum.reduceat(k_s, idx) if len(k_s) else k_s
+        return pa.table({
+            "event_type": pa.array(list(et_s[idx]), pa.string()),
+            "n": pa.array(np.diff(bounds).astype(np.int64)),
+            "sum_k": pa.array(cs[bounds[1:]] - cs[bounds[:-1]]),
+            "min_k": pa.array(mins.astype(np.int64)),
+            "max_k": pa.array(maxs.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_k", alias_name="sum_k"),
+                      Min("min_k", alias_name="min_k"),
+                      Max("max_k", alias_name="max_k")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "sum_k": pc.cast(b.column("sum_k"), pa.int64()),
+            "min_k": pc.cast(b.column("min_k"), pa.int64()),
+            "max_k": pc.cast(b.column("max_k"), pa.int64())}),
+        batch_format="pyarrow").sort("event_type")
