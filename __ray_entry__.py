@@ -309,6 +309,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "q15_top_supplier": relational.q15_top_supplier,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "events_props_extract": relational.events_props_extract,
+        "events_value_mad_by_type": relational.events_value_mad_by_type,
+        "embedding_pagerank": ann.embedding_pagerank,
     }
 
 
@@ -1486,5 +1488,66 @@ def oracle_sql() -> "dict[str, str]":
                   FROM events)
             WHERE k IS NOT NULL
             GROUP BY event_type ORDER BY event_type
+        """,
+        "events_value_mad_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+                  FROM c GROUP BY 1)
+            SELECT c.event_type,
+                   CAST(any_value(m.med) AS BIGINT) AS median_e2,
+                   CAST(quantile_disc(abs(c.cents - m.med), 0.5)
+                        AS BIGINT) AS mad_e2
+            FROM c JOIN m USING (event_type)
+            GROUP BY c.event_type ORDER BY event_type
+        """,
+        "embedding_pagerank": """
+            WITH s AS (
+                SELECT a.vec_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.embedding, b.embedding)
+                           AS sim
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id),
+            e AS (
+                SELECT vec_id AS src, neighbor_id AS dst FROM (
+                    SELECT vec_id, neighbor_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC,
+                                                       neighbor_id ASC)
+                               AS rank
+                    FROM s)
+                WHERE rank <= 5),
+            deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            params AS (SELECT (1000000000000 // count(*)) AS base,
+                              (100 - 85) * (1000000000000 // count(*))
+                                  // 100 AS tp
+                       FROM embeddings),
+            r0 AS (SELECT vec_id AS node, base AS r
+                   FROM embeddings, params),
+            c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS c
+                   FROM e JOIN r0 ON r0.node = e.src
+                   JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r1 AS (SELECT r0.node,
+                          params.tp + 85 * COALESCE(c1.c, 0) // 100 AS r
+                   FROM r0 CROSS JOIN params
+                   LEFT JOIN c1 ON c1.node = r0.node),
+            c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS c
+                   FROM e JOIN r1 ON r1.node = e.src
+                   JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r2 AS (SELECT r1.node,
+                          params.tp + 85 * COALESCE(c2.c, 0) // 100 AS r
+                   FROM r1 CROSS JOIN params
+                   LEFT JOIN c2 ON c2.node = r1.node),
+            c3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS c
+                   FROM e JOIN r2 ON r2.node = e.src
+                   JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r3 AS (SELECT r2.node,
+                          params.tp + 85 * COALESCE(c3.c, 0) // 100 AS r
+                   FROM r2 CROSS JOIN params
+                   LEFT JOIN c3 ON c3.node = r2.node)
+            SELECT CAST(node AS BIGINT) AS vec_id,
+                   CAST(r AS BIGINT) AS rank_e12
+            FROM r3 ORDER BY vec_id
         """,
     }

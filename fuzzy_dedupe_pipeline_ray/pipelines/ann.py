@@ -642,3 +642,118 @@ def embedding_knn_graph(sf_dir: str, k: int = 5):
             .map_batches(batch_knn, batch_format="pyarrow",
                          zero_copy_batch=True)
             .sort(["vec_id", "rank"]))
+
+
+_PR_SCALE = 1_000_000_000_000  # rank unit: 1e-12 (int64 throughout)
+
+
+def embedding_pagerank(sf_dir: str, k: int = 5, n_iters: int = 3,
+                       damping_pct: int = 85):
+    """PageRank over the exact cosine kNN graph — the iterative
+    fixed-point operator class (power iteration as repeated
+    join+groupby rounds), in PURE int64 arithmetic so the result is
+    bit-identical under any partitioning / summation order AND exactly
+    reproducible by an unrolled SQL oracle:
+
+        r0(v)   = SCALE // N
+        r_t(v)  = (100-d)·(SCALE // N) // 100
+                  + d · Σ_{u→v} (r_{t-1}(u) // out_deg(u)) // 100
+
+    (integer floor division drops sub-unit mass deterministically; the
+    invariant "total rank ≤ SCALE" still holds).
+
+    Scale shape: each iteration is edges ⋈ ranks through the tiered
+    ``lookup_join`` (broadcast under the gate, distributed hash join
+    above — ranks are one int64 row per node), a per-batch grouped-sum
+    partial, and one narrow groupby(dst); nodes with no in-edges keep
+    the teleport term via a left-outer rank refresh. The kNN edge list
+    itself comes from ``embedding_knn_graph`` (gated exact operator;
+    swap in ``ann_lsh_topk`` edges for the >2M-row approximate path).
+    Output: (vec_id, rank_e12) sorted by vec_id."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from fuzzy_dedupe_pipeline_ray.config import DEFAULT_CONFIG
+    from fuzzy_dedupe_pipeline_ray.pipelines.relational import \
+        _group_sum_partial
+    from fuzzy_dedupe_pipeline_ray.sources.io import (lookup_join,
+                                                      to_local_table)
+
+    cfg = DEFAULT_CONFIG
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("rank_e12", pa.int64())])
+    n = read_embeddings(sf_dir).count()
+    if n == 0:
+        return out_schema.empty_table()
+    base = _PR_SCALE // n
+    teleport = (100 - damping_pct) * base // 100
+
+    edges = embedding_knn_graph(sf_dir, k=k).map_batches(
+        lambda b: pa.table({"src": pc.cast(b.column("vec_id"), pa.int64()),
+                            "dst": pc.cast(b.column("neighbor_id"),
+                                           pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if edges.count() == 0:
+        # no edges (N == 1): the fixed point after one iteration is the
+        # bare teleport term for every node
+        ids = to_local_table(read_embeddings(sf_dir)
+                             .select_columns(["vec_id"]))
+        ids_sorted = pc.cast(ids.column("vec_id"), pa.int64())
+        rank = teleport if n_iters > 0 else base
+        return pa.table({
+            "vec_id": ids_sorted.take(pc.sort_indices(ids_sorted)),
+            "rank_e12": pa.array(np.full(ids.num_rows, rank, np.int64))},
+            schema=out_schema)
+
+    deg = (edges.map_batches(
+        lambda b: _group_sum_partial(
+            {"src": b.column("src").to_numpy()},
+            {"deg": np.ones(b.num_rows, np.int64)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("src").aggregate(Sum("deg", alias_name="deg"))
+        .materialize())
+
+    # node universe: every vec_id, as a (node → rank) dataset
+    ranks = read_embeddings(sf_dir).map_batches(
+        lambda b: pa.table({
+            "src": pc.cast(b.column("vec_id"), pa.int64()),
+            "rank_e12": pa.array(
+                np.full(b.num_rows, base, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    d_pct = damping_pct
+    n_deg = deg.count()
+    for _ in range(n_iters):
+        # per-edge contribution r(u) // deg(u), summed per dst
+        withdeg = lookup_join(ranks, deg, on="src", cfg=cfg,
+                              right_count=n_deg)
+        j = lookup_join(edges, withdeg, on="src", cfg=cfg)
+        contrib = (j.map_batches(
+            lambda b: _group_sum_partial(
+                {"src": b.column("dst").to_numpy()},
+                {"c": b.column("rank_e12").to_numpy()
+                 // b.column("deg").to_numpy()}),
+            batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("src").aggregate(Sum("c", alias_name="c"))
+            .materialize())
+        nodes = ranks.select_columns(["src"])
+        refreshed = lookup_join(nodes, contrib, on="src", cfg=cfg,
+                                join_type="left_outer",
+                                right_count=contrib.count())
+        ranks = refreshed.map_batches(
+            lambda b: pa.table({
+                "src": b.column("src"),
+                "rank_e12": pa.array(
+                    teleport + d_pct * pc.fill_null(
+                        pc.cast(b.column("c"), pa.int64()), 0).to_numpy()
+                    // 100)}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    out = to_local_table(ranks)
+    res = pa.table({"vec_id": out.column("src"),
+                    "rank_e12": out.column("rank_e12")},
+                   schema=out_schema)
+    import pyarrow.compute as _pc
+    return res.take(_pc.sort_indices(res, sort_keys=[("vec_id",
+                                                      "ascending")]))

@@ -1208,24 +1208,19 @@ def part_brand_topk(sf_dir: str, k: int = 3):
             .sort(["p_brand", "rnk"]))
 
 
-def events_value_quantiles_by_type(sf_dir: str, qs=(0.25, 0.5, 0.9)):
-    """EXACT per-group quantiles (``quantile_disc`` per event_type) by
-    distributed selection — the grouped form of ``lineitem_quantiles``:
-    one global sort on (event_type, cents), then per-block RUN-LENGTH
-    summaries of the group column (block metadata-sized, not data-sized)
-    let the driver compute each group's global offset and locate every
-    k-th order statistic; only the owning blocks are touched, one tiny
-    slice task each. No group is ever materialized in one task, so a
-    group 1000× larger than worker memory still works. Output:
-    (event_type, q_e2, value_cents)."""
+def _grouped_cents_quantiles(cents_ds, qs):
+    """EXACT per-group ``quantile_disc`` by distributed selection over a
+    (event_type, cents) dataset: one global sort on (group, value), then
+    per-block RUN-LENGTH summaries of the group column (block
+    metadata-sized, not data-sized) let the driver compute each group's
+    global offset and locate every k-th order statistic; only the owning
+    blocks are touched, one tiny slice task each. No group is ever
+    materialized in one task, so a group 1000× larger than worker memory
+    still works. Returns sorted (group, q_e2, value) row tuples, or None
+    when the input has no rows."""
     import ray
 
-    ev = _read(sf_dir, "events", ["event_type", "value"])
-    cents = ev.map_batches(
-        lambda b: pa.table({"event_type": b.column("event_type"),
-                            "cents": _e2(b.column("value"))}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    s = cents.sort(["event_type", "cents"]).materialize()
+    s = cents_ds.sort(["event_type", "cents"]).materialize()
 
     def block_runs(tbl: pa.Table):
         """(types, counts) of the block's event_type runs, in order."""
@@ -1248,11 +1243,8 @@ def events_value_quantiles_by_type(sf_dir: str, qs=(0.25, 0.5, 0.9)):
             if meta.num_rows:
                 refs.append(ref)
                 block_rows.append(meta.num_rows)
-    out_schema = pa.schema([("event_type", pa.string()),
-                            ("q_e2", pa.int64()),
-                            ("value_cents", pa.int64())])
     if not refs:
-        return ray.data.from_arrow(out_schema.empty_table())
+        return None
 
     runs = ray.get([runs_r.remote(r) for r in refs])
     # global (group → size, start offset) from the ordered run summaries
@@ -1281,11 +1273,76 @@ def events_value_quantiles_by_type(sf_dir: str, qs=(0.25, 0.5, 0.9)):
     pick_r = ray.remote(pick)
     got = ray.get([pick_r.remote(refs[b], items)
                    for b, items in sorted(want.items())])
-    rows = sorted(p for chunk in got for p in chunk)
+    return sorted(p for chunk in got for p in chunk)
+
+
+def events_value_quantiles_by_type(sf_dir: str, qs=(0.25, 0.5, 0.9)):
+    """EXACT per-group quantiles (``quantile_disc`` per event_type) —
+    the grouped form of ``lineitem_quantiles``, via the
+    ``_grouped_cents_quantiles`` distributed-selection kernel.
+    Output: (event_type, q_e2, value_cents)."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    cents = ev.map_batches(
+        lambda b: pa.table({"event_type": b.column("event_type"),
+                            "cents": _e2(b.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rows = _grouped_cents_quantiles(cents, qs)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("q_e2", pa.int64()),
+                            ("value_cents", pa.int64())])
+    if rows is None:
+        return ray.data.from_arrow(out_schema.empty_table())
     return ray.data.from_arrow(pa.table({
         "event_type": pa.array([r[0] for r in rows], pa.string()),
         "q_e2": pa.array([r[1] for r in rows], pa.int64()),
         "value_cents": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
+def events_value_mad_by_type(sf_dir: str):
+    """EXACT per-group median absolute deviation: median (quantile_disc
+    convention) per event_type, then the median of |cents − group
+    median| — TWO passes of the ``_grouped_cents_quantiles``
+    distributed-selection kernel, with the tiny per-group median table
+    applied as a vectorized ``index_in`` lookup between them (group
+    count is output-sized, so the lookup broadcast never grows with the
+    data). Output: (event_type, median_e2, mad_e2)."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    cents = ev.map_batches(
+        lambda b: pa.table({"event_type": b.column("event_type"),
+                            "cents": _e2(b.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    med_rows = _grouped_cents_quantiles(cents, (0.5,))
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("median_e2", pa.int64()),
+                            ("mad_e2", pa.int64())])
+    if med_rows is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    types = pa.array([r[0] for r in med_rows], pa.string())
+    meds = np.array([r[2] for r in med_rows], np.int64)
+
+    def absdev(b: pa.Table) -> pa.Table:
+        pos = pc.index_in(b.column("event_type"), value_set=types)
+        m = meds[np.asarray(pos.combine_chunks()
+                            if isinstance(pos, pa.ChunkedArray) else pos,
+                            np.int64)]
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "cents": pa.array(np.abs(
+                b.column("cents").to_numpy().astype(np.int64) - m))})
+
+    mad_rows = _grouped_cents_quantiles(
+        cents.map_batches(absdev, batch_format="pyarrow",
+                          zero_copy_batch=True), (0.5,))
+    mad_of = {r[0]: r[2] for r in mad_rows}
+    return ray.data.from_arrow(pa.table({
+        "event_type": types,
+        "median_e2": pa.array(meds),
+        "mad_e2": pa.array([mad_of[r[0]] for r in med_rows], pa.int64()),
     }))
 
 

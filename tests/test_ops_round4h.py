@@ -207,3 +207,91 @@ def test_props_extract_malformed_json_skipped(tmp_path, ray_session):
     assert got == {
         "a": {"n": 2, "sum_k": 2, "min_k": -3, "max_k": 5},
         "b": {"n": 1, "sum_k": 12, "min_k": 12, "max_k": 12}}
+
+
+def test_mad_by_type_known_values(tmp_path, ray_session):
+    tmp = str(tmp_path)
+    # type a: cents {100,200,400} → med 200 (disc), |dev| {100,0,200}
+    #   → mad 100; type b: {100,300} → quantile_disc(0.5) = rank
+    #   ceil(.5*2)=1 → 100; |dev| {0,200} → mad 0
+    vals = [(1.00, "a"), (2.00, "a"), (4.00, "a"),
+            (1.00, "b"), (3.00, "b")]
+    n = len(vals)
+    _write(tmp, "events", pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": np.array([_ts("2024-05-01T12:00:00")] * n),
+        "user_id": np.zeros(n, np.int64),
+        "event_type": pd.array([r[1] for r in vals], dtype="string"),
+        "value": np.array([r[0] for r in vals]),
+        "props": pd.array(["{}"] * n, dtype="string")}))
+    out = relational.events_value_mad_by_type(tmp).to_pandas()
+    got = out.set_index("event_type").to_dict("index")
+    assert got == {"a": {"median_e2": 200, "mad_e2": 100},
+                   "b": {"median_e2": 100, "mad_e2": 0}}
+
+
+def _np_pagerank(vecs, ids, k=5, n_iters=3, d_pct=85,
+                 scale=1_000_000_000_000):
+    """Reference integer PageRank with the operator's exact formula."""
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    n = len(ids)
+    kk = min(k, n - 1)
+    # neighbors: sim DESC, neighbor id ASC
+    edges = []
+    for i in range(n):
+        order = sorted(range(n), key=lambda j: (-sims[i, j], ids[j]))
+        for j in order[:kk]:
+            if j != i:
+                edges.append((i, j))
+    deg = np.zeros(n, np.int64)
+    for u, _ in edges:
+        deg[u] += 1
+    base = scale // n
+    tp = (100 - d_pct) * base // 100
+    r = np.full(n, base, np.int64)
+    for _ in range(n_iters):
+        c = np.zeros(n, np.int64)
+        for u, v in edges:
+            c[v] += r[u] // deg[u]
+        r = tp + d_pct * c // 100
+    return dict(zip(ids, r))
+
+
+def test_pagerank_matches_reference_and_conserves_mass(tmp_path,
+                                                       ray_session):
+    from fuzzy_dedupe_pipeline_ray.pipelines import ann
+
+    tmp = str(tmp_path)
+    rng = np.random.RandomState(11)
+    n, d = 40, 8
+    vecs = rng.randn(n, d)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    _write(tmp, "embeddings", pd.DataFrame({
+        "vec_id": ids,
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+        "label": np.zeros(n, np.int64)}))
+    out = ann.embedding_pagerank(tmp).to_pylist()
+    got = {r["vec_id"]: r["rank_e12"] for r in out}
+    want = _np_pagerank(vecs.astype(np.float32).astype(np.float64), ids)
+    assert got == want
+    # integer floor division only DROPS mass: total ≤ SCALE, and the
+    # teleport floor holds for every node
+    total = sum(got.values())
+    assert total <= 1_000_000_000_000
+    tp = (100 - 85) * (1_000_000_000_000 // n) // 100
+    assert all(v >= tp for v in got.values())
+
+
+def test_pagerank_single_node_teleport_only(tmp_path, ray_session):
+    from fuzzy_dedupe_pipeline_ray.pipelines import ann
+
+    tmp = str(tmp_path)
+    _write(tmp, "embeddings", pd.DataFrame({
+        "vec_id": np.array([7], np.int64),
+        "embedding": [[1.0, 0.0]],
+        "label": np.zeros(1, np.int64)}))
+    out = ann.embedding_pagerank(tmp).to_pylist()
+    tp = (100 - 85) * 1_000_000_000_000 // 100
+    assert out == [{"vec_id": 7, "rank_e12": tp}]
