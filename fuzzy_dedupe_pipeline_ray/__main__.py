@@ -127,6 +127,10 @@ def main(argv: "list[str] | None" = None) -> int:
                     help="cleaned-output format (csv = stringified rows, "
                          "the Sheets-writer analog; jsonl = one JSON "
                          "object per row)")
+    ap.add_argument("--partition-by", default=None,
+                    help="hive-partition the cleaned parquet output by "
+                         "this column (e.g. lang) — one directory per "
+                         "value, prunable at the read")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="ray.init(num_cpus=...) when starting a local "
                          "session (ignored when Ray is already initialized)")
@@ -168,7 +172,8 @@ def main(argv: "list[str] | None" = None) -> int:
                            resume=not args.no_resume)
         stage_dirs = p.run()
         if args.cleaned_out:
-            p.write_cleaned(args.cleaned_out, fmt=args.fmt)
+            p.write_cleaned(args.cleaned_out, fmt=args.fmt,
+                            partition_by=args.partition_by)
         report = {
             "status": "success",
             "run_dir": args.run_dir,

@@ -295,7 +295,8 @@ class DedupePipeline:
     def assignments(self):
         return ray.data.read_parquet(self.manifest.stage_dir("assignments"))
 
-    def write_cleaned(self, out_dir: str, fmt: str = "parquet"):
+    def write_cleaned(self, out_dir: str, fmt: str = "parquet",
+                      partition_by: "str | None" = None):
         """The reference's stage-3 output (``sheets_sync/sync.py:159-188``):
         one row per cluster — the representative — with content and cluster
         stats; content flows through unchanged (sha-equality invariant).
@@ -306,9 +307,17 @@ class DedupePipeline:
         per row (``write_json``, Ray's per-block JSONL sink — the export
         downstream ingestion tools consume); ``fmt="parquet"`` (default)
         keeps types.
+
+        ``partition_by`` (parquet only) hive-partitions the output into
+        one directory per value of that column (e.g. ``lang``), so a
+        downstream consumer can prune partitions at the read and a
+        failed export re-run can skip finished key ranges — the
+        resumable-output layout the 100 TB deployment wants.
         """
         if fmt not in ("parquet", "csv", "jsonl"):
             raise ValueError(f"bad fmt {fmt!r}")
+        if partition_by is not None and fmt != "parquet":
+            raise ValueError("partition_by requires fmt='parquet'")
         cfg = self.cfg
 
         remap = self._id_remap()  # resume path: reads the persisted table
@@ -343,6 +352,8 @@ class DedupePipeline:
                                batch_format="pyarrow").write_csv(out_dir)
         elif fmt == "jsonl":
             joined.write_json(out_dir)
+        elif partition_by is not None:
+            joined.write_parquet(out_dir, partition_cols=[partition_by])
         else:
             joined.write_parquet(out_dir)
         return out_dir

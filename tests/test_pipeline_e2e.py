@@ -386,3 +386,35 @@ def test_forced_distributed_tiers_match_fastpath(tiny_run, tmp_path):
     forced = (pds.dataset(p.run()["assignments"]).to_table()
               .select(cols).sort_by("doc_id"))
     assert fast.equals(forced)
+
+
+def test_partitioned_cleaned_output(tiny_run, tmp_path):
+    """partition_by='lang' hive-partitions the cleaned parquet export:
+    one directory per lang value, rows identical to the flat export
+    (the resumable / read-prunable output layout)."""
+    import pytest
+
+    _, _, p, _ = tiny_run
+    flat = str(tmp_path / "flat")
+    parted = str(tmp_path / "parted")
+    p.write_cleaned(flat)
+    p.write_cleaned(parted, partition_by="lang")
+
+    langdirs = [d for d in os.listdir(parted) if d.startswith("lang=")]
+    assert len(langdirs) >= 2, langdirs
+
+    t_flat = pds.dataset(flat).to_table()
+    t_part = pds.dataset(parted, partitioning="hive").to_table()
+    assert t_part.num_rows == t_flat.num_rows
+    key = sorted(t_flat.column("doc_id").to_pylist())
+    assert sorted(t_part.column("doc_id").to_pylist()) == key
+    # lang survives as a (partition) column with the same per-doc values
+    flat_lang = dict(zip(t_flat.column("doc_id").to_pylist(),
+                         t_flat.column("lang").to_pylist()))
+    for did, lang in zip(t_part.column("doc_id").to_pylist(),
+                         t_part.column("lang").to_pylist()):
+        assert str(flat_lang[did]) == str(lang)
+
+    with pytest.raises(ValueError):
+        p.write_cleaned(str(tmp_path / "bad"), fmt="csv",
+                        partition_by="lang")
