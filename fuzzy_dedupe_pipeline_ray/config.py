@@ -71,6 +71,14 @@ class PipelineConfig:
     anchors_per_doc: int = 16       # bottom-k anchor sketch size
     min_substring_span: int = 96    # minimum exact common span to count
     substring_cluster: bool = True  # substring edges join components
+    # per-pair longest-common-span kernel: "rolling_hash" (binary search
+    # over window-hash intersections, O((n+m)·log), per-doc cached state
+    # — the default and fastest) or "suffix_array" (prefix-doubling
+    # suffix array + vectorized LCE over the pair concatenation — the
+    # north-rule-literal structure; O((n+m)·log²) time and
+    # O((n+m)·log) int32 rank memory per pair). Identical span_len
+    # by construction; equivalence-tested.
+    span_kernel: str = "rolling_hash"  # "rolling_hash"|"suffix_array"
 
     # --- connected components -------------------------------------------
     # "auto" = driver numpy_cc under cc_unionfind_max_edges, else the

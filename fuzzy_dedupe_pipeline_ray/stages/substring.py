@@ -288,6 +288,102 @@ def _lcs_inner(a: str, b: str, min_len: int,
     return best
 
 
+def _suffix_array_doubling(s: np.ndarray):
+    """Prefix-doubling suffix array over an int array (O(n log² n), all
+    numpy lexsorts — Manber–Myers). Returns (sa, levels) where levels is
+    [(2^t, rank_t int32)]: rank_t[i] compares s[i:i+2^t] exactly for
+    in-bounds windows — the longest-common-extension structure the LCS
+    scan needs (no sequential Kasai pass, so the whole pipeline stays
+    vectorized)."""
+    n = len(s)
+    rank = np.unique(s, return_inverse=True)[1].astype(np.int64)
+    levels = [(1, rank.astype(np.int32))]
+    if n == 1:
+        return np.zeros(1, np.int64), levels
+    k = 1
+    while True:
+        rank2 = np.full(n, -1, np.int64)
+        rank2[:n - k] = rank[k:]
+        order = np.lexsort((rank2, rank))
+        newr = np.empty(n, np.int64)
+        newr[order[0]] = 0
+        diff = ((rank[order[1:]] != rank[order[:-1]])
+                | (rank2[order[1:]] != rank2[order[:-1]]))
+        newr[order[1:]] = np.cumsum(diff)
+        rank = newr
+        k *= 2
+        levels.append((k, rank.astype(np.int32)))
+        if rank[order[-1]] == n - 1 or k >= n:
+            return order, levels
+
+
+def _lce_pairs(i: np.ndarray, j: np.ndarray, levels, n: int) -> np.ndarray:
+    """Vectorized longest common extension for position-pair ARRAYS via
+    the doubling ranks: greedy descent over powers of two (any LCE value
+    below the top stored level decomposes into available powers)."""
+    i = i.astype(np.int64).copy()
+    j = j.astype(np.int64).copy()
+    out = np.zeros(len(i), np.int64)
+    for length, r in reversed(levels):
+        eq = (i + length <= n) & (j + length <= n)
+        idx = np.flatnonzero(eq)
+        if not len(idx):
+            continue
+        hit = idx[r[i[idx]] == r[j[idx]]]
+        out[hit] += length
+        i[hit] += length
+        j[hit] += length
+    return out
+
+
+def lcs_suffix_array(a: str, b: str, min_len: int) -> "tuple[int, int, int]":
+    """(span_len, start_a, start_b) of the longest common substring if
+    ≥ min_len, else (0, -1, -1) — the ``longest_common_span`` contract
+    via a suffix array over ``a ⊕ sep ⊕ b`` (the north rule's
+    suffix-array pass, selected with ``span_kernel="suffix_array"``).
+
+    The classic reduction: the max LCP between an a-suffix and a
+    b-suffix is attained at some ADJACENT cross-part pair in suffix
+    order (any in-between suffix bounds the range minimum from below),
+    so one vectorized LCE over the n-1 adjacent pairs finds the LCS.
+    Code points (utf-32) not bytes, so indices match the rolling-hash
+    kernel's str slicing; the separator 0x110000 is outside Unicode, so
+    no cross-part extension can run through it."""
+    if not a or not b:
+        return 0, -1, -1
+    ca = np.frombuffer(a.encode("utf-32-le"), np.uint32).astype(np.int64)
+    cb = np.frombuffer(b.encode("utf-32-le"), np.uint32).astype(np.int64)
+    na = len(ca)
+    s = np.concatenate([ca, np.array([0x110000], np.int64), cb])
+    n = len(s)
+    sa, levels = _suffix_array_doubling(s)
+    i, j = sa[:-1], sa[1:]
+    cross = (i < na) != (j < na)
+    ii, jj = i[cross], j[cross]
+    if not len(ii):
+        return 0, -1, -1
+    lcps = _lce_pairs(ii, jj, levels, n)
+    best = int(np.argmax(lcps))
+    span = int(lcps[best])
+    if span < min_len:
+        return 0, -1, -1
+    x, y = int(ii[best]), int(jj[best])
+    if x >= na:
+        x, y = y, x
+    return span, x, y - na - 1
+
+
+def _best_span(a: str, b: str, cfg: PipelineConfig,
+               ra: "_RollState | None" = None,
+               rb: "_RollState | None" = None) -> int:
+    """Kernel dispatch for the per-pair span search (config knob
+    ``span_kernel``); both return the same span_len by construction."""
+    if cfg.span_kernel == "suffix_array":
+        return lcs_suffix_array(a, b, cfg.min_substring_span)[0]
+    return longest_common_span(a, b, cfg.min_substring_span,
+                               ra=ra, rb=rb)[0]
+
+
 def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """Stateless per-pair span verification over a batch that CARRIES its
     content columns (id_a, id_b, content_a, content_b) — no global content
@@ -343,8 +439,7 @@ def verify_span_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         ha, hb = doc_probe(ida, ra), doc_probe(idb, rb)
         if not _has_common_sorted(ha, hb):
             continue
-        span, _, _ = longest_common_span(a, b, cfg.min_substring_span,
-                                         ra=ra, rb=rb)
+        span = _best_span(a, b, cfg, ra=ra, rb=rb)
         if span >= cfg.min_substring_span:
             out["id_a"].append(ida)
             out["id_b"].append(idb)
@@ -445,7 +540,7 @@ def verify_span_pairs_bc(batch: pa.Table, cfg: PipelineConfig,
         b, rb, hb = doc(int(ib[i]))
         if not _has_common_sorted(ha, hb):
             continue
-        span, _, _ = longest_common_span(a, b, span_w, ra=ra, rb=rb)
+        span = _best_span(a, b, cfg, ra=ra, rb=rb)
         if span >= span_w:
             out["id_a"].append(int(id_a[i]))
             out["id_b"].append(int(id_b[i]))

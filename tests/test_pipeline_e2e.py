@@ -418,3 +418,20 @@ def test_partitioned_cleaned_output(tiny_run, tmp_path):
     with pytest.raises(ValueError):
         p.write_cleaned(str(tmp_path / "bad"), fmt="csv",
                         partition_by="lang")
+
+
+def test_suffix_array_span_kernel_equivalent(tiny_run, tmp_path):
+    """Full-pipeline equivalence of the two span kernels: running the
+    flagship with span_kernel="suffix_array" (the north rule's
+    suffix-array pass) produces byte-identical cluster assignments to
+    the rolling-hash default — same candidate pairs, same span_len
+    decisions, same edges."""
+    d, _, _, paths = tiny_run
+    cols = ["doc_id", "cluster_id", "duplicate_count", "is_representative"]
+    fast = _load(paths, "assignments").select(cols).sort_by("doc_id")
+    run_dir = str(tmp_path / "sa_kernel")
+    cfg = PipelineConfig(span_kernel="suffix_array")
+    p = DedupePipeline(f"{d}/files.parquet", run_dir, cfg)
+    got = (pds.dataset(p.run()["assignments"]).to_table()
+           .select(cols).sort_by("doc_id"))
+    assert fast.equals(got)

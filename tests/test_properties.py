@@ -164,3 +164,20 @@ def test_normalize_for_shingles_array_matches_scalar():
             assert got == want
 
     check()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="abc", max_size=60),
+       st.text(alphabet="abc", max_size=60),
+       st.integers(1, 8))
+def test_lcs_suffix_array_matches_rolling_hash(a, b, min_len):
+    """The suffix-array span kernel (span_kernel="suffix_array") returns
+    the SAME span_len as the rolling-hash kernel on every input, and its
+    reported start positions index a real common slice."""
+    from fuzzy_dedupe_pipeline_ray.stages.substring import lcs_suffix_array
+
+    span_rh, _, _ = longest_common_span(a, b, min_len)
+    span_sa, ia, ib = lcs_suffix_array(a, b, min_len)
+    assert span_sa == span_rh
+    if span_sa:
+        assert a[ia:ia + span_sa] == b[ib:ib + span_sa]
