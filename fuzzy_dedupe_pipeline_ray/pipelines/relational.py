@@ -30,6 +30,22 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_filtered(sf_dir: str, table: str, columns, expr):
+    """Column-pruned read with a pyarrow SCAN-level row filter: parquet
+    row groups whose min/max statistics exclude the predicate never
+    leave storage, and surviving row groups are filtered inside the
+    fragment scan — the "prune at the read" path for selective
+    predicates (date windows, flag equality). The filter is exact, so
+    no per-batch re-filter is needed downstream."""
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns, filter=expr)
+
+
+def _ts_window_expr(col: str, lo: str, hi: str):
+    return ((pc.field(col) >= np.datetime64(lo, "us"))
+            & (pc.field(col) < np.datetime64(hi, "us")))
+
+
 def _scaled_int(col, scale: float):
     """float64 array → round(x·scale) int64.
 
@@ -3334,16 +3350,12 @@ def q7_nation_trade_volume(sf_dir: str, nation_a: str = "NATION_1",
                                 "cust_nk": b.column("c_nationkey")}),
             batch_format="pyarrow", zero_copy_batch=True)
 
-    lo = pa.scalar(np.datetime64(date_lo, "us"))
-    hi = pa.scalar(np.datetime64(date_hi, "us"))
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_suppkey", "l_shipdate",
-                "l_extendedprice", "l_discount"])
+    li = _read_filtered(sf_dir, "lineitem",
+                        ["l_orderkey", "l_suppkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"],
+                        _ts_window_expr("l_shipdate", date_lo, date_hi))
 
     def prep(b: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
-                       pc.less(b.column("l_shipdate"), hi))
-        b = b.filter(keep)
         return pa.table({
             "o_orderkey": b.column("l_orderkey"),
             "l_suppkey": b.column("l_suppkey"),
@@ -3441,18 +3453,14 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
                          value_set=region_nation_keys)),
             batch_format="pyarrow", zero_copy_batch=True)
 
-    lo = pa.scalar(np.datetime64(date_lo, "us"))
-    hi = pa.scalar(np.datetime64(date_hi, "us"))
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda b: (lambda f: pa.table({
-            "c_custkey": f.column("o_custkey"),
-            "o_orderkey": f.column("o_orderkey"),
-            "o_year": pc.cast(pc.year(f.column("o_orderdate")),
-                              pa.int64())}))(
-                b.filter(pc.and_(pc.greater_equal(b.column("o_orderdate"),
-                                                  lo),
-                                 pc.less(b.column("o_orderdate"), hi)))),
+    orders = _read_filtered(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        _ts_window_expr("o_orderdate", date_lo, date_hi)).map_batches(
+        lambda b: pa.table({
+            "c_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                              pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
     o_keep = lookup_join(orders, cust, on="c_custkey", cfg=cfg) \
         .select_columns(["o_orderkey", "o_year"])
@@ -3523,23 +3531,18 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
                                                       to_local_table)
 
     cfg = DEFAULT_CONFIG
-    lo = pa.scalar(np.datetime64(date_lo, "us"))
-    hi = pa.scalar(np.datetime64(date_hi, "us"))
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda b: b.filter(
-            pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
-                    pc.less(b.column("o_orderdate"), hi)))
-        .select(["o_orderkey", "o_custkey"]),
+    orders = _read_filtered(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        _ts_window_expr("o_orderdate", date_lo, date_hi)).map_batches(
+        lambda b: b.select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_returnflag",
-                "l_extendedprice", "l_discount"]).map_batches(
-        lambda b: (lambda f: pa.table({
-            "o_orderkey": f.column("l_orderkey"),
-            "rev_e4": _rev_e4(f)}))(
-                b.filter(pc.equal(b.column("l_returnflag"), "R"))),
+    li = _read_filtered(sf_dir, "lineitem",
+                        ["l_orderkey", "l_returnflag",
+                         "l_extendedprice", "l_discount"],
+                        pc.field("l_returnflag") == "R").map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("l_orderkey"),
+                            "rev_e4": _rev_e4(b)}),
         batch_format="pyarrow", zero_copy_batch=True)
     j = lookup_join(li, orders, on="o_orderkey", cfg=cfg)
 
@@ -3655,17 +3658,14 @@ def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01",
     Output: (s_suppkey, s_name, total_rev_e4)."""
     from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
 
-    lo = pa.scalar(np.datetime64(date_lo, "us"))
-    hi = pa.scalar(np.datetime64(date_hi, "us"))
-    li = _read(sf_dir, "lineitem",
-               ["l_suppkey", "l_shipdate",
-                "l_extendedprice", "l_discount"]).map_batches(
-        lambda b: (lambda f: _group_sum_partial(
-            {"s_suppkey": f.column("l_suppkey").to_numpy()},
-            {"total_rev_e4": _rev_e4(f).to_numpy()}))(
-                b.filter(pc.and_(
-                    pc.greater_equal(b.column("l_shipdate"), lo),
-                    pc.less(b.column("l_shipdate"), hi)))),
+    li = _read_filtered(sf_dir, "lineitem",
+                        ["l_suppkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"],
+                        _ts_window_expr("l_shipdate", date_lo,
+                                        date_hi)).map_batches(
+        lambda b: _group_sum_partial(
+            {"s_suppkey": b.column("l_suppkey").to_numpy()},
+            {"total_rev_e4": _rev_e4(b).to_numpy()}),
         batch_format="pyarrow", zero_copy_batch=True)
     per_supp = (li.groupby("s_suppkey")
                 .aggregate(Sum("total_rev_e4", alias_name="total_rev_e4"))
