@@ -933,11 +933,11 @@ def customers_inactive_since(sf_dir: str, cutoff: str = "2000-06-01"):
     shuffles the full orders table — only its distinct keys move.
     Reference analog: the pair-set membership test of
     ``dedupe_logic/processor.py:144-147`` inverted (keep NON-members)."""
-    cut = pa.scalar(np.datetime64(cutoff, "us"))
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    orders = _read_filtered(
+        sf_dir, "orders", ["o_custkey", "o_orderdate"],
+        pc.field("o_orderdate") >= np.datetime64(cutoff, "us"))
 
     def recent_keys(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater_equal(b.column("o_orderdate"), cut))
         # batch-level distinct before the shuffle (combiner pattern)
         return pa.table({"c_custkey": pc.unique(b.column("o_custkey"))})
 
@@ -1531,27 +1531,22 @@ def urgent_order_revenue(sf_dir: str, segment: str = "BUILDING",
     key set before lineitem ever joins), per-batch revenue partials, top-k.
     Output: (l_orderkey, o_orderdate, revenue_e4)."""
     cfg = DEFAULT_CONFIG
-    cut = pa.scalar(np.datetime64(cutoff, "us"))
 
     cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
             .map_batches(
                 lambda b: b.filter(pc.equal(b.column("c_mktsegment"),
                                             segment)).select(["c_custkey"]),
                 batch_format="pyarrow", zero_copy_batch=True))
-    orders = (_read(sf_dir, "orders",
-                    ["o_orderkey", "o_custkey", "o_orderdate"])
-              .map_batches(
-                  lambda b: b.filter(pc.less(b.column("o_orderdate"), cut)),
-                  batch_format="pyarrow", zero_copy_batch=True))
+    orders = _read_filtered(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        pc.field("o_orderdate") < np.datetime64(cutoff, "us"))
     orders = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
                        cfg=cfg).select_columns(["o_orderkey", "o_orderdate"])
 
-    li = (_read(sf_dir, "lineitem",
-                ["l_orderkey", "l_extendedprice", "l_discount",
-                 "l_shipdate"])
-          .map_batches(
-              lambda b: b.filter(pc.greater(b.column("l_shipdate"), cut)),
-              batch_format="pyarrow", zero_copy_batch=True))
+    li = _read_filtered(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        pc.field("l_shipdate") > np.datetime64(cutoff, "us"))
 
     def partial_rev(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey").to_numpy()
@@ -3112,11 +3107,10 @@ def q4_priority_with_discounted_lines(sf_dir: str,
     n_orders)."""
     from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
 
-    disc = pa.scalar(min_discount)
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_discount"])
+    li = _read_filtered(sf_dir, "lineitem", ["l_orderkey", "l_discount"],
+                        pc.field("l_discount") > min_discount)
 
     def qual_keys(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b.column("l_discount"), disc))
         return pa.table({"o_orderkey": pc.unique(b.column("l_orderkey"))})
 
     qual = (li.map_batches(qual_keys, batch_format="pyarrow",
@@ -3124,18 +3118,12 @@ def q4_priority_with_discounted_lines(sf_dir: str,
             .groupby("o_orderkey").aggregate(Count(alias_name="_m"))
             .materialize())
 
-    lo = pa.scalar(np.datetime64(date_lo, "us"))
-    hi = pa.scalar(np.datetime64(date_hi, "us"))
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
-
-    def in_window(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
-                    pc.less(b.column("o_orderdate"), hi))
-        return b.filter(m).select(["o_orderkey", "o_orderpriority"])
-
-    win = orders.map_batches(in_window, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    win = _read_filtered(
+        sf_dir, "orders",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        _ts_window_expr("o_orderdate", date_lo, date_hi)).map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     schema = pa.schema([("o_orderpriority", pa.string()),
                         ("n_orders", pa.int64())])
     if qual.count() == 0:
@@ -3217,13 +3205,12 @@ def q22_idle_rich_customers(sf_dir: str, cutoff: str = "2000-01-01"):
     rich_ds = cust.map_batches(rich, batch_format="pyarrow",
                                zero_copy_batch=True)
 
-    cut = pa.scalar(np.datetime64(cutoff, "us"))
-
     def recent_keys(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater_equal(b.column("o_orderdate"), cut))
         return pa.table({"c_custkey": pc.unique(b.column("o_custkey"))})
 
-    ordered = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    ordered = (_read_filtered(
+        sf_dir, "orders", ["o_custkey", "o_orderdate"],
+        pc.field("o_orderdate") >= np.datetime64(cutoff, "us"))
                .map_batches(recent_keys, batch_format="pyarrow",
                             zero_copy_batch=True)
                .groupby("c_custkey").aggregate(Count(alias_name="_m"))
