@@ -3588,20 +3588,28 @@ def q13_order_count_distribution(sf_dir: str):
 
     Scale shape: per-custkey order counts pre-aggregate inside each
     batch (no row-level shuffle); the zero bucket is computed
-    arithmetically — total customers (a streaming count) minus distinct
-    ordering customers — instead of materializing a left-outer join of
-    the full customer table, which at 100 TB would move every customer
-    row to answer a ~50-row histogram. Output: (c_count, n_customers)
-    sorted by n_customers DESC, c_count DESC (the TPC-H order)."""
-    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+    arithmetically — total customers (a streaming count) minus
+    customers with ≥1 order — instead of materializing a left-outer
+    join of the full customer table, which at 100 TB would move every
+    customer row to answer a ~50-row histogram. The AGGREGATED counts
+    (≤1 row per customer) are semi-joined against the real customer
+    keys through the tiered lookup_join, so orphan o_custkey values
+    match the SQL left join's semantics exactly even on non-FK data.
+    Output: (c_count, n_customers) sorted by n_customers DESC,
+    c_count DESC (the TPC-H order)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import (lookup_join,
+                                                      to_local_table)
 
-    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    cust_keys = _read(sf_dir, "customer", ["c_custkey"]).materialize()
+    n_customers = cust_keys.count()
     per_cust = (_read(sf_dir, "orders", ["o_custkey"]).map_batches(
         lambda b: _group_sum_partial(
             {"c_custkey": b.column("o_custkey").to_numpy()},
             {"n": np.ones(b.num_rows, np.int64)}),
         batch_format="pyarrow", zero_copy_batch=True)
         .groupby("c_custkey").aggregate(Sum("n", alias_name="c_count")))
+    per_cust = lookup_join(per_cust, cust_keys, on="c_custkey",
+                           cfg=DEFAULT_CONFIG, right_count=n_customers)
 
     hist = to_local_table(per_cust.map_batches(
         lambda b: _group_sum_partial(

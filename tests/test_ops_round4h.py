@@ -295,3 +295,26 @@ def test_pagerank_single_node_teleport_only(tmp_path, ray_session):
     out = ann.embedding_pagerank(tmp).to_pylist()
     tp = (100 - 85) * 1_000_000_000_000 // 100
     assert out == [{"vec_id": 7, "rank_e12": tp}]
+
+
+def test_q13_orphan_custkey_excluded(tmp_path, ray_session):
+    """An o_custkey with no customer row must NOT count (left-join
+    semantics on non-FK data): the aggregated counts semi-join the real
+    customer keys."""
+    tmp = str(tmp_path)
+    _write(tmp, "customer", pd.DataFrame({
+        "c_custkey": np.array([1, 2], np.int64),
+        "c_name": ["a", "b"],
+        "c_nationkey": np.zeros(2, np.int64),
+        "c_acctbal": np.zeros(2),
+        "c_mktsegment": ["A", "A"]}))
+    _write(tmp, "orders", pd.DataFrame({
+        "o_orderkey": np.arange(3, dtype=np.int64),
+        "o_custkey": np.array([1, 1, 99], np.int64),  # 99 is an orphan
+        "o_orderstatus": ["F"] * 3,
+        "o_totalprice": np.ones(3),
+        "o_orderdate": np.array([_ts("1996-01-01")] * 3),
+        "o_orderpriority": ["X"] * 3}))
+    out = relational.q13_order_count_distribution(tmp).to_pylist()
+    assert out == [{"c_count": 2, "n_customers": 1},
+                   {"c_count": 0, "n_customers": 1}]
