@@ -435,3 +435,95 @@ def test_suffix_array_span_kernel_equivalent(tiny_run, tmp_path):
     got = (pds.dataset(p.run()["assignments"]).to_table()
            .select(cols).sort_by("doc_id"))
     assert fast.equals(got)
+
+
+def test_worker_kill_mid_stage_retried(ray_session, tmp_path):
+    """Ray-level fault tolerance: SIGKILL a busy WORKER process (not the
+    driver) while the flagship's fingerprint stage is running; Ray's
+    task retry + lineage re-execute the lost work and the run completes
+    with assignments byte-identical to a clean run. This is the
+    lost-node story a multi-node deployment relies on, complementing
+    the driver hard-kill resume test above."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import pyarrow.dataset as pds2
+
+    d = corpus_dir("tiny", root=CORPUS_ROOT)
+    run_dir = str(tmp_path / "wkill_run")
+    script = textwrap.dedent("""
+        import os, signal, sys, threading, time
+
+        def proc_start(pid):
+            try:
+                with open(f"/proc/{pid}/stat", "rb") as f:
+                    return int(f.read().rsplit(b") ", 1)[1].split()[19])
+            except (OSError, IndexError, ValueError):
+                return None
+
+        my_start = proc_start(os.getpid())
+
+        def busy_ray_workers():
+            pids = []
+            for pid in os.listdir("/proc"):
+                if not pid.isdigit() or int(pid) == os.getpid():
+                    continue
+                try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as f:
+                        cmd = f.read().decode(errors="replace")
+                except OSError:
+                    continue
+                # busy Ray workers retitle to ray::<task>. Kill ONLY
+                # processes younger than this driver, so a concurrently
+                # running Ray session (e.g. the pytest host session)
+                # keeps its workers.
+                if cmd.startswith("ray::") and "IDLE" not in cmd:
+                    st = proc_start(pid)
+                    if st is not None and my_start is not None \
+                            and st > my_start:
+                        pids.append(int(pid))
+            return pids
+
+        killed = {"n": 0}
+
+        def killer():
+            deadline = time.time() + 120
+            while time.time() < deadline and killed["n"] < 2:
+                for pid in busy_ray_workers():
+                    try:
+                        os.kill(pid, signal.SIGKILL)
+                        killed["n"] += 1
+                        break
+                    except OSError:
+                        pass
+                time.sleep(0.05)
+
+        sys.path.insert(0, "/root/repo")
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        threading.Thread(target=killer, daemon=True).start()
+        from fuzzy_dedupe_pipeline_ray.pipelines.dedupe import DedupePipeline
+        DedupePipeline(sys.argv[1], sys.argv[2]).run()
+        print("KILLED_WORKERS", killed["n"])
+    """)
+    sp = str(tmp_path / "wkill_driver.py")
+    with open(sp, "w") as f:
+        f.write(script)
+    proc = subprocess.run(
+        [sys.executable, sp, f"{d}/files.parquet", run_dir],
+        cwd="/root/repo", start_new_session=True, timeout=600,
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    killed = [ln for ln in proc.stdout.splitlines()
+              if ln.startswith("KILLED_WORKERS")]
+    assert killed and int(killed[0].split()[1]) >= 1, \
+        "no busy worker was killed — the fault was never injected"
+
+    clean_dir = str(tmp_path / "wkill_clean")
+    clean = DedupePipeline(f"{d}/files.parquet", clean_dir).run()
+    a = (pds2.dataset(os.path.join(run_dir, "assignments"))
+         .to_table().sort_by("doc_id"))
+    b = pds2.dataset(clean["assignments"]).to_table().sort_by("doc_id")
+    assert a.equals(b)
