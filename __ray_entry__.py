@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 90 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 102 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (84 oracles, including all-true INVARIANT oracles
+SQL-expressible one (96 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -210,6 +210,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
             textops.doc_simhash_exact_family_check,
         "doc_exact_dedupe": textops.doc_exact_dedupe,
         "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
+        "doc_ngram_containment_pairs": textops.doc_ngram_containment_pairs,
+        "doc_line_dedupe": textops.doc_line_dedupe,
+        "doc_gopher_repetition": textops.doc_gopher_repetition,
         # text analysis
         "doc_normalize": textops.doc_normalize,
         "doc_token_stats": textops.doc_token_stats,
@@ -486,6 +489,71 @@ def oracle_sql() -> "dict[str, str]":
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE 2 * i >= sa.sz + sb.sz - i
             ORDER BY id_a, id_b
+        """,
+        "doc_ngram_containment_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array({collapsed}, ' ') AS t
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(i AS BIGINT) AS inter,
+                   CAST(least(sa.sz, sb.sz) AS BIGINT) AS min_sz
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE {textops.CONTAIN_DEN} * i
+                  >= {textops.CONTAIN_NUM} * least(sa.sz, sb.sz)
+            ORDER BY id_a, id_b
+        """,
+        "doc_line_dedupe": """
+            WITH l AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(
+                           string_split(text, chr(10)), 1) AS ord
+                FROM documents),
+            c AS (SELECT line FROM l WHERE trim(line) <> ''
+                  GROUP BY line HAVING count(DISTINCT doc_id) >= 2)
+            SELECT l.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN c.line IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+                   coalesce(string_agg(
+                       CASE WHEN c.line IS NULL THEN l.line END,
+                       chr(10) ORDER BY l.ord), '') AS kept_text
+            FROM l LEFT JOIN c ON l.line = c.line
+            GROUP BY l.doc_id ORDER BY l.doc_id
+        """,
+        "doc_gopher_repetition": """
+            WITH l AS (SELECT doc_id,
+                              unnest(string_split(text, chr(10))) AS line
+                       FROM documents),
+            agg AS (SELECT doc_id, count(*) AS n_lines
+                    FROM l GROUP BY doc_id),
+            g AS (SELECT doc_id, line, count(*) AS c FROM l
+                  WHERE trim(line) <> '' GROUP BY doc_id, line),
+            d AS (SELECT doc_id,
+                         sum(c - 1) AS dup_occ,
+                         sum(CASE WHEN c > 1 THEN c * length(line)
+                             ELSE 0 END) AS dup_chars
+                  FROM g GROUP BY doc_id)
+            SELECT a.doc_id,
+                   CAST(a.n_lines AS BIGINT) AS n_lines,
+                   CAST(coalesce(d.dup_occ, 0) AS BIGINT)
+                       AS dup_line_occurrences,
+                   CAST(coalesce(d.dup_chars, 0) AS BIGINT)
+                       AS dup_line_chars
+            FROM agg a LEFT JOIN d ON a.doc_id = d.doc_id
+            ORDER BY a.doc_id
         """,
         "doc_distinct_shingle_sketch": f"""
             WITH toks AS (

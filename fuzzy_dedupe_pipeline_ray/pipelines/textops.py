@@ -327,18 +327,28 @@ def _ngram_pairs_local(doc: np.ndarray, code: np.ndarray, df: np.ndarray):
     first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
     a, b = a[first], b[first]
 
-    # exact verification, vectorized: |A∩B| = membership count of the
-    # smaller member's codes in the larger member's (doc, code) rows,
-    # via ONE searchsorted over a packed (dense_doc, code) key array
+    inter, la, lb = _exact_inter(doc, code, np.int64(df.shape[0]), a, b)
+    union = la.astype(np.int64) + lb.astype(np.int64) - inter
+    keep = 2 * inter >= union
+    return a[keep], b[keep], inter[keep], union[keep]
+
+
+def _exact_inter(doc: np.ndarray, code: np.ndarray, m: np.int64,
+                 a: np.ndarray, b: np.ndarray):
+    """Exact |A∩B| per candidate doc pair, vectorized: membership count of
+    the smaller member's codes in the larger member's (doc, code) rows,
+    via ONE searchsorted over a packed (dense_doc, code) key array.
+    ``m`` is the code-space size (codes are 0..m-1). Returns
+    ``(inter, la, lb)`` int64 arrays (la/lb = the members' set sizes).
+    Shared by the Jaccard and containment pair kernels."""
     code_by_doc_order = np.lexsort((code, doc))
     d_v = doc[code_by_doc_order]
     c_v = code[code_by_doc_order]
     v_starts = np.flatnonzero(np.r_[True, d_v[1:] != d_v[:-1]])
     v_lens = np.diff(np.r_[v_starts, len(d_v)])
     uniq_docs = d_v[v_starts]                      # sorted unique doc ids
-    m = np.int64(df.shape[0])                      # codes are 0..m-1
     dense = np.searchsorted(uniq_docs, d_v).astype(np.int64)
-    packed = dense * m + c_v                       # sorted by construction
+    packed = dense * np.int64(m) + c_v             # sorted by construction
 
     slot_a = np.searchsorted(uniq_docs, a)
     slot_b = np.searchsorted(uniq_docs, b)
@@ -365,7 +375,8 @@ def _ngram_pairs_local(doc: np.ndarray, code: np.ndarray, df: np.ndarray):
         istart = np.repeat(np.cumsum(pl) - pl, pl)
         elem_idx = (np.repeat(v_starts[probe_slot[s:e]], pl)
                     + (np.arange(tot) - istart))
-        queries = target_slot[prow].astype(np.int64) * m + c_v[elem_idx]
+        queries = (target_slot[prow].astype(np.int64) * np.int64(m)
+                   + c_v[elem_idx])
         qpos = np.minimum(np.searchsorted(packed, queries),
                           len(packed) - 1)
         found = (packed[qpos] == queries).astype(np.int64)
@@ -373,9 +384,77 @@ def _ngram_pairs_local(doc: np.ndarray, code: np.ndarray, df: np.ndarray):
         if nz.any():
             inter[s:e][nz] = np.add.reduceat(found,
                                              (np.cumsum(pl) - pl)[nz])
-    union = la.astype(np.int64) + lb.astype(np.int64) - inter
-    keep = 2 * inter >= union
-    return a[keep], b[keep], inter[keep], union[keep]
+    return inter, la.astype(np.int64), lb.astype(np.int64)
+
+
+#: containment threshold C(A,B) = |A∩B| / min(|A|,|B|) ≥ 9/10, decided in
+#: exact integer arithmetic (10·inter ≥ 9·min_sz) on both engine and oracle.
+CONTAIN_NUM, CONTAIN_DEN = 9, 10
+
+
+def _containment_prefix_len(sizes: np.ndarray) -> np.ndarray:
+    """Prefix-filter length for containment ≥ c over the SMALLER member A:
+    |A∩B| ≥ ⌈c·|A|⌉ forces a shared element within A's first
+    |A| − ⌈c·|A|⌉ + 1 elements under any single global order (same
+    AllPairs lemma as `_ngram_prefix_len`, with the overlap bound from
+    the containment threshold instead of Jaccard's)."""
+    need = (CONTAIN_NUM * sizes + CONTAIN_DEN - 1) // CONTAIN_DEN
+    return sizes - need + 1
+
+
+def _containment_pairs_local(doc: np.ndarray, code: np.ndarray,
+                             df: np.ndarray):
+    """Exact containment ≥ 9/10 pairs over a local (doc, shingle-code)
+    edge list: C(A,B) = |A∩B| / min(|A|,|B|), the subset-duplication
+    signal Jaccard misses (a 40-gram doc fully contained in a 400-gram
+    doc scores J ≈ 0.1 but C = 1.0). Pure numpy end-to-end.
+
+    Candidate generation indexes ALL rows but emits pairs only from
+    PREFIX rows (the containment prefix of each doc in global (df, code)
+    order): there is no size filter at containment thresholds — a tiny
+    doc can be contained in an arbitrarily large one — so the partner
+    side must be the full index, unlike Jaccard's prefix×prefix. Within
+    each code run prefix rows sort first and each emits pairs with every
+    later row, covering every qualifying pair exactly once (the smaller
+    member's prefix must intersect the partner somewhere in the index).
+    Returns (id_a, id_b, inter, min_sz) with 10·inter ≥ 9·min_sz."""
+    e = np.empty(0, dtype=np.int64)
+    order = np.lexsort((code, df[code], doc))
+    d_s, c_s = doc[order], code[order]
+    starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+    lens = np.diff(np.r_[starts, len(d_s)])
+    pos = np.arange(len(d_s)) - np.repeat(starts, lens)
+    row_len = np.repeat(lens, lens)
+    is_pref = pos < _containment_prefix_len(row_len)
+
+    # full inverted index; prefix rows first within each code run, and
+    # only prefix rows emit (cnt = 0 for non-prefix rows)
+    o2 = np.lexsort((d_s, ~is_pref, c_s))
+    pd_, pf_, pc_ = d_s[o2], is_pref[o2], c_s[o2]
+    rs = np.flatnonzero(np.r_[True, pc_[1:] != pc_[:-1]])
+    rl = np.diff(np.r_[rs, len(pc_)])
+    rpos = np.arange(len(pc_)) - np.repeat(rs, rl)
+    cnt = np.where(pf_, np.repeat(rl, rl) - 1 - rpos, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return e, e, e, e
+    rows = np.repeat(np.arange(len(pc_)), cnt)
+    offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+    partner = (np.repeat(np.arange(len(pc_)) + 1, cnt)
+               + (np.arange(total) - offs))
+    a = np.minimum(pd_[rows], pd_[partner])
+    b = np.maximum(pd_[rows], pd_[partner])
+    po = np.lexsort((b, a))
+    a, b = a[po], b[po]
+    first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    a, b = a[first], b[first]
+    if len(a) == 0:
+        return e, e, e, e
+
+    inter, la, lb = _exact_inter(doc, code, np.int64(df.shape[0]), a, b)
+    min_sz = np.minimum(la, lb)
+    keep = CONTAIN_DEN * inter >= CONTAIN_NUM * min_sz
+    return a[keep], b[keep], inter[keep], min_sz[keep]
 
 
 def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 3,
@@ -402,60 +481,89 @@ def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     count) exercised by tests with a tiny threshold override.
     """
     cfg = cfg or DOCS_CFG
+    return _ngram_pairs(sf_dir, n, cfg, mode="jaccard")
 
-    def shingles(b: pa.Table) -> pa.Table:
-        """Per-doc DISTINCT word n-gram strings, fully vectorized: Arrow
-        whitespace split (matches ``str.split()``; empty tokens from
-        leading/trailing whitespace are masked out) → window indices via
-        list offsets + numpy repeat/arange → n-gram strings via the C
-        ``binary_join_element_wise`` kernel → per-doc dedup via
-        ``dictionary_encode`` codes (hash factorize, no string sort). No
-        per-row Python (r2 verdict #3)."""
-        toks = pc.utf8_split_whitespace(b.column("text"))
-        toks = (toks.combine_chunks()
-                if isinstance(toks, pa.ChunkedArray) else toks)
-        flat = toks.flatten()
-        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
-            zero_copy_only=False)
-        # compact the flat token array: drop ""-tokens (Arrow keeps them
-        # for leading/trailing whitespace; Python split() does not) and
-        # recompute per-row lengths from the surviving tokens
-        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        row_of = np.repeat(np.arange(len(lens)), lens)[nonempty]
-        flat = flat.filter(pa.array(nonempty))
-        lens = np.bincount(row_of, minlength=len(lens)).astype(np.int64)
 
-        counts = np.maximum(lens - n + 1, 0)
-        total = int(counts.sum())
-        if total == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "shingle": pa.array([], pa.string())})
-        tok_start = np.cumsum(lens) - lens
-        rows = np.repeat(np.arange(len(lens)), counts)
-        offs = np.repeat(np.cumsum(counts) - counts, counts)
-        idx0 = np.repeat(tok_start, counts) + (np.arange(total) - offs)
-        grams = [flat.take(pa.array(idx0 + j, pa.int64()))
-                 for j in range(n)]
-        sh = pc.binary_join_element_wise(*grams, " ")
-        doc = b.column("doc_id").to_numpy()[rows]
+def doc_ngram_containment_pairs(sf_dir: str, n: int = 3,
+                                cfg: "PipelineConfig | None" = None):
+    """Exact word-n-gram CONTAINMENT pairs: (id_a, id_b, inter, min_sz)
+    for pairs with |A∩B| / min(|A|,|B|) ≥ 9/10, decided in exact integer
+    arithmetic (10·inter ≥ 9·min_sz). The subset-duplication signal a
+    Jaccard threshold misses: a short doc fully embedded in a long one
+    (vendored snippet, quoted reply, boilerplate-wrapped article) has
+    tiny Jaccard but containment 1.0 — the standard complement to
+    near-dup filtering in training-data curation.
 
-        # per-doc distinct (grams form a SET): factorize the strings at C
-        # speed, then mask duplicate (doc, code) pairs
-        code = sh.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-        order = np.lexsort((code, doc))
-        d_s, c_s = doc[order], code[order]
-        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
-        keep = pa.array(np.sort(order[first]), pa.int64())
-        return pa.table({
-            "doc_id": pa.array(doc, pa.int64()).take(keep),
-            "shingle": sh.take(keep)})
+    Same two physical tiers as `doc_ngram_jaccard_pairs`, with the
+    containment prefix filter (`_containment_prefix_len`): candidate
+    emission probes each doc's prefix against the FULL inverted index
+    (no size filter exists at containment thresholds — a tiny doc can be
+    contained in an arbitrarily large one), then verifies |A∩B| exactly.
+    """
+    cfg = cfg or DOCS_CFG
+    return _ngram_pairs(sf_dir, n, cfg, mode="containment")
 
+
+def _word_ngram_shingles(b: pa.Table, n: int) -> pa.Table:
+    """Per-doc DISTINCT word n-gram strings, fully vectorized: Arrow
+    whitespace split (matches ``str.split()``; empty tokens from
+    leading/trailing whitespace are masked out) → window indices via
+    list offsets + numpy repeat/arange → n-gram strings via the C
+    ``binary_join_element_wise`` kernel → per-doc dedup via
+    ``dictionary_encode`` codes (hash factorize, no string sort). No
+    per-row Python (r2 verdict #3)."""
+    toks = pc.utf8_split_whitespace(b.column("text"))
+    toks = (toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray) else toks)
+    flat = toks.flatten()
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    # compact the flat token array: drop ""-tokens (Arrow keeps them
+    # for leading/trailing whitespace; Python split() does not) and
+    # recompute per-row lengths from the surviving tokens
+    lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(len(lens)), lens)[nonempty]
+    flat = flat.filter(pa.array(nonempty))
+    lens = np.bincount(row_of, minlength=len(lens)).astype(np.int64)
+
+    counts = np.maximum(lens - n + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "shingle": pa.array([], pa.string())})
+    tok_start = np.cumsum(lens) - lens
+    rows = np.repeat(np.arange(len(lens)), counts)
+    offs = np.repeat(np.cumsum(counts) - counts, counts)
+    idx0 = np.repeat(tok_start, counts) + (np.arange(total) - offs)
+    grams = [flat.take(pa.array(idx0 + j, pa.int64()))
+             for j in range(n)]
+    sh = pc.binary_join_element_wise(*grams, " ")
+    doc = b.column("doc_id").to_numpy()[rows]
+
+    # per-doc distinct (grams form a SET): factorize the strings at C
+    # speed, then mask duplicate (doc, code) pairs
+    code = sh.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    order = np.lexsort((code, doc))
+    d_s, c_s = doc[order], code[order]
+    first = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    keep = pa.array(np.sort(order[first]), pa.int64())
+    return pa.table({
+        "doc_id": pa.array(doc, pa.int64()).take(keep),
+        "shingle": sh.take(keep)})
+
+
+def _ngram_pairs(sf_dir: str, n: int, cfg: "PipelineConfig", mode: str):
+    """Shared driver for the exact n-gram pair operators. ``mode`` picks
+    the threshold semantics: ``"jaccard"`` (2·inter ≥ union, output
+    union_sz) or ``"containment"`` (10·inter ≥ 9·min_sz, output min_sz)."""
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        shingles, batch_format="pyarrow", zero_copy_batch=True).materialize()
+        lambda b: _word_ngram_shingles(b, n),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
 
+    last_col = "union_sz" if mode == "jaccard" else "min_sz"
     out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                            ("inter", pa.int64()), ("union_sz", pa.int64())])
+                            ("inter", pa.int64()), (last_col, pa.int64())])
 
     if ds.count() <= cfg.broadcast_max_rows:
         from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
@@ -469,18 +577,21 @@ def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 3,
             tbl.column("shingle").to_numpy(zero_copy_only=False),
             return_inverse=True)
         df = np.bincount(inv, minlength=len(codes)).astype(np.int64)
-        a, b, inter, union = _ngram_pairs_local(doc, inv.astype(np.int64), df)
+        kernel = (_ngram_pairs_local if mode == "jaccard"
+                  else _containment_pairs_local)
+        a, b, inter, last = kernel(doc, inv.astype(np.int64), df)
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array(a, pa.int64()),
             "id_b": pa.array(b, pa.int64()),
             "inter": pa.array(inter, pa.int64()),
-            "union_sz": pa.array(union, pa.int64()),
+            last_col: pa.array(last, pa.int64()),
         }, schema=out_schema)).sort(["id_a", "id_b"])
 
-    return _ngram_pairs_distributed(ds, cfg, out_schema)
+    return _ngram_pairs_distributed(ds, cfg, out_schema, mode=mode)
 
 
-def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema):
+def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema,
+                             mode: str = "jaccard"):
     """The 100 TB shape of doc_ngram_jaccard_pairs.
 
     Shingles are keyed by a 64-bit hash (collision odds ~n²/2⁶⁵ —
@@ -507,11 +618,14 @@ def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema):
     df = hashed.groupby("sh").aggregate(Count(alias_name="df"))
     with_df = lookup_join(hashed, df, on="sh", cfg=cfg)
 
+    plen_fn = (_ngram_prefix_len if mode == "jaccard"
+               else _containment_prefix_len)
+
     def prefix_of_doc(g: pa.Table) -> pa.Table:
         dfs = g.column("df").to_numpy()
         shs = g.column("sh").to_numpy()
         o = np.lexsort((shs, dfs))
-        p = int(_ngram_prefix_len(np.array([len(shs)]))[0])
+        p = int(plen_fn(np.array([len(shs)]))[0])
         keep = o[:p]
         return pa.table({"doc_id": g.column("doc_id").take(pa.array(keep)),
                          "sh": pa.array(shs[keep], pa.int64())})
@@ -519,13 +633,27 @@ def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema):
     prefix = with_df.groupby("doc_id").map_groups(
         prefix_of_doc, batch_format="pyarrow").materialize()
 
-    right = prefix.rename_columns({"doc_id": "doc_id_b"})
+    # Jaccard joins prefix×prefix (symmetric by the prefix lemma + size
+    # filter); containment must join each prefix against the FULL index
+    # (the smaller member's prefix hits the partner ANYWHERE) and
+    # canonicalize with min/max since only one side's prefix is probed.
+    if mode == "jaccard":
+        right = prefix.rename_columns({"doc_id": "doc_id_b"})
+        emit = lambda b: (lambda t: pa.table(  # noqa: E731
+            {"id_a": t.column("doc_id"), "id_b": t.column("doc_id_b")}))(
+            b.filter(pcm.less(b.column("doc_id"), b.column("doc_id_b"))))
+    else:
+        right = hashed.rename_columns({"doc_id": "doc_id_b"})
+        emit = lambda b: (lambda t: pa.table(  # noqa: E731
+            {"id_a": pcm.min_element_wise(t.column("doc_id"),
+                                          t.column("doc_id_b")),
+             "id_b": pcm.max_element_wise(t.column("doc_id"),
+                                          t.column("doc_id_b"))}))(
+            b.filter(pcm.not_equal(b.column("doc_id"),
+                                   b.column("doc_id_b"))))
     joined = hash_join(prefix, right, on="sh", cfg=cfg)
     cands = distinct_pairs(joined.map_batches(
-        lambda b: (lambda t: pa.table({"id_a": t.column("doc_id"),
-                                       "id_b": t.column("doc_id_b")}))(
-            b.filter(pcm.less(b.column("doc_id"), b.column("doc_id_b")))),
-        batch_format="pyarrow")).materialize()
+        emit, batch_format="pyarrow")).materialize()
 
     # candidate-restricted co-occurrence: only rows of candidate docs
     # re-enter the self-join, and only candidate pairs are counted
@@ -559,14 +687,19 @@ def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema):
 
     def score(b: pa.Table) -> pa.Table:
         iv = b.column("inter").to_numpy().astype(np.int64)
-        union = (b.column("size_a").to_numpy().astype(np.int64)
-                 + b.column("size_b").to_numpy().astype(np.int64) - iv)
-        keep = 2 * iv >= union
+        sa = b.column("size_a").to_numpy().astype(np.int64)
+        sb = b.column("size_b").to_numpy().astype(np.int64)
+        if mode == "jaccard":
+            last = sa + sb - iv                       # union size
+            keep = 2 * iv >= last
+        else:
+            last = np.minimum(sa, sb)                 # min set size
+            keep = CONTAIN_DEN * iv >= CONTAIN_NUM * last
         return pa.table({
             "id_a": pa.array(b.column("id_a").to_numpy()[keep], pa.int64()),
             "id_b": pa.array(b.column("id_b").to_numpy()[keep], pa.int64()),
             "inter": pa.array(iv[keep], pa.int64()),
-            "union_sz": pa.array(union[keep], pa.int64()),
+            out_schema.names[3]: pa.array(last[keep], pa.int64()),
         }, schema=out_schema)
 
     return inter.map_batches(score, batch_format="pyarrow").sort(
@@ -2041,4 +2174,229 @@ def doc_mix_sample(sf_dir: str):
 
     return (read_documents(sf_dir, ["doc_id", "lang"])
             .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+            .sort("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus hygiene (CCNet-style line dedup + Gopher repetition)
+# ---------------------------------------------------------------------------
+
+def _exploded_lines(text):
+    """Explode '\\n'-split segments of each text, vectorized: returns
+    ``(rows, flat, lens)`` — int64 parent-row indices, the flat segment
+    StringArray, and per-row segment counts. Empty segments are KEPT
+    (they carry position for reassembly and are never dedup targets);
+    null texts contribute zero segments."""
+    parts = pc.split_pattern(text, pattern="\n")
+    parts = (parts.combine_chunks()
+             if isinstance(parts, pa.ChunkedArray) else parts)
+    lens = pc.fill_null(pc.list_value_length(parts), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(len(lens)), lens)
+    return rows, parts.flatten(), lens
+
+
+def _nonempty_line_mask(flat) -> np.ndarray:
+    """Segments whose space-trimmed form is non-empty — the dedup unit.
+    Trims ASCII spaces ONLY (DuckDB ``trim()`` semantics, so the oracle
+    is bit-compatible); the UNtrimmed segment string is what's compared."""
+    return pc.not_equal(pc.utf8_trim(flat, " "), "").to_numpy(
+        zero_copy_only=False)
+
+
+def doc_gopher_repetition(sf_dir: str):
+    """Within-document repetition signals in the Gopher style (Rae et
+    al., arXiv:2112.11446 — public quality-filter recipe): the fraction
+    of duplicated lines and of characters inside duplicated lines.
+    Reported as EXACT integer counts (float-free oracle compare):
+
+    - ``n_lines``: all '\\n'-split segments (incl. empty);
+    - ``dup_line_occurrences``: occurrences beyond the first of each
+      distinct non-empty line within the doc (Σ(c−1));
+    - ``dup_line_chars``: Σ c·len(line) over distinct non-empty lines
+      with within-doc count c > 1.
+
+    Pure map_batches — no shuffle; per-batch work is one Arrow split,
+    one dictionary_encode factorize, and one np.unique over packed
+    (row, line-code) keys. Derive the Gopher fractions downstream as
+    dup_line_occurrences/n_lines and dup_line_chars/text_len."""
+    def f(b: pa.Table) -> pa.Table:
+        nrows = b.num_rows
+        rows, flat, lens = _exploded_lines(b.column("text"))
+        ne = _nonempty_line_mask(flat)
+        sub_rows = rows[ne]
+        sub = flat.filter(pa.array(ne))
+        dup_occ = np.zeros(nrows, np.int64)
+        dup_chars = np.zeros(nrows, np.int64)
+        if len(sub_rows):
+            enc = sub.dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = np.asarray(enc.indices, np.int64)
+            v = max(len(enc.dictionary), 1)
+            keys, counts = np.unique(sub_rows * np.int64(v) + codes,
+                                     return_counts=True)
+            urow = (keys // v).astype(np.int64)
+            ucode = (keys % v).astype(np.int64)
+            dlen = pc.utf8_length(enc.dictionary).to_numpy(
+                zero_copy_only=False).astype(np.int64)[ucode]
+            dup_occ = np.bincount(urow, weights=counts - 1,
+                                  minlength=nrows).astype(np.int64)
+            isdup = counts > 1
+            dup_chars = np.bincount(
+                urow[isdup], weights=(counts * dlen)[isdup],
+                minlength=nrows).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_lines": pa.array(lens, pa.int64()),
+            "dup_line_occurrences": pa.array(dup_occ, pa.int64()),
+            "dup_line_chars": pa.array(dup_chars, pa.int64()),
+        })
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def doc_line_dedupe(sf_dir: str, cfg: "PipelineConfig | None" = None):
+    """Corpus-level duplicated-line removal (the CCNet/RefinedWeb line
+    dedup pass, public recipe): a non-empty line that appears in ≥ 2
+    DISTINCT documents is boilerplate (headers, nav text, license
+    banners) and is stripped from every document; empty/whitespace
+    segments and corpus-unique lines are kept in order.
+
+    Output: ``doc_id, n_lines, n_dup_lines, kept_text`` (the document
+    re-joined with '\\n' from surviving segments; '' if nothing
+    survives).
+
+    Shape: pass A explodes lines per batch (docs never span batches, so
+    batch-local (doc, line) distinct is exact), hashes each distinct
+    line to a 64-bit sha-derived key, and counts distinct docs per key
+    with ONE narrow groupby — content strings never shuffle. Pass B
+    re-streams the documents: under ``cfg.broadcast_max_rows`` the dup
+    keys broadcast once (``ray.put`` + per-batch ``searchsorted``) and
+    each batch filters + reassembles its own docs zero-shuffle; above
+    the gate, the exploded (doc, ord, line) stream takes a tiered
+    ``lookup_join`` marker and reassembles per doc via
+    ``groupby(doc_id).map_groups`` (equivalence-tested with a tiny gate
+    override). 64-bit line-key collisions are the documented trade of
+    hashing (odds ~n²/2⁶⁵), same as the distributed n-gram tier."""
+    cfg = cfg or DOCS_CFG
+
+    def line_doc_pairs(b: pa.Table) -> pa.Table:
+        rows, flat, _ = _exploded_lines(b.column("text"))
+        ne = _nonempty_line_mask(flat)
+        sub_rows = rows[ne]
+        sub = flat.filter(pa.array(ne))
+        if len(sub_rows) == 0:
+            return pa.table({"line_key": pa.array([], pa.int64())})
+        enc = sub.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, np.int64)
+        v = max(len(enc.dictionary), 1)
+        keys = np.unique(sub_rows * np.int64(v) + codes)
+        lines = pc.cast(enc.dictionary, pa.string()).take(
+            pa.array(keys % v))
+        return pa.table({"line_key": pa.array(
+            mask_keys(sha256_u64_arrow(lines, 1)[:, 0]), pa.int64())})
+
+    dup = (read_documents(sf_dir, ["doc_id", "text"])
+           .map_batches(line_doc_pairs, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("line_key").aggregate(Count(alias_name="nd"))
+           .map_batches(lambda b: b.filter(
+               pc.greater_equal(b.column("nd"), 2)).select(["line_key"]),
+               batch_format="pyarrow")
+           .materialize())
+
+    def line_keys_of(flat, ne):
+        keys = np.zeros(len(ne), np.int64)
+        if ne.any():
+            sub = flat.filter(pa.array(ne))
+            keys[ne] = mask_keys(sha256_u64_arrow(sub, 1)[:, 0])
+        return keys
+
+    def assemble(doc_ids, lens, flat, keep_mask) -> pa.Table:
+        kept_counts = (np.bincount(
+            np.repeat(np.arange(len(lens)), lens)[keep_mask],
+            minlength=len(lens)).astype(np.int64) if len(keep_mask)
+            else np.zeros(len(lens), np.int64))
+        offsets = np.zeros(len(lens) + 1, np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat.filter(pa.array(keep_mask)) if len(keep_mask)
+            else flat.slice(0, 0))
+        return pa.table({
+            "doc_id": pc.cast(doc_ids, pa.int64()),
+            "n_lines": pa.array(lens, pa.int64()),
+            "n_dup_lines": pa.array(lens - kept_counts, pa.int64()),
+            "kept_text": pc.binary_join(la, "\n"),
+        })
+
+    if dup.count() <= cfg.broadcast_max_rows:
+        from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+        t = to_local_table(dup)
+        keys = (np.sort(t.column("line_key").to_numpy())
+                if t is not None and t.num_rows else
+                np.empty(0, np.int64))
+        ref = ray.put(keys)
+
+        def clean(b: pa.Table) -> pa.Table:
+            dup_keys = ray.get(ref)
+            rows, flat, lens = _exploded_lines(b.column("text"))
+            ne = _nonempty_line_mask(flat)
+            lk = line_keys_of(flat, ne)
+            pos = np.searchsorted(dup_keys, lk)
+            np.minimum(pos, max(len(dup_keys) - 1, 0), out=pos)
+            is_dup = ne & (dup_keys[pos] == lk) if len(dup_keys) \
+                else np.zeros(len(ne), bool)
+            return assemble(b.column("doc_id"), lens, flat, ~is_dup)
+
+        return (read_documents(sf_dir, ["doc_id", "text"])
+                .map_batches(clean, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .sort("doc_id"))
+
+    # distributed tier: exploded (doc, ord, line) stream + tiered marker
+    # join + per-doc reassembly (content shuffles ONCE, by doc)
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    def explode(b: pa.Table) -> pa.Table:
+        rows, flat, lens = _exploded_lines(b.column("text"))
+        ne = _nonempty_line_mask(flat)
+        starts = np.cumsum(lens) - lens
+        ords = np.arange(len(rows)) - starts[rows] if len(rows) else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(
+                b.column("doc_id").to_numpy()[rows], pa.int64()),
+            "ord": pa.array(ords, pa.int64()),
+            "line": flat,
+            "line_key": pa.array(line_keys_of(flat, ne), pa.int64()),
+            "is_ne": pa.array(ne),
+        })
+
+    exploded = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    marked = lookup_join(
+        exploded,
+        dup.map_batches(lambda b: b.append_column(
+            "_dup", pa.array(np.ones(b.num_rows, np.int8))),
+            batch_format="pyarrow"),
+        on="line_key", cfg=cfg, join_type="left_outer")
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        o = np.argsort(g.column("ord").to_numpy(), kind="stable")
+        g = g.take(pa.array(o))
+        dupm = pc.fill_null(g.column("_dup"), 0).to_numpy(
+            zero_copy_only=False).astype(bool)
+        keep = ~(dupm & g.column("is_ne").to_numpy(zero_copy_only=False))
+        return assemble(g.column("doc_id").slice(0, 1),
+                        np.array([g.num_rows], np.int64),
+                        g.column("line").combine_chunks(), keep)
+
+    return (marked.groupby("doc_id")
+            .map_groups(per_doc, batch_format="pyarrow")
             .sort("doc_id"))
