@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 102 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 109 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (96 oracles, including all-true INVARIANT oracles
+SQL-expressible one (102 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -241,6 +241,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ann_lsh_recall_check": ann.ann_lsh_recall_check,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_ivf_recall_check": ann.ann_ivf_recall_check,
+        "ann_pq_topk": ann.ann_pq_topk,
+        "ann_pq_recall_check": ann.ann_pq_recall_check,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         "ann_range_search": ann.ann_range_search,
         "embedding_cc_clusters": ann.embedding_cc_clusters,
@@ -314,6 +316,11 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_props_extract": relational.events_props_extract,
         "events_value_mad_by_type": relational.events_value_mad_by_type,
         "embedding_pagerank": ann.embedding_pagerank,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "q11_important_parts": relational.q11_important_parts,
+        "q12_priority_line_counts": relational.q12_priority_line_counts,
+        "q16_supplier_variety": relational.q16_supplier_variety,
+        "q21_only_returned_supplier": relational.q21_only_returned_supplier,
     }
 
 
@@ -375,6 +382,10 @@ def oracle_sql() -> "dict[str, str]":
             FROM embeddings ORDER BY vec_id LIMIT 5
         """,
         "ann_ivf_recall_check": """
+            SELECT vec_id AS qid, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        """,
+        "ann_pq_recall_check": """
             SELECT vec_id AS qid, TRUE AS recall_ok
             FROM embeddings ORDER BY vec_id LIMIT 5
         """,
@@ -1545,6 +1556,75 @@ def oracle_sql() -> "dict[str, str]":
                OR (p.p_brand = 'Brand#24'
                    AND p.p_size BETWEEN 1 AND 15
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "q9_profit_by_nation_year": """
+            WITH j AS (
+                SELECT n.n_name, year(l.l_shipdate) AS l_year,
+                       CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)
+                       - CAST(round(p.p_retailprice * 5000) AS BIGINT)
+                         * CAST(l.l_quantity AS BIGINT) AS profit
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND contains(p.p_name, 'ol')
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey)
+            SELECT n_name, CAST(l_year AS BIGINT) AS l_year,
+                   CAST(sum(profit) AS BIGINT) AS profit_e4
+            FROM j GROUP BY 1, 2 ORDER BY n_name, l_year
+        """,
+        "q11_important_parts": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                           * (1 - l_discount) * 10000)
+                                     AS BIGINT)) AS BIGINT) AS part_rev_e4
+                FROM lineitem GROUP BY 1)
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey, part_rev_e4
+            FROM pr
+            WHERE 2 * (SELECT count(*) FROM pr) * part_rev_e4
+                  > 3 * (SELECT sum(part_rev_e4) FROM pr)
+            ORDER BY part_rev_e4 DESC, l_partkey
+        """,
+        "q12_priority_line_counts": """
+            SELECT l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q16_supplier_variety": """
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#5'
+              AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q21_only_returned_supplier": """
+            WITH os AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS had_r
+                FROM lineitem GROUP BY 1, 2),
+            o AS (SELECT l_orderkey, count(*) AS n_supp,
+                         sum(had_r) AS n_r,
+                         sum(l_suppkey * had_r) AS r_key
+                  FROM os GROUP BY 1),
+            b AS (SELECT r_key AS s_suppkey, count(*) AS numwait
+                  FROM o WHERE n_supp >= 2 AND n_r = 1 GROUP BY 1)
+            SELECT CAST(b.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   CAST(numwait AS BIGINT) AS numwait
+            FROM b JOIN supplier s ON s.s_suppkey = b.s_suppkey
+            ORDER BY numwait DESC, s_suppkey
         """,
         "events_props_extract": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

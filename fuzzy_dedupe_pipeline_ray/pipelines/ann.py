@@ -757,3 +757,244 @@ def embedding_pagerank(sf_dir: str, k: int = 5, n_iters: int = 3,
     import pyarrow.compute as _pc
     return res.take(_pc.sort_indices(res, sort_keys=[("vec_id",
                                                       "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN scale path
+# ---------------------------------------------------------------------------
+
+def _pq_codebooks(sf_dir: str, n_sub: int, n_codes: int, iters: int = 3):
+    """Product-quantization codebooks (Jégou/Douze/Schmid, TPAMI 2011 —
+    public method): split each L2-normalized vector into ``n_sub``
+    contiguous subspaces and k-means each subspace to ``n_codes``
+    codewords. Trained like ``_kmeans_centroids``: one streaming pass per
+    Lloyd iteration, ALL subspaces reduced in the same pass (partial rows
+    keyed by (sub, cid)); init = the sub-slices of the ``n_codes``
+    smallest vec_ids (deterministic). Codewords are subspace MEANS (not
+    re-normalized — PQ minimizes per-subspace L2 error). Returns
+    ``(n_sub, n_codes, d_sub)`` float64."""
+    _, init = _query_matrix(sf_dir, n_codes)
+    d = init.shape[1]
+    if d % n_sub:
+        raise ValueError(f"embedding dim {d} not divisible by n_sub={n_sub}")
+    d_sub = d // n_sub
+    books = np.stack([init[:, s * d_sub:(s + 1) * d_sub].copy()
+                      for s in range(n_sub)])
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            bk = ray.get(ref)
+            _, m = _to_matrix(batch)
+            mn = _normalize(m)
+            ns, nc, dsub = bk.shape
+            sub_col, cid_col, sum_col, n_col = [], [], [], []
+            for s in range(ns):
+                x = mn[:, s * dsub:(s + 1) * dsub]
+                c = bk[s]
+                # nearest codeword by L2 ⇔ argmax(x·c − ‖c‖²/2)
+                assign = np.argmax(x @ c.T - 0.5 * (c * c).sum(1), axis=1)
+                sums = np.zeros_like(c)
+                np.add.at(sums, assign, x)
+                counts = np.bincount(assign, minlength=nc)
+                sub_col.extend([s] * nc)
+                cid_col.extend(range(nc))
+                sum_col.extend(sums.tolist())
+                n_col.extend(counts.tolist())
+            return pa.table({
+                "sub": pa.array(sub_col, pa.int64()),
+                "cid": pa.array(cid_col, pa.int64()),
+                "vec_sum": pa.array(sum_col, pa.list_(pa.float64())),
+                "n": pa.array(n_col, pa.int64()),
+            })
+
+        acc = np.zeros_like(books)
+        cnt = np.zeros((n_sub, n_codes), dtype=np.int64)
+        for b in read_embeddings(sf_dir).map_batches(
+                partials, batch_format="pyarrow",
+                zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+            subs = b.column("sub").to_numpy()
+            cids = b.column("cid").to_numpy()
+            sums = np.array(b.column("vec_sum").to_pylist())
+            acc[subs, cids] += sums
+            cnt[subs, cids] += b.column("n").to_numpy()
+        nz = cnt > 0
+        books[nz] = acc[nz] / cnt[nz][:, None]
+        # empty codewords keep their previous position (deterministic)
+    return books
+
+
+def _pq_assign(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(m, d) normalized matrix → (m, n_sub) uint8 codes."""
+    ns, _, dsub = books.shape
+    codes = np.empty((mn.shape[0], ns), np.uint8)
+    for s in range(ns):
+        c = books[s]
+        codes[:, s] = np.argmax(
+            mn[:, s * dsub:(s + 1) * dsub] @ c.T - 0.5 * (c * c).sum(1),
+            axis=1)
+    return codes
+
+
+def _pq_encode(sf_dir: str, books: np.ndarray):
+    """Encode the embedding table to ``(vec_id, code)`` where ``code`` is
+    ``n_sub`` bytes of ``fixed_size_binary`` — d·8 / n_sub compression
+    (64× at d=64, n_sub=8). This materialized table is what a 100 TB
+    deployment keeps hot: approximate scoring streams over CODES ONLY;
+    raw vectors are touched again only for the shortlist rerank."""
+    ref = ray.put(books)
+    n_sub = books.shape[0]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        bk = ray.get(ref)
+        ids, m = _to_matrix(batch)
+        codes = _pq_assign(_normalize(m), bk)
+        arr = pa.Array.from_buffers(
+            pa.binary(n_sub), len(ids),
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "code": arr})
+
+    return read_embeddings(sf_dir).map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                n_sub: int = 8, n_codes: int = 16,
+                rerank_mult: "int | None" = 10):
+    """PQ asymmetric-distance top-k (ADC + exact rerank, the IVFADC+R
+    shape of Jégou et al.): queries stay exact; each encoded vector's
+    approximate cosine is Σ_s LUT[q, s, code_s] where LUT = q-subvector ·
+    codebook — one table lookup per subspace, no raw vector touched.
+    The per-query approximate shortlist (``rerank_mult``·k ids) is then
+    reranked EXACTLY in one streaming pass over the raw embeddings
+    restricted to the broadcast shortlist id set. ``rerank_mult=None``
+    short-lists every vector, making the result provably identical to
+    ``ann_topk`` (the completeness degeneracy ``ann_pq_recall_check``
+    pins). Output schema matches ann_topk: (qid, vec_id, rank)."""
+    books = _pq_codebooks(sf_dir, n_sub, n_codes)
+    encoded = _pq_encode(sf_dir, books).materialize()
+    q_ids, q = _query_matrix(sf_dir, n_queries)
+    dsub = q.shape[1] // n_sub
+    # LUT[j, s, c] = q_j[sub s] · codebook[s, c]
+    lut = np.einsum("jsd,scd->jsc",
+                    q.reshape(len(q_ids), n_sub, dsub), books)
+    shortlist_n = None if rerank_mult is None else rerank_mult * k
+    ref = ray.put((q_ids, lut))
+
+    def approx_partial(batch: pa.Table) -> pa.Table:
+        qi, lt = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        code_col = batch.column("code")
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        codes = np.frombuffer(
+            code_col.buffers()[1], np.uint8,
+            count=len(ids) * n_sub,
+            offset=code_col.offset * n_sub).reshape(-1, n_sub)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qi):
+            s = np.zeros(len(ids))
+            for sub in range(n_sub):
+                s += lt[j, sub][codes[:, sub]]
+            nn = len(ids) if shortlist_n is None else min(shortlist_n,
+                                                          len(ids))
+            part = (np.argpartition(-s, nn - 1)[:nn]
+                    if nn < len(ids) else np.arange(len(ids)))
+            out_q.extend([qid] * nn)
+            out_v.extend(ids[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = encoded.map_batches(approx_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def shortlist_merge(g: pa.Table) -> pa.Table:
+        qid = g.column("qid")[0].as_py()
+        ids = g.column("vec_id").to_numpy()
+        sims = g.column("sim").to_numpy()
+        nn = len(ids) if shortlist_n is None else min(shortlist_n, len(ids))
+        order = np.lexsort((ids, -sims))[:nn]
+        return pa.table({"qid": pa.array([qid] * nn, pa.int64()),
+                         "vec_id": pa.array(ids[order], pa.int64())})
+
+    short = partials.groupby("qid").map_groups(
+        shortlist_merge, batch_format="pyarrow")
+
+    # exact rerank: ONE streaming pass over raw embeddings restricted to
+    # the union of the per-query shortlists (tiny: nq · rerank_mult · k)
+    sl: "dict[int, set]" = {}
+    for b in short.iter_batches(batch_format="pyarrow"):
+        for qid, vid in zip(b.column("qid").to_pylist(),
+                            b.column("vec_id").to_pylist()):
+            sl.setdefault(qid, set()).add(vid)
+    member_ids = np.array(sorted(set().union(*sl.values()) if sl else []),
+                          np.int64)
+    sl_masks = {qid: np.isin(member_ids, sorted(vids))
+                for qid, vids in sl.items()}
+    r_ref = ray.put((q_ids, q, member_ids, sl_masks))
+
+    def rerank_partial(batch: pa.Table) -> pa.Table:
+        qi, qm, mem, masks = ray.get(r_ref)
+        ids, m = _to_matrix(batch)
+        pos = np.searchsorted(mem, ids)
+        np.minimum(pos, max(len(mem) - 1, 0), out=pos)
+        hit = (mem[pos] == ids) if len(mem) else np.zeros(len(ids), bool)
+        if not hit.any():
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids, mn, pos = ids[hit], _normalize(m)[hit], pos[hit]
+        sims = mn @ qm.T
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qi):
+            sel = masks[qid][pos]
+            if not sel.any():
+                continue
+            s, si = sims[sel, j], ids[sel]
+            kk = min(k, len(si))
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < len(si) \
+                else np.arange(len(si))
+            out_q.extend([qid] * len(part))
+            out_v.extend(si[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    rer = read_embeddings(sf_dir).map_batches(
+        rerank_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        qid = g.column("qid")[0].as_py()
+        ids = g.column("vec_id").to_numpy()
+        sims = g.column("sim").to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            "qid": pa.array([qid] * len(order), pa.int64()),
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return rer.groupby("qid").map_groups(
+        merge_topk, batch_format="pyarrow").sort(["qid", "rank"])
+
+
+def ann_pq_recall_check(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Oracle-able INVARIANT over the PQ top-k: with ``rerank_mult=None``
+    the shortlist admits every vector and the exact rerank must EQUAL
+    ``ann_topk`` per query (same tie-breaking) — deterministically
+    all-true regardless of codebook quality, like the IVF completeness
+    check. Pins the encode→LUT→shortlist→rerank plumbing end-to-end;
+    partial-shortlist recall quality is asserted by tests/test_ann.py
+    (data-dependent, so not a driver gate)."""
+    ex = _result_sets(ann_topk(sf_dir, n_queries, k))
+    ap = _result_sets(ann_pq_topk(sf_dir, n_queries, k, rerank_mult=None))
+    qids = sorted(ex)
+    ok = [ap.get(q, set()) == ex[q] for q in qids]
+    return ray.data.from_arrow(pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "recall_ok": pa.array(ok, pa.bool_()),
+    }))

@@ -3813,3 +3813,279 @@ def events_props_extract(sf_dir: str):
             "min_k": pc.cast(b.column("min_k"), pa.int64()),
             "max_k": pc.cast(b.column("max_k"), pa.int64())}),
         batch_format="pyarrow").sort("event_type")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analog batch 3: Q9 / Q11 / Q12 / Q16 / Q21 shapes
+# (this testdata has no partsupp table, so the partsupp-dependent queries
+# substitute documented proxies: p_retailprice/2 for ps_supplycost and the
+# lineitem (part, supplier) co-occurrence for the partsupp relationship)
+# ---------------------------------------------------------------------------
+
+def q9_profit_by_nation_year(sf_dir: str, name_substr: str = "ol"):
+    """TPC-H Q9 shape (product-type profit): per (nation, ship-year)
+    profit over parts whose name contains ``name_substr``. Profit per
+    line = revenue − supply cost·quantity, with ps_supplycost proxied by
+    p_retailprice/2 (no partsupp table; documented substitution). All
+    arithmetic is exact e4 integers: round(price·(1−disc)·1e4) −
+    round(p_retailprice·5000)·qty, qty being integer-valued.
+
+    Distributed shape: part (filtered tiny) and supplier→nation are
+    broadcast lookups into ONE lineitem pass; per-batch grouped-sum
+    partials shuffle only (nation, year, partial) rows."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join, to_local_table
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]) \
+        .map_batches(lambda b: (lambda t: pa.table({
+            "l_partkey": t.column("p_partkey"),
+            "cost_e4": pc.cast(pc.round(pc.multiply(
+                pc.cast(t.column("p_retailprice"), pa.float64()),
+                pa.scalar(5000.0)), round_mode="half_towards_infinity"),
+                pa.int64())}))(
+            b.filter(pc.match_substring(b.column("p_name"), name_substr))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = to_local_table(_read(sf_dir, "nation",
+                               ["n_nationkey", "n_name"]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    li = lookup_join(li, part, on="l_partkey", cfg=DEFAULT_CONFIG)
+    li = lookup_join(li, sup.rename_columns({"s_suppkey": "l_suppkey"}),
+                     on="l_suppkey", cfg=DEFAULT_CONFIG)
+
+    def partial(b: pa.Table) -> pa.Table:
+        profit = (_rev_e4(b).to_numpy()
+                  - b.column("cost_e4").to_numpy()
+                  * pc.cast(b.column("l_quantity"),
+                            pa.int64()).to_numpy())
+        return _group_sum_partial(
+            {"s_nationkey": b.column("s_nationkey").to_numpy()
+                .astype(np.int64),
+             "l_year": pc.year(b.column("l_shipdate")).to_numpy()
+                .astype(np.int64)},
+            {"profit_e4": profit})
+
+    agg = (li.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["s_nationkey", "l_year"])
+           .aggregate(Sum("profit_e4", alias_name="profit_e4")))
+
+    def label(b: pa.Table) -> pa.Table:
+        pos = pc.index_in(b.column("s_nationkey"),
+                          value_set=nat.column("n_nationkey")
+                          .combine_chunks())
+        return pa.table({
+            "n_name": nat.column("n_name").take(pos),
+            "l_year": pc.cast(b.column("l_year"), pa.int64()),
+            "profit_e4": pc.cast(b.column("profit_e4"), pa.int64()),
+        })
+
+    return agg.map_batches(label, batch_format="pyarrow").sort(
+        ["n_name", "l_year"])
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (important stock): parts whose total revenue
+    exceeds 1.5× the MEAN per-part revenue, by exact integer compare
+    (2·n_parts·part_rev > 3·total_rev — no float threshold; Q11's
+    absolute 0.0001-fraction cutoff selects nothing on this uniform
+    synthetic data, so the analog uses a mean-relative cutoff with the
+    same global-scalar-vs-per-group shape). Value proxy = lineitem
+    revenue (no partsupp). Per-part sums pre-aggregate per batch; the
+    global total and part count come from the per-part table (two tiny
+    aggregates), never a second lineitem pass."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda b: _group_sum_partial(
+            {"l_partkey": b.column("l_partkey").to_numpy()},
+            {"part_rev_e4": _rev_e4(b).to_numpy()}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    per_part = (li.groupby("l_partkey")
+                .aggregate(Sum("part_rev_e4", alias_name="part_rev_e4"))
+                .materialize())
+    schema = pa.schema([("l_partkey", pa.int64()),
+                        ("part_rev_e4", pa.int64())])
+    n_parts = per_part.count()
+    if n_parts == 0:
+        # plain Arrow table: Dataset.to_pandas drops the schema of a
+        # zero-block dataset (same convention as q15_top_supplier)
+        return schema.empty_table()
+    total = per_part.aggregate(Sum("part_rev_e4", alias_name="t"))["t"] or 0
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.greater(pc.multiply(b.column("part_rev_e4"),
+                                   pa.scalar(2 * n_parts, pa.int64())),
+                       pa.scalar(3 * int(total), pa.int64()))
+        t = b.filter(m)
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "part_rev_e4": pc.cast(t.column("part_rev_e4"), pa.int64())},
+            schema=schema)
+
+    return per_part.map_batches(keep, batch_format="pyarrow").sort(
+        ["part_rev_e4", "l_partkey"], descending=[True, False])
+
+
+def q12_priority_line_counts(sf_dir: str, date_lo: str = "1996-01-01",
+                             date_hi: str = "1997-01-01"):
+    """TPC-H Q12 shape (shipping priority classes): per l_linestatus (the
+    available proxy for shipmode), count lines of HIGH-priority orders
+    (1-URGENT / 2-HIGH) vs all others, over a ship-date year. One
+    lineitem pass with a tiered lookup of o_orderpriority; counts are
+    exact integers."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .rename_columns({"o_orderkey": "l_orderkey"})
+    li = _read_filtered(sf_dir, "lineitem",
+                        ["l_orderkey", "l_linestatus", "l_shipdate"],
+                        _ts_window_expr("l_shipdate", date_lo, date_hi))
+    j = lookup_join(li, orders, on="l_orderkey", cfg=DEFAULT_CONFIG)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hi = pc.is_in(b.column("o_orderpriority"),
+                      value_set=pa.array(["1-URGENT", "2-HIGH"])) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        status = b.column("l_linestatus").dictionary_encode()
+        if isinstance(status, pa.ChunkedArray):
+            status = status.combine_chunks()
+        codes = np.asarray(status.indices, np.int64)
+        nl = max(len(status.dictionary), 1)
+        high = np.bincount(codes, weights=hi, minlength=nl).astype(np.int64)
+        low = np.bincount(codes, weights=1 - hi,
+                          minlength=nl).astype(np.int64)
+        return pa.table({
+            "l_linestatus": pc.cast(status.dictionary, pa.string()),
+            "high_line_count": pa.array(high, pa.int64()),
+            "low_line_count": pa.array(low, pa.int64())})
+
+    return (j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .groupby("l_linestatus")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count"))
+            .map_batches(lambda b: pa.table({
+                "l_linestatus": b.column("l_linestatus"),
+                "high_line_count": pc.cast(b.column("high_line_count"),
+                                           pa.int64()),
+                "low_line_count": pc.cast(b.column("low_line_count"),
+                                          pa.int64())}),
+                batch_format="pyarrow")
+            .sort("l_linestatus"))
+
+
+_Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+def q16_supplier_variety(sf_dir: str, exclude_brand: str = "Brand#5",
+                         sizes=_Q16_SIZES):
+    """TPC-H Q16 shape (part/supplier relationship variety): DISTINCT
+    supplier count per (p_brand, p_type, p_size) over the lineitem
+    co-occurrence (the partsupp proxy), excluding one brand and
+    restricting to the Q16 size list. Distinct-pair dedup happens as a
+    narrow 4-column groupby BEFORE the counting groupby (batch-local
+    dedup first, so the shuffle moves near-distinct rows only)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.not_equal(b.column("p_brand"), exclude_brand),
+            pc.is_in(b.column("p_size"),
+                     value_set=pa.array(list(sizes),
+                                        b.column("p_size").type)))),
+        batch_format="pyarrow", zero_copy_batch=True).rename_columns(
+        {"p_partkey": "l_partkey"})
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    j = lookup_join(li, part, on="l_partkey", cfg=DEFAULT_CONFIG)
+
+    def localdedup(b: pa.Table) -> pa.Table:
+        cols = ["p_brand", "p_type", "p_size", "l_suppkey"]
+        return b.select(cols).group_by(cols).aggregate([])
+
+    distinct = (j.map_batches(localdedup, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+                .aggregate(Count(alias_name="_n")))
+    return (distinct.groupby(["p_brand", "p_type", "p_size"])
+            .aggregate(Count(alias_name="supplier_cnt"))
+            .map_batches(lambda b: pa.table({
+                "p_brand": b.column("p_brand"),
+                "p_type": b.column("p_type"),
+                "p_size": pc.cast(b.column("p_size"), pa.int64()),
+                "supplier_cnt": pc.cast(b.column("supplier_cnt"),
+                                        pa.int64())}),
+                batch_format="pyarrow")
+            .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                  descending=[True, False, False, False]))
+
+
+def q21_only_returned_supplier(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), mapped onto
+    the available columns: in orders served by ≥2 DISTINCT suppliers
+    where EXACTLY ONE supplier has a returned line (l_returnflag='R'),
+    that supplier takes the blame; numwait = blamed orders per supplier.
+    The EXISTS (another supplier) / NOT-EXISTS (another failing
+    supplier) pair becomes two distinct-count conditions on one narrow
+    (orderkey, suppkey, had_r) groupby — no per-order subquery.
+
+    Output: (s_suppkey, s_name, numwait), numwait DESC / suppkey ASC."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join, to_local_table
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        r = pc.equal(b.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return _group_sum_partial(
+            {"l_orderkey": b.column("l_orderkey").to_numpy(),
+             "l_suppkey": b.column("l_suppkey").to_numpy()},
+            {"had_r": r})
+
+    per_os = (li.map_batches(pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["l_orderkey", "l_suppkey"])
+              .aggregate(Sum("had_r", alias_name="had_r")))
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        """(order, supplier, had_r>0) rows → per-order partials:
+        supplier count, R-supplier count, and the R-supplier key (sum —
+        exact when the R-count is 1, which is the only case kept)."""
+        r = (b.column("had_r").to_numpy() > 0).astype(np.int64)
+        sup = b.column("l_suppkey").to_numpy().astype(np.int64)
+        return _group_sum_partial(
+            {"l_orderkey": b.column("l_orderkey").to_numpy()},
+            {"n_supp": np.ones(len(sup), np.int64), "n_r": r,
+             "r_key_sum": sup * r})
+
+    per_order = (per_os.map_batches(order_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("n_supp", alias_name="n_supp"),
+                            Sum("n_r", alias_name="n_r"),
+                            Sum("r_key_sum", alias_name="r_key_sum")))
+
+    def blame(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("n_supp"), 2),
+                    pc.equal(b.column("n_r"), 1))
+        t = b.filter(m)
+        return _group_sum_partial(
+            {"s_suppkey": t.column("r_key_sum").to_numpy()
+                .astype(np.int64)},
+            {"numwait": np.ones(t.num_rows, np.int64)})
+
+    per_supp = (per_order.map_batches(blame, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                .groupby("s_suppkey")
+                .aggregate(Sum("numwait", alias_name="numwait")))
+    names = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    j = lookup_join(per_supp, names, on="s_suppkey", cfg=DEFAULT_CONFIG)
+    return (j.map_batches(lambda b: pa.table({
+        "s_suppkey": pc.cast(b.column("s_suppkey"), pa.int64()),
+        "s_name": b.column("s_name"),
+        "numwait": pc.cast(b.column("numwait"), pa.int64())}),
+        batch_format="pyarrow")
+        .sort(["numwait", "s_suppkey"], descending=[True, False]))

@@ -101,3 +101,43 @@ def test_range_search_matches_bruteforce(ray_session):
         ORDER BY qid, vec_id""").df()
     assert len(out) > 0, "fixture must produce at least one in-range hit"
     assert out.astype("int64").equals(ora.astype("int64"))
+
+
+def test_pq_full_rerank_equals_exact(ray_session, exact_topk):
+    """rerank_mult=None short-lists every vector: the exact rerank must
+    reproduce ann_topk bit-for-bit (the completeness invariant the
+    driver's ann_pq_recall_check pins)."""
+    from fuzzy_dedupe_pipeline_ray.pipelines import ann
+
+    full = _topk_map(ann.ann_pq_topk(SF_DIR, rerank_mult=None))
+    assert all(full[q] == hits for q, hits in exact_topk.items())
+    df = ann.ann_pq_recall_check(SF_DIR).to_pandas()
+    assert len(df) == 5 and df["recall_ok"].all()
+
+
+def test_pq_partial_shortlist_recall(ray_session, exact_topk):
+    """ADC shortlist at 10×k must carry real recall on the sf0.001
+    embeddings, and widening the shortlist can only help (monotone)."""
+    from fuzzy_dedupe_pipeline_ray.pipelines import ann
+
+    approx = _topk_map(ann.ann_pq_topk(SF_DIR, rerank_mult=10))
+    recalls = [len(approx.get(q, set()) & hits) / len(hits)
+               for q, hits in exact_topk.items()]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    wide = _topk_map(ann.ann_pq_topk(SF_DIR, rerank_mult=30))
+    recalls2 = [len(wide.get(q, set()) & hits) / len(hits)
+                for q, hits in exact_topk.items()]
+    assert sum(recalls2) / len(recalls2) >= sum(recalls) / len(recalls)
+
+
+def test_pq_codes_are_compact(ray_session):
+    """The encoded table must actually be n_sub bytes per vector — the
+    64× compression claim at d=64, n_sub=8 — and decode-side LUT scoring
+    must read codes via the zero-copy buffer path."""
+    from fuzzy_dedupe_pipeline_ray.pipelines import ann
+
+    books = ann._pq_codebooks(SF_DIR, n_sub=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    enc = ann._pq_encode(SF_DIR, books).to_pandas()
+    assert len(enc) == 500
+    assert all(len(c) == 8 for c in enc["code"])
