@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 109 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 112 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (102 oracles, including all-true INVARIANT oracles
+SQL-expressible one (105 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -231,6 +231,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "files_dup_rate_by_lang": textops.files_dup_rate_by_lang,
         "doc_curation_funnel": textops.doc_curation_funnel,
         "doc_sample_stratified": textops.doc_sample_stratified,
+        "doc_shuffle_deterministic": textops.doc_shuffle_deterministic,
+        "doc_split_train_val_test": textops.doc_split_train_val_test,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
             textops.doc_fingerprint_exact_family_check,
@@ -261,6 +263,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "part_type_distinct": relational.part_type_distinct,
         "events_hourly_window": relational.events_hourly_window,
         "events_sessionize": relational.events_sessionize,
+        "events_dedup_within_window": relational.events_dedup_within_window,
         "events_asof_join": relational.events_asof_join,
         "events_rolling": relational.events_rolling,
         "events_trailing_window": relational.events_trailing_window,
@@ -1094,6 +1097,45 @@ def oracle_sql() -> "dict[str, str]":
                    max(ts) AS session_end
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "events_dedup_within_window": f"""
+            WITH l AS (
+                SELECT user_id, event_type, event_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events)
+            SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                   CAST(event_id AS BIGINT) AS event_id
+            FROM l
+            WHERE prev_ts IS NULL
+               OR ts - prev_ts
+                  > INTERVAL {relational.DEDUP_WINDOW_MINUTES} MINUTE
+            ORDER BY user_id, event_type, event_id
+        """,
+        "doc_shuffle_deterministic": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       CAST((CAST(doc_id AS HUGEINT) * {textops._SAMPLE_MULT})
+                            % {textops._SAMPLE_MOD} AS BIGINT) AS hh
+                FROM documents)
+            SELECT CAST(row_number() OVER (ORDER BY hh, doc_id) AS BIGINT)
+                       AS shuffle_rank,
+                   doc_id
+            FROM h ORDER BY shuffle_rank
+        """,
+        "doc_split_train_val_test": f"""
+            WITH h AS (
+                SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                       CAST((CAST(doc_id AS HUGEINT) * {textops._SAMPLE_MULT})
+                            % {textops._SAMPLE_MOD} AS BIGINT) % 100 AS b
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN b < {textops.SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN b < {textops.SPLIT_TRAIN_PCT
+                                  + textops.SPLIT_VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS "split",
+                   lang, n_chars
+            FROM h ORDER BY doc_id
         """,
         "doc_dedup_consecutive_tokens": f"""
             WITH t AS (

@@ -4089,3 +4089,90 @@ def q21_only_returned_supplier(sf_dir: str):
         "numwait": pc.cast(b.column("numwait"), pa.int64())}),
         batch_format="pyarrow")
         .sort(["numwait", "s_suppkey"], descending=[True, False]))
+
+
+DEDUP_WINDOW_MINUTES = 10
+
+
+def events_dedup_within_window(sf_dir: str,
+                               window_minutes: int = DEDUP_WINDOW_MINUTES):
+    """Streaming-shaped event debounce: drop an event when the SAME
+    (user_id, event_type) occurred within the preceding
+    ``window_minutes`` (previous OCCURRENCE, kept or not — the LAG
+    debounce, exactly `lag(ts) OVER (PARTITION BY user, type ORDER BY
+    ts, event_id)`). The at-least-once-delivery dedup pass an event
+    pipeline runs before aggregation.
+
+    Same sorted-block scaffold as the lag/rolling family: the only
+    cross-block state is one (user, type, last_ts) triple per boundary.
+    Output: the KEPT rows (user_id, event_type, event_id)."""
+    win_us = np.int64(window_minutes) * 60_000_000
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "ts_us": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+            "event_id": b.column("event_id"),
+        })
+
+    sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .sort(["user_id", "event_type", "ts_us", "event_id"])
+                 .materialize())
+
+    def summarize(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        u = tbl.column("user_id").to_numpy()
+        t = tbl.column("event_type")
+        ts = tbl.column("ts_us").to_numpy()
+        return (int(u[0]), t[0].as_py(), int(u[-1]), t[-1].as_py(),
+                int(ts[-1]))
+
+    def scan(summaries):
+        args, carry = [], None   # carry = (last_user, last_type, last_ts)
+        for s in summaries:
+            if s is None:
+                args.append((None, None, None))
+                continue
+            fu, ft, lu, lt, lts = s
+            if carry is not None and carry[0] == fu and carry[1] == ft:
+                args.append(carry)
+            else:
+                args.append((None, None, None))
+            carry = (lu, lt, lts)
+        return args
+
+    def label(tbl: pa.Table, cu, ct, cts) -> pa.Table:
+        u = tbl.column("user_id").to_numpy()
+        t = tbl.column("event_type")
+        ts = tbl.column("ts_us").to_numpy()
+        same = np.r_[False, (u[1:] == u[:-1])]
+        if tbl.num_rows > 1:
+            eq_t = pc.equal(t.slice(1), t.slice(0, len(t) - 1)).to_numpy(
+                zero_copy_only=False)
+            same[1:] &= eq_t.astype(bool)
+        prev_ts = np.r_[np.int64(0), ts[:-1]]
+        if cu is not None and tbl.num_rows and int(u[0]) == cu \
+                and t[0].as_py() == ct:
+            same[0] = True
+            prev_ts[0] = cts
+        keep = (~same) | (ts - prev_ts > win_us)
+        sel = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({
+            "user_id": pc.cast(tbl.column("user_id").take(sel), pa.int64()),
+            "event_type": tbl.column("event_type").take(sel),
+            "event_id": pc.cast(tbl.column("event_id").take(sel),
+                                pa.int64()),
+        })
+
+    labeled = _sorted_block_scan(sorted_ds, summarize, (), scan, label)
+    if labeled is None:
+        return pa.schema([("user_id", pa.int64()),
+                          ("event_type", pa.string()),
+                          ("event_id", pa.int64())]).empty_table()
+    return labeled.sort(["user_id", "event_type", "event_id"])

@@ -2400,3 +2400,99 @@ def doc_line_dedupe(sf_dir: str, cfg: "PipelineConfig | None" = None):
     return (marked.groupby("doc_id")
             .map_groups(per_doc, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle order + train/val/test split (round-4 close)
+# ---------------------------------------------------------------------------
+
+#: train/val/test split boundaries over hash-bucket % 100.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+
+
+def _knuth_hash_i64(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash of doc_id, as int64 (< 2^32, so the
+    DuckDB HUGEINT oracle reproduces it exactly — same kernel as
+    ``doc_sample`` / ``doc_sample_stratified``)."""
+    h = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
+        & np.uint64(_SAMPLE_MOD - 1)
+    return h.astype(np.int64)
+
+
+def doc_shuffle_deterministic(sf_dir: str):
+    """Deterministic GLOBAL shuffle order for training-data serving:
+    ``shuffle_rank = row_number() OVER (ORDER BY knuth_hash(doc_id),
+    doc_id)``. Unlike ``ray.data.Dataset.random_shuffle`` the order is a
+    pure function of the keys — stable across runs, partitionings, and
+    engines — so a resumable 100 TB training job can re-derive exactly
+    which shard holds rank range [a, b) after a restart.
+
+    Distributed shape: one engine sort on the (hash, doc_id) key pair
+    (narrow: two int64 columns), then global ranks are assigned per
+    sorted block from an O(#blocks) prefix-sum of block row counts —
+    no driver materialization of rows."""
+    from fuzzy_dedupe_pipeline_ray.pipelines.relational import \
+        _sorted_block_scan
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table({
+            "h": pa.array(_knuth_hash_i64(ids), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+        })
+
+    sorted_ds = (read_documents(sf_dir, ["doc_id"])
+                 .map_batches(add_hash, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .sort(["h", "doc_id"]).materialize())
+
+    def summarize(tbl: pa.Table):
+        return tbl.num_rows if tbl.num_rows else None
+
+    def scan(summaries):
+        args, off = [], 0
+        for s in summaries:
+            args.append((off,))
+            off += s or 0
+        return args
+
+    def label(tbl: pa.Table, offset: int) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table({
+            "shuffle_rank": pa.array(
+                np.arange(offset + 1, offset + n + 1, dtype=np.int64)),
+            "doc_id": tbl.column("doc_id"),
+        })
+
+    labeled = _sorted_block_scan(sorted_ds, summarize, (), scan, label)
+    if labeled is None:
+        return pa.schema([("shuffle_rank", pa.int64()),
+                          ("doc_id", pa.int64())]).empty_table()
+    return labeled.sort("shuffle_rank")
+
+
+def doc_split_train_val_test(sf_dir: str):
+    """Deterministic train/val/test assignment: hash-bucket
+    ``knuth_hash(doc_id) % 100`` → train (< 80) / val (< 90) / test.
+    A pure function of the key, so the split is identical across runs,
+    engines, and partitionings, and any shard can be re-materialized
+    independently (no global coordination, no shuffle — a map-only
+    stage). Output: (doc_id, split, lang, n_chars), sorted by doc_id."""
+    labels = np.array(["train", "val", "test"])
+    hi = np.array([SPLIT_TRAIN_PCT, SPLIT_TRAIN_PCT + SPLIT_VAL_PCT],
+                  dtype=np.int64)
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        bucket = _knuth_hash_i64(ids) % 100
+        idx = np.searchsorted(hi, bucket, side="right")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "split": pa.array(labels[idx], pa.string()),
+            "lang": b.column("lang"),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+        })
+
+    return read_documents(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")

@@ -1,0 +1,75 @@
+"""Round-4 close batch: within-window event debounce, deterministic
+global shuffle order, and the hash-bucket train/val/test split. Crafted
+edge-case semantics here; end-to-end DuckDB parity at sf0.001 is
+auto-covered by tests/test_oracle_parity.py."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fuzzy_dedupe_pipeline_ray.pipelines import relational, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_parts(dirname, table_name, df, n_parts):
+    sub = os.path.join(dirname, f"{table_name}.parquet")
+    os.makedirs(sub)
+    for i, part in enumerate(np.array_split(df, n_parts)):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(sub, f"part-{i:02d}.parquet"))
+
+
+def test_events_dedup_window_boundary(ray_session, tmp_path):
+    """LAG-debounce semantics on a crafted table: an event exactly AT the
+    window boundary is dropped (strict >), the gap resets on every
+    occurrence (kept or not), and (user, type) partitions are
+    independent."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    ev = pd.DataFrame({
+        # user 1 / click: 0, +10min (== window, drop), +20min (10 after
+        #   the DROPPED one -> still within window of previous occurrence
+        #   -> drop), +31min (11 after prev occurrence -> keep)
+        # user 1 / view: independent partition -> kept
+        # user 2 / click: 0 kept, +11min kept
+        "user_id": [1, 1, 1, 1, 1, 2, 2],
+        "event_type": ["click", "click", "click", "click",
+                       "view", "click", "click"],
+        "ts": [base, base + 10 * m, base + 20 * m, base + 31 * m,
+               base + 1 * m, base, base + 11 * m],
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "value": [0.0] * 7,
+    })
+    _write_parts(str(tmp_path), "events", ev, 3)
+    out = relational.events_dedup_within_window(str(tmp_path)).to_pandas()
+    assert out["event_id"].tolist() == [1, 4, 5, 6, 7]
+
+
+def test_shuffle_rank_is_permutation_and_stable(ray_session):
+    a = textops.doc_shuffle_deterministic(SF).to_pandas()
+    b = textops.doc_shuffle_deterministic(SF).to_pandas()
+    n = len(a)
+    assert sorted(a["shuffle_rank"]) == list(range(1, n + 1))
+    assert a.equals(b)  # pure function of the keys
+    # it actually permutes: doc_id order differs from rank order
+    assert a["doc_id"].tolist() != sorted(a["doc_id"].tolist())
+
+
+def test_split_deterministic_and_ratioed(ray_session):
+    df = textops.doc_split_train_val_test(SF).to_pandas()
+    frac = df["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+    # pure function of doc_id: recompute one row's bucket by hand
+    row = df.iloc[0]
+    h = (np.uint64(row["doc_id"]) * np.uint64(textops._SAMPLE_MULT)) \
+        & np.uint64(textops._SAMPLE_MOD - 1)
+    b = int(h) % 100
+    want = ("train" if b < textops.SPLIT_TRAIN_PCT
+            else "val" if b < textops.SPLIT_TRAIN_PCT + textops.SPLIT_VAL_PCT
+            else "test")
+    assert row["split"] == want
