@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 112 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 115 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (105 oracles, including all-true INVARIANT oracles
+SQL-expressible one (108 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -233,6 +233,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_sample_stratified": textops.doc_sample_stratified,
         "doc_shuffle_deterministic": textops.doc_shuffle_deterministic,
         "doc_split_train_val_test": textops.doc_split_train_val_test,
+        "doc_unigram_logfreq": textops.doc_unigram_logfreq,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
             textops.doc_fingerprint_exact_family_check,
@@ -264,6 +265,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_hourly_window": relational.events_hourly_window,
         "events_sessionize": relational.events_sessionize,
         "events_dedup_within_window": relational.events_dedup_within_window,
+        "events_conversion_latency": relational.events_conversion_latency,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
         "events_asof_join": relational.events_asof_join,
         "events_rolling": relational.events_rolling,
         "events_trailing_window": relational.events_trailing_window,
@@ -1097,6 +1100,56 @@ def oracle_sql() -> "dict[str, str]":
                    max(ts) AS session_end
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "q6_forecast_revenue": """
+            SELECT count(*) FILTER (
+                       CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5
+                           AND 7
+                       AND l_quantity < 24) AS n_lines,
+                   CAST(COALESCE(sum(CAST(round(l_extendedprice
+                                                * l_discount * 10000)
+                                          AS BIGINT)) FILTER (
+                       CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5
+                           AND 7
+                       AND l_quantity < 24), 0) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        """,
+        "events_conversion_latency": """
+            WITH s AS (SELECT user_id, min(ts) AS sts FROM events
+                       WHERE event_type = 'signup' GROUP BY user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS pts
+                  FROM events e JOIN s ON e.user_id = s.user_id
+                                      AND e.ts >= s.sts
+                  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT s.user_id,
+                   CAST((epoch_us(p.pts) - epoch_us(s.sts)) // 1000000
+                        AS BIGINT) AS latency_sec
+            FROM s JOIN p ON s.user_id = p.user_id
+            ORDER BY s.user_id
+        """,
+        "doc_unigram_logfreq": f"""
+            WITH tok AS (
+                SELECT doc_id, u.t AS token
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(
+                                 trim(lower(text)), '{_WS}'),
+                                 x -> x <> '') AS ts
+                      FROM documents),
+                     UNNEST(ts) AS u(t)),
+            tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+            per AS (SELECT tok.doc_id, count(*) AS n_tokens,
+                           sum(CAST(length(format('{{:b}}', tf.tf)) - 1
+                                    AS BIGINT)) AS s
+                    FROM tok JOIN tf ON tok.token = tf.token
+                    GROUP BY tok.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(1000 * per.s // per.n_tokens, -1)
+                        AS BIGINT) AS mean_log2_tf_e3
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id
         """,
         "events_dedup_within_window": f"""
             WITH l AS (

@@ -4176,3 +4176,99 @@ def events_dedup_within_window(sf_dir: str,
                           ("event_type", pa.string()),
                           ("event_id", pa.int64())]).empty_table()
     return labeled.sort(["user_id", "event_type", "event_id"])
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: the forecasting-revenue-change query — revenue
+    that WOULD have been earned had discounts in a band been dropped:
+    ``sum(l_extendedprice * l_discount)`` over one ship-date year,
+    discount 5–7 cents, quantity < 24. The simplest TPC-H query, and the
+    purest prune-at-the-read case: the date window is a scan-level
+    parquet filter (row groups outside it never leave storage); the
+    discount band re-checks on exact CENTS (never float equality) and
+    quantity in-batch; each batch reduces to two int64 counters.
+    Output one row: (n_lines, revenue_e4)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    li = _read_filtered(
+        sf_dir, "lineitem",
+        ["l_extendedprice", "l_discount", "l_quantity"],
+        _ts_window_expr("l_shipdate", "1997-01-01", "1998-01-01"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.asarray(_scaled_int(b.column("l_discount"), 100.0),
+                           np.int64)
+        qty = b.column("l_quantity").to_numpy()
+        m = (cents >= 5) & (cents <= 7) & (qty < 24)
+        rev = _e4(pc.multiply(b.column("l_extendedprice"),
+                              b.column("l_discount")))
+        return pa.table({
+            "n_lines": pa.array([int(m.sum())], pa.int64()),
+            "revenue_e4": pa.array([int(rev.to_numpy()[m].sum())],
+                                   pa.int64()),
+        })
+
+    t = to_local_table(li.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    n = int(pc.sum(t.column("n_lines")).as_py() or 0) if t is not None \
+        and t.num_rows else 0
+    rev = int(pc.sum(t.column("revenue_e4")).as_py() or 0) if t is not None \
+        and t.num_rows else 0
+    return pa.table({"n_lines": pa.array([n], pa.int64()),
+                     "revenue_e4": pa.array([rev], pa.int64())})
+
+
+def events_conversion_latency(sf_dir: str, first: str = "signup",
+                              then: str = "purchase"):
+    """Per-user conversion LATENCY (the attribution metric behind the
+    funnel-count op): for each user, whole seconds from their FIRST
+    ``first`` event to their first ``then`` event at-or-after it.
+    Output (user_id, latency_sec) for converted users only.
+
+    Distributed shape: anchor = ``groupby(user).min(ts)`` over a
+    filtered scan (one row per user); ``then``-events probe the anchor
+    through the tiered ``lookup_join`` (broadcast under the gate, hash
+    join above); the at-or-after test and the µs→s floor are vectorized
+    int64 ops; the surviving rows collapse through a per-batch partial
+    min + one tiny groupby."""
+    from ray.data.aggregate import Min
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def step_rows(which, col):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), which))
+            ts = (t.column("ts").to_numpy()
+                  .astype("datetime64[us]").astype(np.int64))
+            return pa.table({"user_id": t.column("user_id"),
+                             col: pa.array(ts, pa.int64())})
+        return ev.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    anchor = (step_rows(first, "first_us").groupby("user_id")
+              .aggregate(Min("first_us", alias_name="first_us")))
+    probed = lookup_join(step_rows(then, "ts_us"), anchor,
+                         on="user_id", cfg=DEFAULT_CONFIG)
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        ts = b.column("ts_us").to_numpy()
+        fu = b.column("first_us").to_numpy(zero_copy_only=False)
+        ok = ts >= fu
+        u = b.column("user_id").to_numpy()[ok]
+        lat = (ts[ok] - fu[ok]) // 1_000_000
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "lat_part": pa.array([], pa.int64())})
+        order = np.lexsort((lat, u))
+        us, ls = u[order], lat[order]
+        firsts = np.r_[True, us[1:] != us[:-1]]
+        return pa.table({"user_id": pa.array(us[firsts], pa.int64()),
+                         "lat_part": pa.array(ls[firsts], pa.int64())})
+
+    return (probed.map_batches(partial_min, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("user_id")
+            .aggregate(Min("lat_part", alias_name="latency_sec"))
+            .sort("user_id"))

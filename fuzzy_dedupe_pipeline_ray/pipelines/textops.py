@@ -2496,3 +2496,101 @@ def doc_split_train_val_test(sf_dir: str):
 
     return read_documents(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def doc_unigram_logfreq(sf_dir: str):
+    """Unigram-LM quality signal without a model: per document, the mean
+    floor(log2(corpus term frequency)) of its tokens — high = common-word
+    prose, low = rare-token-heavy (code, tables, noise, other-language).
+    The integer-exact stand-in for unigram log-probability scoring: the
+    ranking is identical (log p(t) = log tf(t) − log N and N is constant)
+    while every value stays a BIGINT the DuckDB oracle reproduces
+    bit-for-bit (floor-log2 = IEEE exponent, never libm rounding).
+    Output: (doc_id, n_tokens, mean_log2_tf_e3); empty docs get (0, -1).
+
+    Distributed shape: pass 1 builds the corpus TF table (per-batch
+    bincount partials — only (token, partial) rows shuffle); pass 2
+    re-explodes, probes TF through the tiered ``hash_join``, and reduces
+    per batch to one (doc, Σocc·log2tf) partial; a parallel stream of
+    per-doc token counts (computed pre-join, so EMPTY docs survive)
+    unions in, and one per-doc groupby finishes. At 100 TB the vocab
+    table is the only broadcast and is gated."""
+    from ray.data.aggregate import Sum
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
+
+    def occ_fn(b: pa.Table) -> pa.Table:
+        """(doc_id, token, occ) — per-batch occurrence counts."""
+        rows, codes, vocab = _exploded_token_codes(b.column("text"))
+        ids = b.column("doc_id").to_numpy()
+        if len(rows) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "occ": pa.array([], pa.int64())})
+        v = len(vocab)
+        pair, occ = np.unique(rows * np.int64(v) + codes,
+                              return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(ids[(pair // v)], pa.int64()),
+            "token": pc.cast(pa.array(vocab).take(pa.array(pair % v)),
+                             pa.string()),
+            "occ": pa.array(occ.astype(np.int64), pa.int64()),
+        })
+
+    def occs(): return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        occ_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    tf_tbl = (occs().map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "tf_part": b.column("occ")}),
+        batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("tf_part", alias_name="tf")))
+
+    joined = hash_join(occs(), tf_tbl, on="token", cfg=DOCS_CFG)
+
+    def contrib(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        occ = b.column("occ").to_numpy()
+        tf = np.asarray(pc.cast(b.column("tf"), pa.int64()), np.int64)
+        log2f = (np.frexp(tf.astype(np.float64))[1] - 1).astype(np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "n_part": pa.array(np.zeros(len(uniq), np.int64)),
+            "s_part": pa.array(np.bincount(inv, occ * log2f)
+                               .astype(np.int64), pa.int64()),
+        })
+
+    def counts(b: pa.Table) -> pa.Table:
+        """Per-doc token counts from the RAW stream — every doc appears,
+        so empty docs survive to the final table."""
+        rows, _, _ = _exploded_token_codes(b.column("text"))
+        n = np.bincount(rows, minlength=b.num_rows).astype(np.int64) \
+            if b.num_rows else np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_part": pa.array(n, pa.int64()),
+            "s_part": pa.array(np.zeros(b.num_rows, np.int64)),
+        })
+
+    count_stream = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = (joined.map_batches(contrib, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+               .union(count_stream)
+               .groupby("doc_id")
+               .aggregate(Sum("n_part", alias_name="n_tokens"),
+                          Sum("s_part", alias_name="s")))
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        mean = np.where(n > 0, (1000 * s) // np.maximum(n, 1), -1)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+            "mean_log2_tf_e3": pa.array(mean.astype(np.int64), pa.int64()),
+        })
+
+    return per_doc.map_batches(final, batch_format="pyarrow",
+                               zero_copy_batch=True).sort("doc_id")

@@ -73,3 +73,41 @@ def test_split_deterministic_and_ratioed(ray_session):
             else "val" if b < textops.SPLIT_TRAIN_PCT + textops.SPLIT_VAL_PCT
             else "test")
     assert row["split"] == want
+
+
+def test_conversion_latency_ignores_pre_signup_purchase(ray_session,
+                                                        tmp_path):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    ev = pd.DataFrame({
+        # user 1: purchase BEFORE signup (ignored), then one 3h after
+        # user 2: signup, never purchases -> absent
+        # user 3: purchase only, no signup -> absent
+        # user 4: purchase AT the signup instant -> latency 0
+        "user_id": [1, 1, 1, 2, 3, 4, 4],
+        "event_type": ["purchase", "signup", "purchase", "signup",
+                       "purchase", "signup", "purchase"],
+        "ts": [base - 2 * h, base, base + 3 * h, base, base, base, base],
+        "event_id": list(range(1, 8)),
+        "value": [0.0] * 7,
+    })
+    _write_parts(str(tmp_path), "events", ev, 3)
+    out = relational.events_conversion_latency(str(tmp_path)).to_pandas()
+    assert out.set_index("user_id")["latency_sec"].to_dict() == {
+        1: 3 * 3600, 4: 0}
+
+
+def test_unigram_logfreq_hand_computed(ray_session, tmp_path):
+    """corpus: 'a a b' / 'b c' / '' — tf: a=2, b=2, c=1;
+    floor-log2: a=1, b=1, c=0."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a b", "b c", ""],
+        "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [5, 3, 0],
+    })
+    _write_parts(str(tmp_path), "documents", docs, 2)
+    out = textops.doc_unigram_logfreq(str(tmp_path)).to_pandas()
+    got = out.set_index("doc_id")[["n_tokens", "mean_log2_tf_e3"]]
+    assert got.loc[1].tolist() == [3, 1000]   # (1+1+1)*1000 // 3
+    assert got.loc[2].tolist() == [2, 500]    # (1+0)*1000 // 2
+    assert got.loc[3].tolist() == [0, -1]
