@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 115 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 118 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (108 oracles, including all-true INVARIANT oracles
+SQL-expressible one (110 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -227,6 +227,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
         "doc_distinct_shingle_sketch": textops.doc_distinct_shingle_sketch,
         "doc_decontaminate": textops.doc_decontaminate,
+        "doc_fuzzy_decontaminate": textops.doc_fuzzy_decontaminate,
+        "doc_fuzzy_decontaminate_exact_check":
+            textops.doc_fuzzy_decontaminate_fixture_check,
         "doc_ngram_novelty": textops.doc_ngram_novelty,
         "files_dup_rate_by_lang": textops.files_dup_rate_by_lang,
         "doc_curation_funnel": textops.doc_curation_funnel,
@@ -266,6 +269,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_sessionize": relational.events_sessionize,
         "events_dedup_within_window": relational.events_dedup_within_window,
         "events_conversion_latency": relational.events_conversion_latency,
+        "events_late_arrivals": relational.events_late_arrivals_fixture,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "events_asof_join": relational.events_asof_join,
         "events_rolling": relational.events_rolling,
@@ -358,6 +362,8 @@ def oracle_sql() -> "dict[str, str]":
     # files.parquet is a part DIRECTORY (fixtures.CORPUS_PARTS); DuckDB
     # needs the glob form, Ray's read_parquet takes the directory itself
     small_files = f"{corpus_dir('small')}/files.parquet/*.parquet"
+    decon_docs = f"{textops.decon_fixture_dir()}/documents.parquet"
+    late_events = f"{relational.late_events_fixture_dir()}/events.parquet"
 
     return {
         "addr_extract": addresses.addr_extract_oracle_sql(),
@@ -1100,6 +1106,31 @@ def oracle_sql() -> "dict[str, str]":
                    max(ts) AS session_end
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "doc_fuzzy_decontaminate_exact_check": f"""
+            SELECT d.doc_id, TRUE AS flagged
+            FROM read_parquet('{decon_docs}') d
+            WHERE d.doc_id % 50 <> 0
+              AND EXISTS (SELECT 1 FROM read_parquet('{decon_docs}') b
+                          WHERE b.doc_id % 50 = 0 AND b.text = d.text)
+            ORDER BY d.doc_id
+        """,
+        "events_late_arrivals": f"""
+            WITH w AS (
+                SELECT event_id, user_id, ts,
+                       max(ts) OVER (ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS wm
+                FROM read_parquet('{late_events}'))
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST((epoch_us(wm) - epoch_us(ts)) // 1000000
+                        AS BIGINT) AS lateness_sec
+            FROM w
+            WHERE wm IS NOT NULL
+              AND ts < wm - INTERVAL
+                  {relational.LATE_WATERMARK_MINUTES} MINUTE
+            ORDER BY event_id
         """,
         "q6_forecast_revenue": """
             SELECT count(*) FILTER (

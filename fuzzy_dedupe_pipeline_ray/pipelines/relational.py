@@ -15,6 +15,7 @@ round-half-even vs round-half-away difference between numpy and DuckDB.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -4272,3 +4273,121 @@ def events_conversion_latency(sf_dir: str, first: str = "signup",
             .groupby("user_id")
             .aggregate(Min("lat_part", alias_name="latency_sec"))
             .sort("user_id"))
+
+
+LATE_WATERMARK_MINUTES = 15
+
+
+def events_late_arrivals(sf_dir: str,
+                         watermark_minutes: int = LATE_WATERMARK_MINUTES):
+    """Watermark / late-data detection, the streaming-semantics op a
+    batch backfill needs to reproduce: an event is LATE when its event
+    time ``ts`` is more than ``watermark_minutes`` behind the running
+    maximum event time over everything that ARRIVED before it (arrival
+    order = event_id). Exactly ``ts < max(ts) OVER (ORDER BY event_id
+    ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) - W`` — the rows a
+    streaming engine would have dropped (or side-channeled) at this
+    allowed-lateness setting.
+
+    Same sorted-block scaffold as the window family: the only cross-block
+    state is one running-max int64 per boundary. Output: the late rows
+    (event_id, user_id, lateness_sec), sorted by event_id."""
+    win_us = np.int64(watermark_minutes) * 60_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ts_us": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+            "user_id": b.column("user_id"),
+        })
+
+    sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .sort("event_id").materialize())
+
+    def summarize(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        return int(tbl.column("ts_us").to_numpy().max())
+
+    def scan(summaries):
+        args, carry = [], None   # carry = running max ts over prior blocks
+        for s in summaries:
+            args.append((carry,))
+            if s is not None:
+                carry = s if carry is None else max(carry, s)
+        return args
+
+    def label(tbl: pa.Table, carry) -> pa.Table:
+        ts = tbl.column("ts_us").to_numpy()
+        run = np.maximum.accumulate(ts)
+        # EXCLUSIVE running max: shift one right, seed with the carry
+        wm = np.r_[np.int64(carry if carry is not None else np.iinfo(
+            np.int64).min), run[:-1]]
+        if carry is not None:
+            wm = np.maximum(wm, np.int64(carry))
+        late = (wm != np.iinfo(np.int64).min) & (ts < wm - win_us)
+        sel = pa.array(np.flatnonzero(late), pa.int64())
+        return pa.table({
+            "event_id": pc.cast(tbl.column("event_id").take(sel),
+                                pa.int64()),
+            "user_id": pc.cast(tbl.column("user_id").take(sel), pa.int64()),
+            "lateness_sec": pa.array(
+                (wm[late.nonzero()[0]] - ts[late]) // 1_000_000, pa.int64()),
+        })
+
+    labeled = _sorted_block_scan(sorted_ds, summarize, (), scan, label)
+    if labeled is None:
+        return pa.schema([("event_id", pa.int64()),
+                          ("user_id", pa.int64()),
+                          ("lateness_sec", pa.int64())]).empty_table()
+    return labeled.sort("event_id")
+
+
+LATE_FIXTURE_N = 4000
+LATE_FIXTURE_VERSION = "v1"
+
+
+def late_events_fixture_dir(root: str = "/tmp/fdpr_late") -> str:
+    """Generate-and-cache a deterministic event stream whose ARRIVAL
+    order (event_id) genuinely disagrees with event time — the driver's
+    synthetic events table is perfectly time-ordered, so the watermark
+    op would be vacuous over it (zero late rows proves nothing). Pure
+    function of constants: true event times are a strict 37 s grid;
+    every 11th event's arrival is delayed by 10+(j%40) positions, giving
+    lateness 370–1,813 s around the 900 s watermark — both branches of
+    the late test appear many times. The oracle SQL reads the same
+    parquet path."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, f"{LATE_FIXTURE_VERSION}_{LATE_FIXTURE_N}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    n = LATE_FIXTURE_N
+    j = np.arange(n, dtype=np.int64)
+    shift = np.where(j % 11 == 0, 10 + (j % 40), 0)
+    order = np.argsort(j + shift, kind="stable")  # arrival seq of true idx
+    base = np.datetime64("2024-03-01T00:00:00", "us").astype(np.int64)
+    ts_us = base + order * np.int64(37_000_000)
+    tbl = pa.table({
+        "event_id": pa.array(j + 1, pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "user_id": pa.array(order % 97, pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(d, "events.parquet"),
+                   row_group_size=512)
+    with open(done, "w") as f:
+        f.write(LATE_FIXTURE_VERSION)
+    return d
+
+
+def events_late_arrivals_fixture(sf_dir: str):
+    """Driver-visible form of ``events_late_arrivals`` (``sf_dir``
+    unused): runs over the deterministic out-of-order fixture, where the
+    late set is non-empty by construction — the driver's events table is
+    perfectly time-ordered, so running there would verify nothing."""
+    return events_late_arrivals(late_events_fixture_dir())

@@ -13,6 +13,8 @@ bit-compatible — see functions/textnorm.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2594,3 +2596,207 @@ def doc_unigram_logfreq(sf_dir: str):
 
     return per_doc.map_batches(final, batch_format="pyarrow",
                                zero_copy_batch=True).sort("doc_id")
+
+
+def doc_fuzzy_decontaminate(sf_dir: str, cfg: "PipelineConfig | None" = None):
+    """FUZZY test-set decontamination: training documents that are
+    near-duplicates (MinHash-LSH verified) OR exact duplicates of any
+    benchmark document (the ``doc_id % 50 == 0`` slice, same convention
+    as ``doc_decontaminate``). The n-gram-overlap pass catches verbatim
+    leakage; this catches paraphrase-level leakage — light edits,
+    re-wrapped lines, near-verbatim quotes — the case public LM data
+    reports run MinHash decontamination for.
+
+    Shape: ONE fingerprint pass over the whole table (bench + train ride
+    the same signatures — no second scan), the engine's banded LSH +
+    verify stages emit near-dup pairs, and a vectorized filter keeps
+    cross pairs (exactly one endpoint in the benchmark slice). The exact
+    side is a sha groupby (families counted once, no pairs): every train
+    doc in a family containing a bench doc is flagged — which also makes
+    exact leakage immune to LSH star-capping on hot families. Output:
+    the flagged train doc_ids, distinct, sorted."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    cfg = cfg or DOCS_CFG
+    corpus = _documents_as_corpus(sf_dir).materialize()
+
+    # fuzzy cross pairs: full LSH + verify, then keep train↔bench pairs
+    sigs = fingerprint(corpus, cfg).materialize()
+    fuzzy = verify_pairs(candidate_pairs(sigs, cfg), sigs, cfg)
+
+    def cross(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy()
+        c = b.column("id_b").to_numpy()
+        ab = (a % DECON_BENCH_MOD) == 0
+        cb = (c % DECON_BENCH_MOD) == 0
+        m = ab ^ cb
+        train = np.where(ab, c, a)[m]
+        return pa.table({"doc_id": pa.array(np.unique(train), pa.int64())})
+
+    fz = fuzzy.map_batches(cross, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # exact side: sha families with >=1 bench member flag every train
+    # member (no pair emission, so hot families cost one row each)
+    def sha_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sha": pa.array(sha256_hex_arrow(b.column("content")),
+                            pa.string()),
+            "is_bench": pa.array(
+                ((ids % DECON_BENCH_MOD) == 0).astype(np.int64), pa.int64()),
+        })
+
+    shas = corpus.map_batches(sha_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    from ray.data.aggregate import Sum
+    fam = shas.groupby("sha").aggregate(Sum("is_bench",
+                                            alias_name="fam_bench"))
+    joined = lookup_join(shas, fam, on="sha", cfg=cfg)
+
+    def exact_flagged(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        nb = b.column("fam_bench").to_numpy(zero_copy_only=False)
+        train = (ids % DECON_BENCH_MOD) != 0
+        return pa.table({"doc_id": pa.array(ids[train & (nb > 0)],
+                                            pa.int64())})
+
+    ex = joined.map_batches(exact_flagged, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return (fz.union(ex)
+            .groupby("doc_id").aggregate(Count(alias_name="_n"))
+            .select_columns(["doc_id"]).sort("doc_id"))
+
+
+def doc_fuzzy_decontaminate_exact_check(sf_dir: str):
+    """Oracle-able INVARIANT over ``doc_fuzzy_decontaminate``: every
+    train doc whose text EXACTLY equals some benchmark doc's text must be
+    flagged — the sha family pass guarantees it regardless of LSH
+    recall, banding config, or star-capping. The Ray side computes the
+    boolean from the REAL op output; the DuckDB oracle states the
+    expectation (all-true) from text equality."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    flagged = doc_fuzzy_decontaminate(sf_dir).map_batches(
+        lambda b: b.append_column(
+            "_hit", pa.array(np.ones(b.num_rows, np.int8))),
+        batch_format="pyarrow")
+
+    # expected set, by the exact logic the oracle states (sha = text eq)
+    corpus = _documents_as_corpus(sf_dir)
+
+    def sha_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sha": pa.array(sha256_hex_arrow(b.column("content")),
+                            pa.string()),
+            "is_bench": pa.array(
+                ((ids % DECON_BENCH_MOD) == 0).astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    shas = corpus.map_batches(sha_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    fam = shas.groupby("sha").aggregate(Sum("is_bench",
+                                            alias_name="fam_bench"))
+    joined = lookup_join(shas, fam, on="sha", cfg=DOCS_CFG)
+    expected = joined.map_batches(
+        lambda b: b.filter(pa.array(
+            ((b.column("doc_id").to_numpy() % DECON_BENCH_MOD) != 0)
+            & (b.column("fam_bench").to_numpy(zero_copy_only=False) > 0))),
+        batch_format="pyarrow").select_columns(["doc_id"])
+
+    checked = lookup_join(expected, flagged, on="doc_id", cfg=DOCS_CFG,
+                          join_type="left_outer")
+    return checked.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "flagged": pc.equal(pc.fill_null(b.column("_hit"), 0), 1),
+        }), batch_format="pyarrow").sort("doc_id")
+
+
+DECON_FIXTURE_N = 400
+DECON_FIXTURE_VERSION = "v1"
+
+_DECON_WORDS = [
+    "model", "training", "dataset", "benchmark", "accuracy", "tokens",
+    "layers", "gradient", "batch", "sequence", "window", "filter",
+    "sample", "metric", "update", "weight", "vector", "output", "input",
+    "result", "number", "report", "system", "method", "detail", "review",
+]
+
+
+def decon_fixture_dir(root: str = "/tmp/fdpr_decon") -> str:
+    """Generate-and-cache a documents table where contamination actually
+    EXISTS: the driver's synthetic documents corpus has no exact text
+    equality across the ``doc_id % 50`` benchmark boundary, so the
+    fuzzy-decontamination invariant would be vacuous over it. Plants,
+    purely deterministically:
+
+    * 8 bench docs whose text is copied VERBATIM to one train doc each
+      (the exact-leak case the invariant oracle states);
+    * 8 bench docs copied to a train doc with one word substituted (the
+      paraphrase-leak case — unit-tested for recall, not oracled);
+    * a train-train exact dup pair that must NOT be flagged (precision);
+    * unique fillers.
+
+    Texts are ~60-word sentences from a fixed pool (long enough for
+    char-7 shingles at the DOCS_CFG threshold)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, f"{DECON_FIXTURE_VERSION}_{DECON_FIXTURE_N}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+
+    def text_of(k: int) -> str:
+        w = _DECON_WORDS
+        return " ".join(w[(k * 7 + i * 3 + (i * i) % 11) % len(w)]
+                        for i in range(60)) + f" tail{k}"
+
+    ids, texts = [], []
+    used = set()
+
+    def add(i, t):
+        ids.append(i); texts.append(t); used.add(i)
+
+    for k in range(8):                      # exact cross leaks
+        b, t = 50 * (k + 1), 50 * (k + 1) + k + 1
+        add(b, text_of(k)); add(t, text_of(k))
+    for k in range(8):                      # near (one-word-edit) leaks
+        b, t = 50 * (k + 9), 50 * (k + 9) + k + 1
+        base = text_of(100 + k)
+        add(b, base)
+        add(t, base.replace(" ".join(base.split()[30:31]), "changedword",
+                            1))
+    add(1201, text_of(900)); add(1202, text_of(900))  # train-train dup
+    i = 1
+    while len(ids) < DECON_FIXTURE_N:       # unique fillers, both sides
+        if i not in used:
+            add(i, text_of(2000 + i))
+        i += 1
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["fix"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"),
+                   row_group_size=64)
+    with open(done, "w") as f:
+        f.write(DECON_FIXTURE_VERSION)
+    return d
+
+
+def doc_fuzzy_decontaminate_fixture_check(sf_dir: str):
+    """Driver-visible invariant form of ``doc_fuzzy_decontaminate``
+    (``sf_dir`` unused): runs the REAL fuzzy-decontamination op over the
+    planted fixture — where cross-boundary exact leaks exist by
+    construction — and reports, for every train doc the oracle can prove
+    contaminated (exact text match to a bench doc), whether the op
+    flagged it. All-true or the driver gate hash-fails."""
+    return doc_fuzzy_decontaminate_exact_check(decon_fixture_dir())

@@ -111,3 +111,36 @@ def test_unigram_logfreq_hand_computed(ray_session, tmp_path):
     assert got.loc[1].tolist() == [3, 1000]   # (1+1+1)*1000 // 3
     assert got.loc[2].tolist() == [2, 500]    # (1+0)*1000 // 2
     assert got.loc[3].tolist() == [0, -1]
+
+
+def test_fuzzy_decontaminate_planted_fixture(ray_session):
+    """Recall: all 8 exact AND all 8 one-word-edit cross leaks flagged.
+    Precision: the train-train dup pair and bench docs never flagged."""
+    d = textops.decon_fixture_dir()
+    flagged = set(textops.doc_fuzzy_decontaminate(d).to_pandas()["doc_id"])
+    exact_leaks = {50 * (k + 1) + k + 1 for k in range(8)}
+    near_leaks = {50 * (k + 9) + k + 1 for k in range(8)}
+    assert exact_leaks <= flagged
+    assert near_leaks <= flagged
+    assert 1201 not in flagged and 1202 not in flagged
+    assert not any(i % 50 == 0 for i in flagged)
+
+
+def test_late_arrivals_exclusive_watermark(ray_session, tmp_path):
+    """An event tied WITH the running max is not late; only a strict
+    >15 min deficit against events that arrived BEFORE it counts."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    ev = pd.DataFrame({
+        # arrival order = event_id; event 3 is 20 min behind the max
+        # that arrived before it (event 2 at +30); event 4 is 10 min
+        # behind (within watermark); event 5 equals the max (not late).
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": [base, base + 30 * m, base + 10 * m, base + 20 * m,
+               base + 30 * m],
+        "user_id": [7] * 5,
+    })
+    _write_parts(str(tmp_path), "events", ev, 2)
+    out = relational.events_late_arrivals(str(tmp_path)).to_pandas()
+    assert out["event_id"].tolist() == [3]
+    assert out["lateness_sec"].tolist() == [20 * 60]
