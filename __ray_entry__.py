@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 118 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 119 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (110 oracles, including all-true INVARIANT oracles
+SQL-expressible one (111 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -233,6 +233,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_ngram_novelty": textops.doc_ngram_novelty,
         "files_dup_rate_by_lang": textops.files_dup_rate_by_lang,
         "doc_curation_funnel": textops.doc_curation_funnel,
+        "doc_quality_audit": textops.doc_quality_audit,
         "doc_sample_stratified": textops.doc_sample_stratified,
         "doc_shuffle_deterministic": textops.doc_shuffle_deterministic,
         "doc_split_train_val_test": textops.doc_split_train_val_test,
@@ -1159,6 +1160,26 @@ def oracle_sql() -> "dict[str, str]":
                         AS BIGINT) AS latency_sec
             FROM s JOIN p ON s.user_id = p.user_id
             ORDER BY s.user_id
+        """,
+        "doc_quality_audit": """
+            WITH checks("check", n_violations) AS (VALUES
+                ('duplicate_doc_id',
+                 (SELECT count(*) - count(DISTINCT doc_id)
+                  FROM documents)),
+                ('n_chars_mismatch',
+                 (SELECT count(*) FROM documents
+                  WHERE COALESCE(n_chars, -1)
+                        <> length(COALESCE(text, '')))),
+                ('null_or_empty_text',
+                 (SELECT count(*) FROM documents
+                  WHERE text IS NULL OR text = '')),
+                ('unknown_lang',
+                 (SELECT count(*) FROM documents
+                  WHERE lang IS NULL OR lang NOT IN
+                        ('en','de','fr','es','pt','it','nl','pl',
+                         'ja','zh','ru','ko'))))
+            SELECT "check", CAST(n_violations AS BIGINT) AS n_violations
+            FROM checks ORDER BY "check"
         """,
         "doc_unigram_logfreq": f"""
             WITH tok AS (

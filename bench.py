@@ -137,7 +137,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_distinct_users_hll", "events_trailing_7d_users",
                  "q4_priority_with_discounted_lines",
                  "q22_idle_rich_customers", "q7_nation_trade_volume",
-                 "events_props_extract", "events_value_mad_by_type"):
+                 "events_props_extract", "events_value_mad_by_type",
+                 "doc_unigram_logfreq", "events_dedup_within_window"):
         t0 = time.time()
         res = qs[name](sf_dir)
         # consume fully (count) so lazy datasets actually execute

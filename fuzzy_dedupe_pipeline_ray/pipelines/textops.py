@@ -2800,3 +2800,63 @@ def doc_fuzzy_decontaminate_fixture_check(sf_dir: str):
     contaminated (exact text match to a bench doc), whether the op
     flagged it. All-true or the driver gate hash-fails."""
     return doc_fuzzy_decontaminate_exact_check(decon_fixture_dir())
+
+
+def doc_quality_audit(sf_dir: str):
+    """Table-level data-quality AUDIT — the pre-flight constraint report
+    a pipeline runs before committing an ingest batch: one row per check
+    with its violation count. Checks: null/empty text, n_chars
+    disagreeing with length(text), lang outside the expected set,
+    duplicate doc_id. Per-batch int64 partials (no row ever shuffles);
+    the duplicate-id check is the one distributed piece — count(*) minus
+    a distinct-id count via one narrow groupby.
+    Output: (check, n_violations), sorted by check."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    allowed = pa.array(["en", "de", "fr", "es", "pt", "it", "nl", "pl",
+                        "ja", "zh", "ru", "ko"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        null_or_empty = int(pc.sum(pc.cast(
+            pc.or_kleene(pc.is_null(text),
+                         pc.equal(pc.fill_null(text, ""), "")),
+            pa.int64())).as_py() or 0)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        true_len = pc.utf8_length(pc.fill_null(text, "")).to_numpy(
+            zero_copy_only=False)
+        bad_len = int((nch != true_len).sum())
+        lang_ok = pc.is_in(b.column("lang"), value_set=allowed)
+        bad_lang = int(b.num_rows - (pc.sum(pc.cast(
+            pc.fill_null(lang_ok, False), pa.int64())).as_py() or 0))
+        return pa.table({
+            "null_or_empty_text": pa.array([null_or_empty], pa.int64()),
+            "n_chars_mismatch": pa.array([bad_len], pa.int64()),
+            "unknown_lang": pa.array([bad_lang], pa.int64()),
+            "n_rows": pa.array([b.num_rows], pa.int64()),
+        })
+
+    docs = read_documents(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    t = to_local_table(docs.map_batches(partial, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+    def ssum(col):
+        return int(pc.sum(t.column(col)).as_py() or 0) if t is not None \
+            and t.num_rows else 0
+
+    n_rows = ssum("n_rows")
+    # duplicate ids: total minus distinct (narrow int64 groupby)
+    n_distinct = (read_documents(sf_dir, ["doc_id"])
+                  .groupby("doc_id").aggregate(Count(alias_name="_n"))
+                  .count())
+    checks = {
+        "duplicate_doc_id": n_rows - n_distinct,
+        "n_chars_mismatch": ssum("n_chars_mismatch"),
+        "null_or_empty_text": ssum("null_or_empty_text"),
+        "unknown_lang": ssum("unknown_lang"),
+    }
+    return pa.table({
+        "check": pa.array(sorted(checks), pa.string()),
+        "n_violations": pa.array([checks[k] for k in sorted(checks)],
+                                 pa.int64()),
+    })

@@ -144,3 +144,18 @@ def test_late_arrivals_exclusive_watermark(ray_session, tmp_path):
     out = relational.events_late_arrivals(str(tmp_path)).to_pandas()
     assert out["event_id"].tolist() == [3]
     assert out["lateness_sec"].tolist() == [20 * 60]
+
+
+def test_quality_audit_counts_planted_violations(ray_session, tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": [1, 1, 2, 3, 4],            # one duplicate id
+        "text": ["ok text", "ok text", None, "", "abc"],
+        "lang": ["en", "en", "xx", "de", None],  # two unknown langs
+        "n_chars": [7, 7, 0, 0, 99],          # one mismatch (99 != 3)
+    })
+    docs["source"] = "t"
+    _write_parts(str(tmp_path), "documents", docs, 2)
+    out = textops.doc_quality_audit(str(tmp_path)).to_pandas()
+    got = out.set_index("check")["n_violations"].to_dict()
+    assert got == {"duplicate_doc_id": 1, "n_chars_mismatch": 1,
+                   "null_or_empty_text": 2, "unknown_lang": 2}
