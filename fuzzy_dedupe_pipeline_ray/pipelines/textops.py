@@ -2598,6 +2598,43 @@ def doc_unigram_logfreq(sf_dir: str):
                                zero_copy_batch=True).sort("doc_id")
 
 
+def _decon_exact_contaminated(corpus, cfg):
+    """Train doc_ids in sha256 families containing >=1 benchmark doc —
+    the exact side of fuzzy decontamination AND the ground truth its
+    invariant check re-derives (one copy so op and check can't drift).
+    Sha families with a bench member flag every train member without
+    emitting pairs, so hot families cost one row each."""
+    from ray.data.aggregate import Sum
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    def sha_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sha": pa.array(sha256_hex_arrow(b.column("content")),
+                            pa.string()),
+            "is_bench": pa.array(
+                ((ids % DECON_BENCH_MOD) == 0).astype(np.int64), pa.int64()),
+        })
+
+    shas = corpus.map_batches(sha_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    fam = shas.groupby("sha").aggregate(Sum("is_bench",
+                                            alias_name="fam_bench"))
+    joined = lookup_join(shas, fam, on="sha", cfg=cfg)
+
+    def exact_flagged(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        nb = b.column("fam_bench").to_numpy(zero_copy_only=False)
+        train = (ids % DECON_BENCH_MOD) != 0
+        return pa.table({"doc_id": pa.array(ids[train & (nb > 0)],
+                                            pa.int64())})
+
+    return joined.map_batches(exact_flagged, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def doc_fuzzy_decontaminate(sf_dir: str, cfg: "PipelineConfig | None" = None):
     """FUZZY test-set decontamination: training documents that are
     near-duplicates (MinHash-LSH verified) OR exact duplicates of any
@@ -2635,35 +2672,7 @@ def doc_fuzzy_decontaminate(sf_dir: str, cfg: "PipelineConfig | None" = None):
 
     fz = fuzzy.map_batches(cross, batch_format="pyarrow",
                            zero_copy_batch=True)
-
-    # exact side: sha families with >=1 bench member flag every train
-    # member (no pair emission, so hot families cost one row each)
-    def sha_rows(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy()
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "sha": pa.array(sha256_hex_arrow(b.column("content")),
-                            pa.string()),
-            "is_bench": pa.array(
-                ((ids % DECON_BENCH_MOD) == 0).astype(np.int64), pa.int64()),
-        })
-
-    shas = corpus.map_batches(sha_rows, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
-    from ray.data.aggregate import Sum
-    fam = shas.groupby("sha").aggregate(Sum("is_bench",
-                                            alias_name="fam_bench"))
-    joined = lookup_join(shas, fam, on="sha", cfg=cfg)
-
-    def exact_flagged(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy()
-        nb = b.column("fam_bench").to_numpy(zero_copy_only=False)
-        train = (ids % DECON_BENCH_MOD) != 0
-        return pa.table({"doc_id": pa.array(ids[train & (nb > 0)],
-                                            pa.int64())})
-
-    ex = joined.map_batches(exact_flagged, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    ex = _decon_exact_contaminated(corpus, cfg)
     return (fz.union(ex)
             .groupby("doc_id").aggregate(Count(alias_name="_n"))
             .select_columns(["doc_id"]).sort("doc_id"))
@@ -2684,29 +2693,8 @@ def doc_fuzzy_decontaminate_exact_check(sf_dir: str):
         batch_format="pyarrow")
 
     # expected set, by the exact logic the oracle states (sha = text eq)
-    corpus = _documents_as_corpus(sf_dir)
-
-    def sha_rows(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy()
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "sha": pa.array(sha256_hex_arrow(b.column("content")),
-                            pa.string()),
-            "is_bench": pa.array(
-                ((ids % DECON_BENCH_MOD) == 0).astype(np.int64), pa.int64()),
-        })
-
-    from ray.data.aggregate import Sum
-    shas = corpus.map_batches(sha_rows, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
-    fam = shas.groupby("sha").aggregate(Sum("is_bench",
-                                            alias_name="fam_bench"))
-    joined = lookup_join(shas, fam, on="sha", cfg=DOCS_CFG)
-    expected = joined.map_batches(
-        lambda b: b.filter(pa.array(
-            ((b.column("doc_id").to_numpy() % DECON_BENCH_MOD) != 0)
-            & (b.column("fam_bench").to_numpy(zero_copy_only=False) > 0))),
-        batch_format="pyarrow").select_columns(["doc_id"])
+    expected = _decon_exact_contaminated(_documents_as_corpus(sf_dir),
+                                         DOCS_CFG)
 
     checked = lookup_join(expected, flagged, on="doc_id", cfg=DOCS_CFG,
                           join_type="left_outer")
