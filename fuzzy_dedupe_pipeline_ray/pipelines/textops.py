@@ -2512,14 +2512,15 @@ def doc_unigram_logfreq(sf_dir: str):
 
     Distributed shape: pass 1 builds the corpus TF table (per-batch
     bincount partials — only (token, partial) rows shuffle); pass 2
-    re-explodes, probes TF through the tiered ``hash_join``, and reduces
-    per batch to one (doc, Σocc·log2tf) partial; a parallel stream of
-    per-doc token counts (computed pre-join, so EMPTY docs survive)
-    unions in, and one per-doc groupby finishes. At 100 TB the vocab
-    table is the only broadcast and is gated."""
+    re-explodes, probes TF through the tiered ``lookup_join`` (vocab
+    broadcast under the gate — the realistic case; distributed hash join
+    above it — the 100 TB case), and reduces per batch to one
+    (doc, Σocc·log2tf) partial; a parallel stream of per-doc token
+    counts (computed pre-join, so EMPTY docs survive) unions in, and one
+    per-doc groupby finishes."""
     from ray.data.aggregate import Sum
 
-    from fuzzy_dedupe_pipeline_ray.sources.io import hash_join
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
 
     def occ_fn(b: pa.Table) -> pa.Table:
         """(doc_id, token, occ) — per-batch occurrence counts."""
@@ -2548,7 +2549,7 @@ def doc_unigram_logfreq(sf_dir: str):
         batch_format="pyarrow")
         .groupby("token").aggregate(Sum("tf_part", alias_name="tf")))
 
-    joined = hash_join(occs(), tf_tbl, on="token", cfg=DOCS_CFG)
+    joined = lookup_join(occs(), tf_tbl, on="token", cfg=DOCS_CFG)
 
     def contrib(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy()
