@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 119 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 121 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (111 oracles, including all-true INVARIANT oracles
+SQL-expressible one (112 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -238,6 +238,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_shuffle_deterministic": textops.doc_shuffle_deterministic,
         "doc_split_train_val_test": textops.doc_split_train_val_test,
         "doc_unigram_logfreq": textops.doc_unigram_logfreq,
+        "doc_similar_topk": textops.doc_similar_topk,
+        "doc_similar_topk_self_check": textops.doc_similar_topk_self_check,
         "doc_fingerprint": textops.doc_fingerprint,
         "doc_fingerprint_exact_family_check":
             textops.doc_fingerprint_exact_family_check,
@@ -1160,6 +1162,11 @@ def oracle_sql() -> "dict[str, str]":
                         AS BIGINT) AS latency_sec
             FROM s JOIN p ON s.user_id = p.user_id
             ORDER BY s.user_id
+        """,
+        "doc_similar_topk_self_check": f"""
+            SELECT doc_id AS qid, TRUE AS top1_exact
+            FROM documents WHERE doc_id % 7 = 3
+            ORDER BY doc_id LIMIT {textops.SIMILAR_TOPK_QUERIES}
         """,
         "doc_quality_audit": """
             WITH checks("check", n_violations) AS (VALUES

@@ -2849,3 +2849,106 @@ def doc_quality_audit(sf_dir: str):
         "n_violations": pa.array([checks[k] for k in sorted(checks)],
                                  pa.int64()),
     })
+
+
+SIMILAR_TOPK_QUERIES = 5
+SIMILAR_TOPK_K = 10
+
+
+def doc_similar_topk(sf_dir: str, n_queries: int = SIMILAR_TOPK_QUERIES,
+                     k: int = SIMILAR_TOPK_K,
+                     cfg: "PipelineConfig | None" = None):
+    """Similar-document SEARCH over text (the K1 top-k surface on the
+    signature side, the text analog of ``ann_topk``): for each query doc
+    (deterministically the ``n_queries`` smallest doc_ids ≡ 3 mod 7),
+    the ``k`` most similar documents by estimated MinHash Jaccard
+    (slot-agreement fraction), rank 1..k by (similarity DESC, doc_id
+    ASC). Output: (qid, rank, doc_id, est_jaccard_e3) — all int64.
+
+    Distributed shape: the tiny query-signature matrix is computed
+    driver-side from the gathered query texts and broadcast via
+    ``ray.put``; candidates stream through ONE fingerprint pass
+    (one signature row per batch-local distinct content — an exact-dup
+    family is represented by its rep); each batch reduces to ≤ k rows
+    per query (partial top-k), and a per-qid group merge finishes. No
+    pairwise shuffle at any size."""
+    import ray as _ray
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        make_minhasher,
+        unpack_signatures,
+    )
+    from fuzzy_dedupe_pipeline_ray.stages.fingerprint import shingle_set
+
+    cfg = cfg or DOCS_CFG
+    p = cfg.num_perms
+
+    qtbl = (read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(lambda b: b.filter(pa.array(
+                b.column("doc_id").to_numpy() % 7 == 3)),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .sort("doc_id").limit(n_queries).to_pandas())
+    hasher = make_minhasher(cfg)
+    qsigs = np.stack([hasher.signature(shingle_set(t, cfg))
+                      for t in qtbl["text"]])
+    if cfg.sig_bits == 32:
+        qsigs = (qsigs >> np.uint64(32)).astype(np.uint32)
+    q_ref = _ray.put((qtbl["doc_id"].to_numpy().astype(np.int64), qsigs))
+
+    corpus = _documents_as_corpus(sf_dir)
+    sigs = fingerprint(corpus, cfg)
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        qi, qm = _ray.get(q_ref)
+        m = unpack_signatures(b.column("minhash"), p)
+        ids = b.column("doc_id").to_numpy()
+        out = {"qid": [], "doc_id": [], "agree": []}
+        kk = min(k, len(ids))
+        if kk == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "agree": pa.array([], pa.int64())})
+        for j in range(len(qi)):
+            agree = (m == qm[j]).sum(axis=1).astype(np.int64)
+            part = np.argpartition(-agree, kk - 1)[:kk]
+            order = part[np.lexsort((ids[part], -agree[part]))]
+            out["qid"].extend([int(qi[j])] * len(order))
+            out["doc_id"].extend(ids[order].tolist())
+            out["agree"].extend(agree[order].tolist())
+        return pa.table({"qid": pa.array(out["qid"], pa.int64()),
+                         "doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "agree": pa.array(out["agree"], pa.int64())})
+
+    partials = sigs.map_batches(partial_topk, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        qid = g.column("qid")[0].as_py()
+        ids = g.column("doc_id").to_numpy()
+        agree = g.column("agree").to_numpy()
+        order = np.lexsort((ids, -agree))[:k]
+        return pa.table({
+            "qid": pa.array([qid] * len(order), pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "est_jaccard_e3": pa.array(agree[order] * 1000 // p, pa.int64()),
+        })
+
+    return partials.groupby("qid").map_groups(
+        merge_topk, batch_format="pyarrow").sort(["qid", "rank"])
+
+
+def doc_similar_topk_self_check(sf_dir: str):
+    """Oracle-able INVARIANT over ``doc_similar_topk``: every query's
+    rank-1 result must have est_jaccard_e3 = 1000 — the query's own
+    content family is always among the candidates (its rep carries an
+    identical signature), so a regression in the signature kernel,
+    packing width, or top-k merge surfaces as a sub-1000 top hit."""
+    t = doc_similar_topk(sf_dir)
+    df = t.to_pandas() if not hasattr(t, "to_pandas") else t.to_pandas()
+    top1 = df[df["rank"] == 1].sort_values("qid")
+    return pa.table({
+        "qid": pa.array(top1["qid"].to_numpy(), pa.int64()),
+        "top1_exact": pa.array(
+            (top1["est_jaccard_e3"].to_numpy() == 1000)),
+    })

@@ -159,3 +159,25 @@ def test_quality_audit_counts_planted_violations(ray_session, tmp_path):
     got = out.set_index("check")["n_violations"].to_dict()
     assert got == {"duplicate_doc_id": 1, "n_chars_mismatch": 1,
                    "null_or_empty_text": 2, "unknown_lang": 2}
+
+
+def test_similar_topk_ranks_near_dup_first(ray_session, tmp_path):
+    """Query doc 3 (the deterministic qid rule): itself rank 1 at 1000,
+    its light edit ranks above the unrelated docs."""
+    base = ("def process(batch, index):\n    total = index + len(batch)\n"
+            "    for row in batch:\n        total += row.score\n"
+            "    return total / max(1, len(batch))\n") * 3
+    near = base.replace("total", "subtotal")
+    other = ("class Widget:\n    def render(self, surface):\n"
+             "        surface.draw(self.shape, self.color)\n") * 4
+    docs = pd.DataFrame({
+        "doc_id": [3, 100, 101, 102],
+        "text": [base, near, other, other + "\n# tail"],
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": [len(base), len(near), len(other), len(other) + 7],
+    })
+    _write_parts(str(tmp_path), "documents", docs, 2)
+    out = textops.doc_similar_topk(str(tmp_path), n_queries=1).to_pandas()
+    assert out.iloc[0][["doc_id", "est_jaccard_e3"]].tolist() == [3, 1000]
+    assert out.iloc[1]["doc_id"] == 100
+    assert out.iloc[1]["est_jaccard_e3"] > out.iloc[2]["est_jaccard_e3"]
