@@ -2944,8 +2944,7 @@ def doc_similar_topk_self_check(sf_dir: str):
     content family is always among the candidates (its rep carries an
     identical signature), so a regression in the signature kernel,
     packing width, or top-k merge surfaces as a sub-1000 top hit."""
-    t = doc_similar_topk(sf_dir)
-    df = t.to_pandas() if not hasattr(t, "to_pandas") else t.to_pandas()
+    df = doc_similar_topk(sf_dir).to_pandas()
     top1 = df[df["rank"] == 1].sort_values("qid")
     return pa.table({
         "qid": pa.array(top1["qid"].to_numpy(), pa.int64()),
