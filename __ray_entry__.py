@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 121 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 122 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (112 oracles, including all-true INVARIANT oracles
+SQL-expressible one (113 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -238,6 +238,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "doc_shuffle_deterministic": textops.doc_shuffle_deterministic,
         "doc_split_train_val_test": textops.doc_split_train_val_test,
         "doc_unigram_logfreq": textops.doc_unigram_logfreq,
+        "doc_grep": textops.doc_grep,
         "doc_similar_topk": textops.doc_similar_topk,
         "doc_similar_topk_self_check": textops.doc_similar_topk_self_check,
         "doc_fingerprint": textops.doc_fingerprint,
@@ -1162,6 +1163,15 @@ def oracle_sql() -> "dict[str, str]":
                         AS BIGINT) AS latency_sec
             FROM s JOIN p ON s.user_id = p.user_id
             ORDER BY s.user_id
+        """,
+        "doc_grep": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '{textops.GREP_PATTERN}')) AS BIGINT) AS n_matches
+            FROM documents
+            WHERE len(regexp_extract_all(text,
+                      '{textops.GREP_PATTERN}')) > 0
+            ORDER BY doc_id
         """,
         "doc_similar_topk_self_check": f"""
             SELECT doc_id AS qid, TRUE AS top1_exact

@@ -2951,3 +2951,25 @@ def doc_similar_topk_self_check(sf_dir: str):
         "top1_exact": pa.array(
             (top1["est_jaccard_e3"].to_numpy() == 1000)),
     })
+
+
+GREP_PATTERN = r"\b(data|stream) (join|merge|scan)\b"
+
+
+def doc_grep(sf_dir: str, pattern: str = GREP_PATTERN):
+    """Distributed grep: per-document regex match count over the corpus
+    (the ad-hoc investigation query every data team runs; also the shape
+    of rule-based PII / policy scanners). Vectorized through Arrow's RE2
+    kernel (`count_substring_regex`) — the same regex engine DuckDB
+    links, so oracle parity is exact by construction, not by dialect
+    luck. Map-only (no shuffle); docs with zero matches are filtered
+    out so the output is sparse. Output: (doc_id, n_matches)."""
+    def f(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.fill_null(b.column("text"), ""),
+                                     pattern=pattern)
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "n_matches": pc.cast(n, pa.int64())})
+        return t.filter(pc.greater(t.column("n_matches"), 0))
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
