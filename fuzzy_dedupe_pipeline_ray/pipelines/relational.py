@@ -4378,8 +4378,13 @@ def late_events_fixture_dir(root: str = "/tmp/fdpr_late") -> str:
         "ts": pa.array(ts_us, pa.timestamp("us")),
         "user_id": pa.array(order % 97, pa.int64()),
     })
-    pq.write_table(tbl, os.path.join(d, "events.parquet"),
-                   row_group_size=512)
+    # atomic publish: a concurrent first caller must never read a torn
+    # file (review finding, round 4); identical deterministic bytes make
+    # last-replace-wins benign
+    dest = os.path.join(d, "events.parquet")
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp, row_group_size=512)
+    os.replace(tmp, dest)
     with open(done, "w") as f:
         f.write(LATE_FIXTURE_VERSION)
     return d

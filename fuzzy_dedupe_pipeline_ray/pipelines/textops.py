@@ -117,6 +117,17 @@ _SAMPLE_MOD = 1 << 32
 _SAMPLE_KEEP = int(0.2 * _SAMPLE_MOD)
 
 
+def _knuth_hash_i64(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash of doc_id, as int64 (< 2^32, so the
+    DuckDB HUGEINT oracle reproduces it exactly): the ONE copy of the
+    oracle-critical arithmetic shared by doc_sample,
+    doc_sample_stratified, doc_shuffle_deterministic and
+    doc_split_train_val_test."""
+    h = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
+        & np.uint64(_SAMPLE_MOD - 1)
+    return h.astype(np.int64)
+
+
 def doc_sample(sf_dir: str):
     """Deterministic hash sampling (SURVEY §2 K4): keep ~20% of documents
     by ``(doc_id · 2654435761) mod 2³² < 0.2·2³²``. Unlike random
@@ -124,9 +135,8 @@ def doc_sample(sf_dir: str):
     runs, partitionings, and engines — which is what a resumable 100 TB
     pipeline needs (re-running a shard re-selects the same rows)."""
     def f(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy().astype(np.uint64)
-        h = (ids * np.uint64(_SAMPLE_MULT)) & np.uint64(_SAMPLE_MOD - 1)
-        return b.filter(pa.array(h < np.uint64(_SAMPLE_KEEP)))
+        h = _knuth_hash_i64(b.column("doc_id").to_numpy())
+        return b.filter(pa.array(h < _SAMPLE_KEEP))
 
     return read_documents(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
@@ -1746,14 +1756,9 @@ def doc_sample_stratified(sf_dir: str, k: int = STRAT_SAMPLE_K):
     Shape: per-batch partial top-k per language (one lexsort per batch),
     then a per-language group top-k — only ≤ k rows per (block, lang)
     ever shuffle. Output: (lang, sample_rank, doc_id)."""
-    def hash_col(ids: np.ndarray) -> np.ndarray:
-        h = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
-            & np.uint64(_SAMPLE_MOD - 1)
-        return h.astype(np.int64)  # < 2^32, safe as int64 (SQL-comparable)
-
     def partial_topk(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy()
-        h = hash_col(ids)
+        h = _knuth_hash_i64(ids)
         lang = b.column("lang").combine_chunks()
         order = np.lexsort((ids, h, _token_rank(lang)))
         sl = _token_rank(lang)[order]
@@ -2413,15 +2418,6 @@ SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 10
 
 
-def _knuth_hash_i64(ids: np.ndarray) -> np.ndarray:
-    """Knuth multiplicative hash of doc_id, as int64 (< 2^32, so the
-    DuckDB HUGEINT oracle reproduces it exactly — same kernel as
-    ``doc_sample`` / ``doc_sample_stratified``)."""
-    h = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
-        & np.uint64(_SAMPLE_MOD - 1)
-    return h.astype(np.int64)
-
-
 def doc_shuffle_deterministic(sf_dir: str):
     """Deterministic GLOBAL shuffle order for training-data serving:
     ``shuffle_rank = row_number() OVER (ORDER BY knuth_hash(doc_id),
@@ -2653,8 +2649,6 @@ def doc_fuzzy_decontaminate(sf_dir: str, cfg: "PipelineConfig | None" = None):
     doc in a family containing a bench doc is flagged — which also makes
     exact leakage immune to LSH star-capping on hot families. Output:
     the flagged train doc_ids, distinct, sorted."""
-    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
-
     cfg = cfg or DOCS_CFG
     corpus = _documents_as_corpus(sf_dir).materialize()
 
@@ -2774,8 +2768,12 @@ def decon_fixture_dir(root: str = "/tmp/fdpr_decon") -> str:
         "source": pa.array(["fix"] * len(ids), pa.string()),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
-    pq.write_table(tbl, os.path.join(d, "documents.parquet"),
-                   row_group_size=64)
+    # atomic publish: a concurrent first caller must never read a torn
+    # file (review finding, round 4)
+    dest = os.path.join(d, "documents.parquet")
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp, row_group_size=64)
+    os.replace(tmp, dest)
     with open(done, "w") as f:
         f.write(DECON_FIXTURE_VERSION)
     return d
@@ -2888,6 +2886,10 @@ def doc_similar_topk(sf_dir: str, n_queries: int = SIMILAR_TOPK_QUERIES,
                 b.column("doc_id").to_numpy() % 7 == 3)),
                 batch_format="pyarrow", zero_copy_batch=True)
             .sort("doc_id").limit(n_queries).to_pandas())
+    if len(qtbl) == 0:
+        return pa.schema([("qid", pa.int64()), ("rank", pa.int64()),
+                          ("doc_id", pa.int64()),
+                          ("est_jaccard_e3", pa.int64())]).empty_table()
     hasher = make_minhasher(cfg)
     qsigs = np.stack([hasher.signature(shingle_set(t, cfg))
                       for t in qtbl["text"]])
@@ -2910,8 +2912,11 @@ def doc_similar_topk(sf_dir: str, n_queries: int = SIMILAR_TOPK_QUERIES,
                              "agree": pa.array([], pa.int64())})
         for j in range(len(qi)):
             agree = (m == qm[j]).sum(axis=1).astype(np.int64)
-            part = np.argpartition(-agree, kk - 1)[:kk]
-            order = part[np.lexsort((ids[part], -agree[part]))]
+            # full (agree DESC, doc_id ASC) order BEFORE truncation:
+            # argpartition would keep an arbitrary member of the k-th
+            # tie class, making output depend on batch boundaries
+            # (review finding, round 4)
+            order = np.lexsort((ids, -agree))[:kk]
             out["qid"].extend([int(qi[j])] * len(order))
             out["doc_id"].extend(ids[order].tolist())
             out["agree"].extend(agree[order].tolist())
