@@ -138,7 +138,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "q4_priority_with_discounted_lines",
                  "q22_idle_rich_customers", "q7_nation_trade_volume",
                  "events_props_extract", "events_value_mad_by_type",
-                 "doc_unigram_logfreq", "events_dedup_within_window"):
+                 "doc_unigram_logfreq", "events_dedup_within_window",
+                 "doc_similar_topk", "doc_grep", "doc_quality_audit"):
         t0 = time.time()
         res = qs[name](sf_dir)
         # consume fully (count) so lazy datasets actually execute

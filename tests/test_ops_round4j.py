@@ -181,3 +181,40 @@ def test_similar_topk_ranks_near_dup_first(ray_session, tmp_path):
     assert out.iloc[0][["doc_id", "est_jaccard_e3"]].tolist() == [3, 1000]
     assert out.iloc[1]["doc_id"] == 100
     assert out.iloc[1]["est_jaccard_e3"] > out.iloc[2]["est_jaccard_e3"]
+
+
+def test_sorted_block_ops_partition_invariant(ray_session, tmp_path):
+    """The round-4j sorted-block / hash ops must produce IDENTICAL
+    output whether the input is one parquet part or many (the scaffold's
+    only cross-block state is the boundary carry, so any partitioning
+    sensitivity is a bug)."""
+    rng = np.random.RandomState(7)
+    n = 500
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    ev = pd.DataFrame({
+        "event_id": np.arange(1, n + 1),
+        "ts": pd.to_datetime(
+            base + rng.randint(0, 3_600_000_000, n), unit="us"),
+        "user_id": rng.randint(1, 20, n),
+        "event_type": rng.choice(["click", "view"], n),
+        "value": np.zeros(n),
+    })
+    docs = pd.DataFrame({
+        "doc_id": np.arange(1, n + 1),
+        "text": [f"w{i % 37} w{i % 11} w{i % 5}" for i in range(n)],
+        "lang": ["en"] * n, "source": ["t"] * n, "n_chars": [11] * n,
+    })
+    outs = {}
+    for parts in (1, 7):
+        d = tmp_path / f"p{parts}"
+        os.makedirs(d)
+        _write_parts(str(d), "events", ev, parts)
+        _write_parts(str(d), "documents", docs, parts)
+        outs[parts] = (
+            relational.events_dedup_within_window(str(d)).to_pandas(),
+            relational.events_late_arrivals(str(d)).to_pandas(),
+            textops.doc_shuffle_deterministic(str(d)).to_pandas(),
+            textops.doc_unigram_logfreq(str(d)).to_pandas(),
+        )
+    for a, b in zip(outs[1], outs[7]):
+        assert a.equals(b)
