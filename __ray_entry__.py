@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 122 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 124 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (113 oracles, including all-true INVARIANT oracles
+SQL-expressible one (115 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -274,6 +274,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "events_dedup_within_window": relational.events_dedup_within_window,
         "events_conversion_latency": relational.events_conversion_latency,
         "events_late_arrivals": relational.events_late_arrivals_fixture,
+        "events_key_skew_report": relational.events_key_skew_report,
+        "events_type_transitions": relational.events_type_transitions,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "events_asof_join": relational.events_asof_join,
         "events_rolling": relational.events_rolling,
@@ -1219,6 +1221,31 @@ def oracle_sql() -> "dict[str, str]":
                         AS BIGINT) AS mean_log2_tf_e3
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        "events_key_skew_report": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events
+                       GROUP BY user_id)
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_count,
+                   CAST(max(n) * 1000000 // sum(n) AS BIGINT)
+                       AS top1_share_e6,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_count,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_count
+            FROM c
+        """,
+        "events_type_transitions": """
+            WITH o AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev
+                FROM events)
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*) AS n
+            FROM o WHERE prev IS NOT NULL
+            GROUP BY prev, event_type
+            ORDER BY from_type, to_type
         """,
         "events_dedup_within_window": f"""
             WITH l AS (

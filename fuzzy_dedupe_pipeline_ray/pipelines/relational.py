@@ -4396,3 +4396,135 @@ def events_late_arrivals_fixture(sf_dir: str):
     late set is non-empty by construction — the driver's events table is
     perfectly time-ordered, so running there would verify nothing."""
     return events_late_arrivals(late_events_fixture_dir())
+
+
+def events_key_skew_report(sf_dir: str, key: str = "user_id"):
+    """Shuffle-planning SKEW diagnostic for a prospective groupby/join
+    key — the question every wide-stage design in this repo starts with
+    ("is this key safe, or does it need salting/star-capping?"): key
+    cardinality, row count, the hottest key's absolute and e6-relative
+    share, and exact p50/p99 per-key counts (the distributed-selection
+    kernel, same ``quantile_disc`` convention as ``lineitem_quantiles``).
+    One narrow groupby + O(#blocks) driver scalars. Output one row:
+    (n_keys, n_rows, max_count, top1_share_e6, p50_count, p99_count)."""
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    counts = (_read(sf_dir, "events", [key])
+              .groupby(key).aggregate(Count(alias_name="n"))
+              .map_batches(lambda b: pa.table({
+                  "cents": pc.cast(b.column("n"), pa.int64())}),
+                  batch_format="pyarrow", zero_copy_batch=True)
+              .materialize())
+    n_keys, qrows = _exact_cents_quantiles(counts, (0.5, 0.99))
+    if n_keys == 0:
+        return pa.table({c: pa.array([0], pa.int64()) for c in
+                         ("n_keys", "n_rows", "max_count", "top1_share_e6",
+                          "p50_count", "p99_count")})
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.column("cents").to_numpy()
+        return pa.table({"mx": pa.array([int(n.max())], pa.int64()),
+                         "sm": pa.array([int(n.sum())], pa.int64())})
+
+    t = to_local_table(counts.map_batches(partial, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+    mx = int(pc.max(t.column("mx")).as_py())
+    sm = int(pc.sum(t.column("sm")).as_py())
+    q = {r[0]: r[1] for r in qrows}
+    return pa.table({
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "n_rows": pa.array([sm], pa.int64()),
+        "max_count": pa.array([mx], pa.int64()),
+        "top1_share_e6": pa.array([mx * 1_000_000 // sm], pa.int64()),
+        "p50_count": pa.array([q[50]], pa.int64()),
+        "p99_count": pa.array([q[99]], pa.int64()),
+    })
+
+
+def events_type_transitions(sf_dir: str):
+    """Per-user event-type TRANSITION counts (the Markov/path-analysis
+    aggregate behind "what do users do after X?"): count (prev_type →
+    type) over each user's time-ordered events, globally. Exactly
+    ``lag(event_type) OVER (PARTITION BY user ORDER BY ts, event_id)``
+    then a GROUP BY over the pairs.
+
+    Sorted-block scaffold: one (user, last_type) carry per boundary;
+    each block reduces to its own tiny (from, to, n) partial via one
+    dictionary-encode + bincount, and a final small groupby merges.
+    Output: (from_type, to_type, n), sorted."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+        })
+
+    sorted_ds = (ev.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .sort(["user_id", "ts_us", "event_id"]).materialize())
+
+    def summarize(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        u = tbl.column("user_id")
+        t = tbl.column("event_type")
+        return (u[0].as_py(), t[0].as_py(),
+                u[-1].as_py(), t[-1].as_py())
+
+    def scan(summaries):
+        args, carry = [], None   # carry = (last_user, last_type)
+        for s in summaries:
+            if s is None:
+                args.append((None, None))
+                continue
+            fu, ft, lu, lt = s
+            if carry is not None and carry[0] == fu:
+                args.append(carry)
+            else:
+                args.append((None, None))
+            carry = (lu, lt)
+        return args
+
+    def label(tbl: pa.Table, cu, ct) -> pa.Table:
+        u = tbl.column("user_id").to_numpy()
+        t = tbl.column("event_type").combine_chunks()
+        enc = pc.dictionary_encode(t)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        codes = np.asarray(enc.indices, np.int64)
+        # prev code within the block; boundary row takes the carry
+        prev = np.r_[np.int64(-1), codes[:-1]]
+        same = np.r_[False, u[1:] == u[:-1]]
+        if cu is not None and tbl.num_rows and int(u[0]) == cu:
+            if ct in vocab:
+                prev[0] = vocab.index(ct)
+            else:
+                vocab.append(ct)
+                prev[0] = len(vocab) - 1
+            same[0] = True
+        v = len(vocab)
+        pairs = prev[same] * v + codes[same]
+        uniq, cnt = np.unique(pairs, return_counts=True)
+        va = pa.array(vocab, pa.string())
+        return pa.table({
+            "from_type": va.take(pa.array(uniq // v)),
+            "to_type": va.take(pa.array(uniq % v)),
+            "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    labeled = _sorted_block_scan(sorted_ds, summarize, (), scan, label)
+    if labeled is None:
+        return pa.schema([("from_type", pa.string()),
+                          ("to_type", pa.string()),
+                          ("n", pa.int64())]).empty_table()
+    return (labeled.groupby(["from_type", "to_type"])
+            .aggregate(Sum("n_part", alias_name="n"))
+            .sort(["from_type", "to_type"]))

@@ -215,6 +215,7 @@ def test_sorted_block_ops_partition_invariant(ray_session, tmp_path):
             relational.events_late_arrivals(str(d)).to_pandas(),
             textops.doc_shuffle_deterministic(str(d)).to_pandas(),
             textops.doc_unigram_logfreq(str(d)).to_pandas(),
+            relational.events_type_transitions(str(d)).to_pandas(),
         )
     for a, b in zip(outs[1], outs[7]):
         assert a.equals(b)
