@@ -219,3 +219,25 @@ def test_sorted_block_ops_partition_invariant(ray_session, tmp_path):
         )
     for a, b in zip(outs[1], outs[7]):
         assert a.equals(b)
+
+
+def test_transitions_crafted_sequence(ray_session, tmp_path):
+    """Hand-computed transition counts, including a type that appears
+    only once (exercises the carry-type-not-in-block-vocab branch when
+    the engine happens to split there; the counts are exact either
+    way)."""
+    base = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    ev = pd.DataFrame({
+        # user 1: A->B->A->C ; user 2: C->C ; user 3: single event
+        "user_id": [1, 1, 1, 1, 2, 2, 3],
+        "event_type": ["A", "B", "A", "C", "C", "C", "A"],
+        "ts": [base + i * m for i in range(4)] + [base, base + m, base],
+        "event_id": list(range(1, 8)),
+        "value": [0.0] * 7,
+    })
+    _write_parts(str(tmp_path), "events", ev, 3)
+    out = relational.events_type_transitions(str(tmp_path)).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("A", "B"): 1, ("B", "A"): 1, ("A", "C"): 1,
+                   ("C", "C"): 1}
