@@ -34,7 +34,10 @@ from fuzzy_dedupe_pipeline_ray.stages.cc import connected_components
 from fuzzy_dedupe_pipeline_ray.stages.exact import exact_edges
 from fuzzy_dedupe_pipeline_ray.stages.finalize import GENERIC_SORT_KEYS, finalize
 from fuzzy_dedupe_pipeline_ray.stages.fingerprint import fingerprint
-from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
+from fuzzy_dedupe_pipeline_ray.stages.lsh import (
+    _distinct_pairs_sorted,
+    candidate_pairs,
+)
 from fuzzy_dedupe_pipeline_ray.stages.verify import verify_pairs
 
 #: documents-table config: texts are short prose, so token shingles with a
@@ -616,7 +619,6 @@ def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema,
     import pyarrow.compute as pcm
 
     from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
-    from fuzzy_dedupe_pipeline_ray.stages.lsh import distinct_pairs
 
     def to_hashed(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -664,7 +666,7 @@ def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema,
             b.filter(pcm.not_equal(b.column("doc_id"),
                                    b.column("doc_id_b"))))
     joined = hash_join(prefix, right, on="sh", cfg=cfg)
-    cands = distinct_pairs(joined.map_batches(
+    cands = _distinct_pairs_sorted(joined.map_batches(
         emit, batch_format="pyarrow")).materialize()
 
     # candidate-restricted co-occurrence: only rows of candidate docs
@@ -871,7 +873,6 @@ def doc_simhash_dedupe(sf_dir: str, max_hamming: int = 3,
     # vectorized within-block all-pairs: self-join on the 16-bit chunk key
     # (C-path hash join), then a batched hamming filter — no per-group
     # Python (see stages/lsh.grouped_pairs for the rationale).
-    from fuzzy_dedupe_pipeline_ray.stages.lsh import distinct_pairs
 
     exploded = (sigs.select_columns(["doc_id", "simhash"])
                 .map_batches(explode_chunks, batch_format="pyarrow")
@@ -890,7 +891,7 @@ def doc_simhash_dedupe(sf_dir: str, max_hamming: int = 3,
         return pa.table({"id_a": pa.array(ids_a, pa.int64()),
                          "id_b": pa.array(ids_b, pa.int64())})
 
-    pairs = distinct_pairs(
+    pairs = _distinct_pairs_sorted(
         joined.map_batches(ham_filter, batch_format="pyarrow")).materialize()
     labels = connected_components(pairs.map_batches(
         lambda b: b, batch_format="pyarrow"), cfg)

@@ -161,7 +161,25 @@ def grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str = "band_key"):
                        for g in groups]
         return _pairs_ds_from_partial_refs(result_refs)
 
-    keyed_ds = keyed_mat
+    if (cfg.extra or {}).get("grouped_pairs_impl") == "hashagg":
+        return _hashagg_grouped_pairs(keyed_mat, cfg, key)
+    return _sorted_grouped_pairs(keyed_mat, cfg, key)
+
+
+def _hashagg_grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str):
+    """The original hash-aggregate distributed tier (Count+Min groupby →
+    sizes join → star/small branches → hash-aggregate distinct). Retained
+    behind ``cfg.extra['grouped_pairs_impl'] == 'hashagg'`` as the
+    equivalence baseline for ``_sorted_grouped_pairs``, which replaced it
+    as the default: on a 6.1M-row exploded table the Count+Min aggregate
+    alone cost 22 s where a full (key, doc_id) range sort costs 0.8 s
+    (measured, BASELINE.md round-4 close)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    cap = cfg.band_group_pair_cap
     sizes = keyed_ds.groupby(key).aggregate(
         Count(alias_name="grp_n"), Min("doc_id", alias_name="grp_min"))
     # materialize: `keyed` feeds both the star branch and the small-group
@@ -619,3 +637,242 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig):
         explode_bands(cfg.to_json()), batch_format="pyarrow",
         zero_copy_batch=True)
     return grouped_pairs(exploded, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Sort-based distributed pair emission (the default 100 TB tier)
+# ---------------------------------------------------------------------------
+#
+# Ray's range-partition sort is ~25× cheaper than its hash aggregate on
+# the exploded (band_key, doc_id) table (0.8 s vs 22 s on 6.1M rows,
+# measured round-4 close), so the distributed tier sorts ONCE and emits
+# pairs per sorted block with an O(#blocks) driver scan stitching the
+# groups that straddle block boundaries:
+#
+# * interior groups (fully inside one block) go through the same
+#   vectorized ``_local_grouped_pairs`` kernel the broadcast tiers use;
+# * a boundary-spanning group's TRUE size and min-doc pivot come from the
+#   block summaries; if it exceeds the star cap every involved block
+#   emits (pivot, member) star pairs locally, else the driver emits its
+#   ≤ cap² all-pairs itself from the summary-shipped member runs;
+# * the final cross-band distinct is ALSO sort-based
+#   (``_distinct_pairs_sorted``): one (id_a, id_b) sort, adjacent-unique
+#   per block, one carried pair per boundary.
+#
+# Pair-set equivalence with the hash-aggregate tier (retained as
+# ``cfg.extra['grouped_pairs_impl'] = 'hashagg'``) is pinned by
+# tests/test_lsh_paths.py.
+
+
+def _run_lengths(k: np.ndarray) -> "tuple[int, int]":
+    """(first-run length, last-run length) of a sorted key array."""
+    n = len(k)
+    f = int(np.searchsorted(k, k[0], side="right"))
+    l_start = int(np.searchsorted(k, k[-1], side="left"))
+    return f, n - l_start
+
+
+def _pair_block_summary(tbl: pa.Table, key: str, cap: int):
+    """Ray task: per sorted-block summary for the boundary scan —
+    ``(first_key, first_row_len, first_unique≤cap+1, first_n_unique,
+    last_key, last_row_len, last_unique≤cap+1, last_n_unique)`` or None
+    for an empty block. UNIQUE members (not rows) drive the star/small
+    decision — the semantics ``_local_grouped_pairs`` uses (a doc whose
+    bands collide to one key appears twice but is one member)."""
+    if tbl.num_rows == 0:
+        return None
+    k = tbl.column(key).to_numpy()
+    d = tbl.column("doc_id").to_numpy().astype(np.int64)
+    n = len(k)
+    f_len, l_len = _run_lengths(k)
+    fu = np.unique(d[:f_len])
+    lu = np.unique(d[n - l_len:])
+    return (int(k[0]), f_len, fu[:cap + 1].copy(), len(fu),
+            int(k[-1]), l_len, lu[:cap + 1].copy(), len(lu))
+
+
+def _pair_block_label(tbl: pa.Table, key: str, cap: int, drop_first: bool,
+                      drop_last: bool, star_first, star_last,
+                      drop_all: bool, star_all) -> pa.Table:
+    """Ray task: emit this block's pairs. Boundary runs the driver scan
+    claimed are dropped (drop_*) — the span logic emits them instead —
+    except star spans, whose (pivot, member) pairs ARE emitted here from
+    this block's own rows (star_* = the span's global min doc)."""
+    k = tbl.column(key).to_numpy()
+    d = tbl.column("doc_id").to_numpy().astype(np.int64)
+    parts_a: "list[np.ndarray]" = [np.empty(0, np.int64)]
+    parts_b: "list[np.ndarray]" = [np.empty(0, np.int64)]
+
+    def star_emit(members: np.ndarray, gmin: int):
+        mem = members[members != gmin]
+        if len(mem):
+            parts_a.append(np.full(len(mem), gmin, np.int64))
+            parts_b.append(mem)
+
+    if drop_all:
+        if star_all is not None:
+            star_emit(d, star_all)
+    else:
+        n = len(k)
+        f_len, l_len = _run_lengths(k)
+        if star_first is not None:
+            star_emit(d[:f_len], star_first)
+        if star_last is not None:
+            star_emit(d[n - l_len:], star_last)
+        lo = f_len if drop_first else 0
+        hi = n - l_len if drop_last else n
+        if hi > lo:
+            a, b = _local_grouped_pairs(k[lo:hi], d[lo:hi], cap)
+            parts_a.append(a)
+            parts_b.append(b)
+    a, b = _dedup_pairs_np(np.concatenate(parts_a), np.concatenate(parts_b))
+    return pa.table({"id_a": pa.array(a, pa.int64()),
+                     "id_b": pa.array(b, pa.int64())}, schema=PAIR_SCHEMA)
+
+
+def _scan_boundary_spans(summaries, cap: int):
+    """Driver scan over block summaries: find groups spanning block
+    boundaries, decide star-vs-all-pairs from their TRUE UNIQUE-member
+    count, and return (per-block label kwargs, small-span member lists).
+
+    Exactness of the unique count: each run ships its unique members
+    truncated at cap+1 plus the exact per-run unique count. If any run's
+    count exceeds cap+1 the span has > cap members (star — members not
+    needed); otherwise every run's list is complete, so the union IS the
+    span's exact member set (runs in different blocks may repeat a
+    member — duplicates collapse in the union)."""
+    args = [{"drop_first": False, "drop_last": False, "star_first": None,
+             "star_last": None, "drop_all": False, "star_all": None}
+            for _ in summaries]
+    small_spans: "list[np.ndarray]" = []
+
+    def close(p):
+        if p is None or len(p["blocks"]) < 2:
+            return
+        truncated = any(nu > cap + 1 for nu in p["n_uniq"])
+        members = None
+        if not truncated:
+            members = np.unique(np.concatenate(p["docs"]))
+        if truncated or len(members) > cap:
+            gmin = int(p["docs"][0][0])
+            for i, which in p["blocks"]:
+                args[i][f"drop_{which}"] = True
+                args[i][f"star_{which}"] = gmin
+        else:
+            for i, which in p["blocks"]:
+                args[i][f"drop_{which}"] = True
+            small_spans.append(members)
+
+    pending = None
+    for i, sm in enumerate(summaries):
+        if sm is None:
+            continue
+        fk, f_len, f_uniq, f_nu, lk, l_len, l_uniq, l_nu = sm
+        single = fk == lk
+        if pending is not None and pending["key"] == fk:
+            pending["blocks"].append((i, "all" if single else "first"))
+            pending["docs"].append(f_uniq)
+            pending["n_uniq"].append(f_nu)
+            if single:
+                continue  # span may keep going into the next block
+            close(pending)
+            pending = None
+        elif pending is not None:
+            close(pending)  # no-op unless it already has ≥2 blocks
+            pending = None
+        pending = {"key": lk,
+                   "blocks": [(i, "all" if single else "last")],
+                   "docs": [l_uniq],
+                   "n_uniq": [l_nu]}
+    close(pending)
+    return args, small_spans
+
+
+def _span_all_pairs(member_sets) -> pa.Table:
+    """Driver-side all-pairs for ≤cap-member boundary spans (each entry
+    is the span's sorted unique member array)."""
+    if not member_sets:
+        return PAIR_SCHEMA.empty_table()
+    parts_a, parts_b = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+    for d in member_sets:
+        if len(d) < 2:
+            continue
+        i, j = np.triu_indices(len(d), 1)
+        parts_a.append(d[i])
+        parts_b.append(d[j])
+    a, b = _dedup_pairs_np(np.concatenate(parts_a), np.concatenate(parts_b))
+    return pa.table({"id_a": pa.array(a, pa.int64()),
+                     "id_b": pa.array(b, pa.int64())}, schema=PAIR_SCHEMA)
+
+
+def _pair_first_last(tbl: pa.Table):
+    if tbl.num_rows == 0:
+        return None
+    a = tbl.column("id_a")
+    b = tbl.column("id_b")
+    return ((a[0].as_py(), b[0].as_py()),
+            (a[-1].as_py(), b[-1].as_py()))
+
+
+def _pair_dedup_label(tbl: pa.Table, prev_pair) -> pa.Table:
+    a = tbl.column("id_a").to_numpy()
+    b = tbl.column("id_b").to_numpy()
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    if prev_pair is not None and len(a) \
+            and int(a[0]) == prev_pair[0] and int(b[0]) == prev_pair[1]:
+        keep[0] = False
+    sel = pa.array(np.flatnonzero(keep), pa.int64())
+    return pa.table({"id_a": tbl.column("id_a").take(sel),
+                     "id_b": tbl.column("id_b").take(sel)},
+                    schema=PAIR_SCHEMA)
+
+
+def _distinct_pairs_sorted(pairs_ds):
+    """Distinct (id_a, id_b) by range sort + per-block adjacent-unique
+    with one carried boundary pair — replaces the hash-aggregate distinct
+    on the sorted distributed tier (sort is ~25× cheaper per row here)."""
+    import ray
+    import ray.data as rd
+
+    s = pairs_ds.sort(["id_a", "id_b"]).materialize()
+    refs = list(s.to_arrow_refs())
+    if not refs:
+        return rd.from_arrow(PAIR_SCHEMA.empty_table())
+    summarize = ray.remote(_pair_first_last)
+    sums = ray.get([summarize.remote(r) for r in refs])
+    label = ray.remote(_pair_dedup_label)
+    out_refs, carry = [], None
+    for i, sm in enumerate(sums):
+        if sm is None:
+            continue
+        out_refs.append(label.remote(refs[i], carry))
+        carry = sm[1]
+    if not out_refs:
+        return rd.from_arrow(PAIR_SCHEMA.empty_table())
+    return rd.from_arrow_refs(out_refs)
+
+
+def _sorted_grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str):
+    """The sort-based distributed pair-emission tier (see the section
+    comment above). One (key, doc_id) range sort, per-block vectorized
+    emission, O(#blocks) boundary stitching, sort-based distinct."""
+    import ray
+    import ray.data as rd
+
+    cap = cfg.band_group_pair_cap
+    s = keyed_ds.sort([key, "doc_id"]).materialize()
+    refs = list(s.to_arrow_refs())
+    if not refs:
+        return rd.from_arrow(PAIR_SCHEMA.empty_table())
+    summarize = ray.remote(_pair_block_summary)
+    summaries = ray.get([summarize.remote(r, key, cap) for r in refs])
+    args, small_spans = _scan_boundary_spans(summaries, cap)
+    label = ray.remote(_pair_block_label)
+    out_refs = [label.remote(refs[i], key, cap, **args[i])
+                for i, sm in enumerate(summaries) if sm is not None]
+    span_tbl = _span_all_pairs(small_spans)
+    parts = rd.from_arrow_refs(out_refs) if out_refs else \
+        rd.from_arrow(PAIR_SCHEMA.empty_table())
+    if span_tbl.num_rows:
+        parts = parts.union(rd.from_arrow(span_tbl))
+    return _distinct_pairs_sorted(parts)

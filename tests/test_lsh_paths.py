@@ -317,3 +317,58 @@ def test_submit_bank_tasks_empty_refs(ray_session):
     ids_sorted, order, simhash, sha = ray.get(narrow_ref)
     assert len(ids_sorted) == 0
     assert piece_refs == []
+
+
+@pytest.mark.parametrize("cap", [3, 64])
+def test_sorted_tier_matches_hashagg_and_local(ray_session, cap):
+    """Three-way pair-set equivalence: local fast path vs the sort-based
+    distributed tier (default) vs the hash-aggregate tier (retained as
+    the baseline), on a skewed keyed table repartitioned so band groups
+    STRADDLE sorted-block boundaries (hot star group spanning many
+    blocks + small groups at every boundary)."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    # one giant hot key (star path, spans blocks), many small groups
+    keys = np.concatenate([
+        np.full(400, 7, np.int64),                    # hot key
+        rng.randint(100, 400, 1600).astype(np.int64),  # small groups
+    ])
+    docs = rng.randint(0, 900, len(keys)).astype(np.int64)
+
+    def mk_ds(k, d):
+        return ray.data.from_arrow(pa.table({
+            "band_key": pa.array(k, pa.int64()),
+            "doc_id": pa.array(d, pa.int64())})).repartition(13)
+
+    def collect(ds, cfg):
+        df = grouped_pairs(ds, cfg).to_pandas()
+        return set(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+    gates = dict(band_group_pair_cap=cap, broadcast_max_rows=0,
+                 keyed_broadcast_max_rows=0, band_driver_max_rows=0)
+
+    # duplicate-free (key, doc): all three tiers must agree exactly
+    # (production shape — explode_bands can't repeat a (band, sig) key
+    # for one doc short of a hash collision)
+    uniq = np.unique(keys * np.int64(1 << 32) + docs)
+    ku, du = (uniq >> np.int64(32)).astype(np.int64), \
+        (uniq & np.int64((1 << 32) - 1)).astype(np.int64)
+    ds_u = mk_ds(ku, du)
+    local = collect(ds_u, PipelineConfig(band_group_pair_cap=cap))
+    srt = collect(ds_u, PipelineConfig(**gates))
+    hag = collect(ds_u, PipelineConfig(**gates,
+                                       extra={"grouped_pairs_impl":
+                                              "hashagg"}))
+    assert srt == hag == local
+    assert len(local) > 0
+
+    # WITH duplicate (key, doc) rows: sorted tier matches the local
+    # tier's unique-member semantics (the hashagg baseline counts ROWS
+    # for its star decision, so it can star a group whose unique-member
+    # count is under the cap — a known divergence on an input shape
+    # production never produces)
+    ds_d = mk_ds(keys, docs)
+    assert collect(ds_d, PipelineConfig(**gates)) \
+        == collect(ds_d, PipelineConfig(band_group_pair_cap=cap))
