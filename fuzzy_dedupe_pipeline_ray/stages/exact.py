@@ -55,14 +55,13 @@ def exact_edges(docs_ds, cfg: PipelineConfig):
     broadcast budget): one local lexsort + run-length pass emits the star
     edges directly — a Ray hash aggregate costs ~15-20 s of fixed shuffle
     setup on the target hosts, far above the actual work at ≤ millions of
-    rows. Scale path: ``groupby(sha).aggregate(Min(doc_id))`` → join the
-    rep back → filter members → star edges per batch. The sha key is
-    uniform — hash keys don't skew even when values do (SURVEY.md §7.3).
+    rows. Scale path: SORT by (sha, doc_id) + per-block star emission
+    with one carried (sha, family-min) per boundary
+    (``_sorted_exact_edges`` — same sort-beats-hash-aggregate rewrite as
+    ``lsh._sorted_grouped_pairs``). The sha key is uniform — hash keys
+    don't skew even when values do (SURVEY.md §7.3).
     """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min
-
-    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join, to_local_table
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
 
     conf = min(cfg.confidence_cap, 1.0)
     narrow = docs_ds.select_columns(["content_sha256", "doc_id"])
@@ -99,21 +98,74 @@ def exact_edges(docs_ds, cfg: PipelineConfig):
         step = -(-out.num_rows // n_blocks) if out.num_rows else 1
         slices = [out.slice(i, step) for i in range(0, out.num_rows, step)]
         return rd.from_arrow(slices or [out])
-    reps = narrow.groupby("content_sha256").aggregate(
-        Min("doc_id", alias_name="rep_id"))
-    joined = lookup_join(narrow, reps, on="content_sha256", cfg=cfg)
+    return _sorted_exact_edges(narrow, conf)
 
-    def star(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.not_equal(b.column("doc_id"), b.column("rep_id")))
-        n = t.num_rows
-        return pa.table({
-            "id_a": t.column("rep_id"),
-            "id_b": t.column("doc_id"),
-            "sig_sim": pa.array(np.ones(n), pa.float64()),
-            "second_sim": pa.array(np.ones(n), pa.float64()),
-            "exact_match": pa.array(np.ones(n, dtype=bool), pa.bool_()),
-            "match_type": pa.array(["exact"] * n, pa.string()),
-            "confidence": pa.array(np.full(n, conf), pa.float64()),
-        }, schema=EDGE_SCHEMA)
 
-    return joined.map_batches(star, batch_format="pyarrow")
+def _exact_block_summary(tbl: pa.Table):
+    """Ray task: (first_sha, first_doc, last_sha, last_run_min_doc) of a
+    (sha, doc_id)-sorted block, or None when empty."""
+    if tbl.num_rows == 0:
+        return None
+    ks = tbl.column("content_sha256").to_numpy(zero_copy_only=False)
+    d = tbl.column("doc_id").to_numpy()
+    l_start = int(np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])[-1])
+    return (ks[0], int(d[0]), ks[-1], int(d[l_start]))
+
+
+def _exact_block_label(tbl: pa.Table, rep_override, conf: float) -> pa.Table:
+    """Ray task: star edges for every sha run in a sorted block. The rep
+    of each run is its first doc (global sort by (sha, doc_id) makes it
+    the family min) — except a first run continued from the previous
+    block, whose TRUE rep (``rep_override``) lives upstream."""
+    ks = tbl.column("content_sha256").to_numpy(zero_copy_only=False)
+    d = tbl.column("doc_id").to_numpy().astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    lens = np.diff(np.r_[starts, len(ks)])
+    rep = np.repeat(d[starts], lens)
+    if rep_override is not None:
+        rep[:lens[0]] = rep_override
+    m = d != rep
+    a, b = rep[m], d[m]
+    n = len(a)
+    return pa.table({
+        "id_a": pa.array(a, pa.int64()),
+        "id_b": pa.array(b, pa.int64()),
+        "sig_sim": pa.array(np.ones(n), pa.float64()),
+        "second_sim": pa.array(np.ones(n), pa.float64()),
+        "exact_match": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+        "match_type": pa.array(["exact"] * n, pa.string()),
+        "confidence": pa.array(np.full(n, conf), pa.float64()),
+    }, schema=EDGE_SCHEMA)
+
+
+def _sorted_exact_edges(narrow, conf: float):
+    """Distributed exact-edge tier by SORT instead of groupby+join (the
+    same rewrite as lsh._sorted_grouped_pairs — Ray's range sort is ~25×
+    cheaper per row than its hash aggregate): sort (sha, doc_id), emit
+    star edges per block, and carry one (sha, family-min) per boundary
+    so families that straddle blocks keep their global rep."""
+    import ray
+    import ray.data as rd
+
+    s = narrow.sort(["content_sha256", "doc_id"]).materialize()
+    refs = list(s.to_arrow_refs())
+    if not refs:
+        return rd.from_arrow(EDGE_SCHEMA.empty_table())
+    summarize = ray.remote(_exact_block_summary)
+    sums = ray.get([summarize.remote(r) for r in refs])
+    label = ray.remote(_exact_block_label)
+    out_refs = []
+    carry_key, carry_min = None, None
+    for i, sm in enumerate(sums):
+        if sm is None:
+            continue
+        fk, fdoc, lk, lmin = sm
+        override = carry_min if carry_key == fk else None
+        out_refs.append(label.remote(refs[i], override, conf))
+        if not (lk == fk and override is not None):
+            # a block wholly inside a carried family keeps the carry;
+            # otherwise the last run starts here and owns its min
+            carry_key, carry_min = lk, lmin
+    if not out_refs:
+        return rd.from_arrow(EDGE_SCHEMA.empty_table())
+    return rd.from_arrow_refs(out_refs)
