@@ -178,9 +178,12 @@ def lookup_join(left, right, *, on, cfg: PipelineConfig,
     If ``right`` has ≤ ``gate_rows`` (default ``cfg.broadcast_max_rows``)
     rows it is broadcast once via ``ray.put`` and merged per batch with a
     vectorized ``pc.index_in`` lookup (no shuffle, no aggregator
-    actors); otherwise falls back to the distributed ``hash_join`` — the
-    100 TB path. Pass ``gate_rows=cfg.wide_broadcast_max_rows`` when the
-    right side carries content-sized strings. ``join_type``: "inner" or
+    actors); otherwise falls back to the distributed ``merge_join`` —
+    the 100 TB path (range-sort both sides, per-block overlap probe;
+    ``cfg.extra['lookup_join_impl'] = 'hash'`` selects the Acero
+    ``hash_join`` instead, retained as the equivalence baseline). Pass
+    ``gate_rows=cfg.wide_broadcast_max_rows`` when the right side
+    carries content-sized strings. ``join_type``: "inner" or
     "left_outer". The right side's key must be UNIQUE (it always is here:
     aggregate outputs / signature tables keyed by doc_id)."""
     import pyarrow as pa
@@ -193,7 +196,11 @@ def lookup_join(left, right, *, on, cfg: PipelineConfig,
     else:
         n = right_count
     if n > (cfg.broadcast_max_rows if gate_rows is None else gate_rows):
-        return hash_join(left, right, on=on, cfg=cfg, join_type=join_type)
+        if (cfg.extra or {}).get("lookup_join_impl") == "hash":
+            return hash_join(left, right, on=on, cfg=cfg,
+                             join_type=join_type)
+        return merge_join(left, right, on=on, cfg=cfg,
+                          join_type=join_type)
 
     tbl = to_local_table(right)
     if tbl is None:
@@ -408,3 +415,118 @@ def _prepared_bloom(ref):
         if len(_BLOOM_CACHE) > 8:
             _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
     return hit
+
+
+# ---------------------------------------------------------------------------
+# Distributed sort-merge join (the above-gate lookup_join tier)
+# ---------------------------------------------------------------------------
+
+
+def _mj_block_range(tbl, on: str):
+    """Ray task: (min, max) of a block's non-null key values (None for an
+    empty or all-null-key block)."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return None
+    mm = pc.min_max(tbl.column(on))
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None:
+        return None
+    return (lo, hi)
+
+
+def _mj_probe(ltbl, on: str, join_type: str, right_schema, *rtbls):
+    """Ray task: probe one sorted left block against its overlapping
+    right blocks — the same vectorized ``index_in`` merge (and null /
+    empty semantics) as the broadcast tier, so the tiers can't drift."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    payload_cols = [c for c in right_schema.names if c != on]
+    rtbl = (pa.concat_tables(rtbls).combine_chunks() if rtbls
+            else right_schema.empty_table())
+    if rtbl.num_rows == 0:
+        if join_type == "inner":
+            out = ltbl.slice(0, 0)
+        else:
+            out = ltbl
+        for c in payload_cols:
+            out = out.append_column(
+                c, pa.nulls(out.num_rows, right_schema.field(c).type))
+        return out
+    pos = pc.index_in(ltbl.column(on), value_set=rtbl.column(on))
+    pos = pos.combine_chunks() if isinstance(pos, pa.ChunkedArray) else pos
+    if join_type == "inner":
+        keep = pc.is_valid(pos)
+        out = ltbl.filter(keep)
+        idx = pos.filter(keep)
+        for c in payload_cols:
+            out = out.append_column(c, rtbl.column(c).take(idx))
+        return out
+    out = ltbl
+    for c in payload_cols:
+        out = out.append_column(c, rtbl.column(c).take(pos))
+    return out
+
+
+def merge_join(left, right, *, on, cfg: PipelineConfig,
+               join_type: str = "inner"):
+    """Distributed SORT-MERGE join on one unique-keyed right column — the
+    above-gate ``lookup_join`` tier (same contract: right key unique,
+    ``inner`` / ``left_outer``, right payload columns appended after the
+    left columns).
+
+    Shape: range-sort BOTH sides on the key (Ray's sort moves the same
+    rows far cheaper than its hash-shuffle machinery — the measured basis
+    of the round-4 sort rewrites, BASELINE.md), then each left block
+    joins against only the right blocks whose key range overlaps its own
+    (O(1) amortized once both sides are range-partitioned) with the
+    identical ``index_in`` kernel the broadcast tier uses. No aggregator
+    actor pools, no full-table gather on any worker. Result blocks are
+    plasma-backed (``from_arrow_refs``), i.e. effectively materialized —
+    the same fused-join-deadlock guard ``hash_join`` documents."""
+    import ray
+    import ray.data as rd
+
+    rs = right.sort(on).materialize()
+    r_refs = list(rs.to_arrow_refs())
+    rng = ray.remote(_mj_block_range)
+    r_ranges = ray.get([rng.remote(r, on) for r in r_refs])
+    try:
+        right_schema = rs.schema().base_schema
+    except AttributeError:  # pragma: no cover — older Schema wrapper
+        right_schema = rs.schema()
+
+    ls = left.sort(on).materialize()
+    l_refs = list(ls.to_arrow_refs())
+    l_ranges = ray.get([rng.remote(r, on) for r in l_refs])
+    l_counts = ray.get([ray.remote(lambda t: t.num_rows).remote(r)
+                        for r in l_refs])
+
+    probe = ray.remote(_mj_probe)
+    out_refs = []
+    for i, lref in enumerate(l_refs):
+        if l_counts[i] == 0:
+            continue
+        lrange = l_ranges[i]
+        overl = [] if lrange is None else \
+            [r_refs[j] for j, rr in enumerate(r_ranges)
+             if rr is not None and not (rr[1] < lrange[0]
+                                        or rr[0] > lrange[1])]
+        out_refs.append(probe.remote(lref, on, join_type, right_schema,
+                                     *overl))
+    if not out_refs:
+        try:
+            left_schema = ls.schema().base_schema
+        except AttributeError:  # pragma: no cover
+            left_schema = ls.schema()
+        if left_schema is None:
+            return ls
+        import pyarrow as pa
+
+        fields = list(left_schema) + [right_schema.field(c)
+                                      for c in right_schema.names
+                                      if c != on]
+        return rd.from_arrow(pa.schema(fields).empty_table())
+    return rd.from_arrow_refs(out_refs)

@@ -173,3 +173,41 @@ def test_hash_join_full_outer_and_empty_sides(ray_session):
                   "x2": pa.array([], pa.int64())})), a, on="k",
         cfg=DEFAULT_CONFIG, join_type="full_outer").to_pandas()
     assert sorted(d3.k) == [1, 2, 3] and d3.x2.isna().all()
+
+
+def test_merge_join_matches_hash_join_and_broadcast(ray_session):
+    """Three-way equivalence of lookup_join's tiers on a skewed keyed
+    table with missing keys and multi-block sides: broadcast (gate on)
+    vs sort-merge (default above-gate) vs Acero hash join (retained
+    baseline), inner AND left_outer."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    rng = np.random.RandomState(5)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(rng.randint(0, 500, 4000), pa.int64()),
+        "v": pa.array(np.arange(4000), pa.int64()),
+    })).repartition(11)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(0, 500, 2), pa.int64()),  # half missing
+        "w": pa.array(np.arange(250) * 10, pa.int64()),
+    })).repartition(7)
+
+    def collect(cfg, jt):
+        df = lookup_join(left, right, on="k", cfg=cfg,
+                         join_type=jt).to_pandas()
+        return df.sort_values(["k", "v"]).reset_index(drop=True) \
+            .astype({"w": "float64"})
+
+    for jt in ("inner", "left_outer"):
+        bc = collect(PipelineConfig(), jt)
+        mj = collect(PipelineConfig(broadcast_max_rows=0), jt)
+        hj = collect(PipelineConfig(broadcast_max_rows=0,
+                                    extra={"lookup_join_impl": "hash"}), jt)
+        pd.testing.assert_frame_equal(mj, bc)
+        pd.testing.assert_frame_equal(mj, hj[mj.columns])
