@@ -35,8 +35,8 @@ from fuzzy_dedupe_pipeline_ray.stages.exact import exact_edges
 from fuzzy_dedupe_pipeline_ray.stages.finalize import GENERIC_SORT_KEYS, finalize
 from fuzzy_dedupe_pipeline_ray.stages.fingerprint import fingerprint
 from fuzzy_dedupe_pipeline_ray.stages.lsh import (
-    _distinct_pairs_sorted,
     candidate_pairs,
+    distinct_pairs_sorted,
 )
 from fuzzy_dedupe_pipeline_ray.stages.verify import verify_pairs
 
@@ -666,7 +666,7 @@ def _ngram_pairs_distributed(ds, cfg: "PipelineConfig", out_schema,
             b.filter(pcm.not_equal(b.column("doc_id"),
                                    b.column("doc_id_b"))))
     joined = hash_join(prefix, right, on="sh", cfg=cfg)
-    cands = _distinct_pairs_sorted(joined.map_batches(
+    cands = distinct_pairs_sorted(joined.map_batches(
         emit, batch_format="pyarrow")).materialize()
 
     # candidate-restricted co-occurrence: only rows of candidate docs
@@ -891,7 +891,7 @@ def doc_simhash_dedupe(sf_dir: str, max_hamming: int = 3,
         return pa.table({"id_a": pa.array(ids_a, pa.int64()),
                          "id_b": pa.array(ids_b, pa.int64())})
 
-    pairs = _distinct_pairs_sorted(
+    pairs = distinct_pairs_sorted(
         joined.map_batches(ham_filter, batch_format="pyarrow")).materialize()
     labels = connected_components(pairs.map_batches(
         lambda b: b, batch_format="pyarrow"), cfg)

@@ -423,17 +423,18 @@ def _prepared_bloom(ref):
 
 
 def _mj_block_range(tbl, on: str):
-    """Ray task: (min, max) of a block's non-null key values (None for an
-    empty or all-null-key block)."""
+    """Ray task: ``(n_rows, lo, hi, has_null)`` for a block's key column
+    (lo/hi None when every key is null). One task serves row counts,
+    overlap ranges AND null presence — the boundary scan needs all three
+    and must not pay a task wave per fact (review finding, round 4)."""
     import pyarrow.compute as pc
 
     if tbl.num_rows == 0:
-        return None
-    mm = pc.min_max(tbl.column(on))
-    lo, hi = mm["min"].as_py(), mm["max"].as_py()
-    if lo is None:
-        return None
-    return (lo, hi)
+        return (0, None, None, False)
+    col = tbl.column(on)
+    mm = pc.min_max(col)
+    has_null = col.null_count > 0
+    return (tbl.num_rows, mm["min"].as_py(), mm["max"].as_py(), has_null)
 
 
 def _mj_probe(ltbl, on: str, join_type: str, right_schema, *rtbls):
@@ -492,7 +493,7 @@ def merge_join(left, right, *, on, cfg: PipelineConfig,
     rs = right.sort(on).materialize()
     r_refs = list(rs.to_arrow_refs())
     rng = ray.remote(_mj_block_range)
-    r_ranges = ray.get([rng.remote(r, on) for r in r_refs])
+    r_stats = ray.get([rng.remote(r, on) for r in r_refs])
     try:
         right_schema = rs.schema().base_schema
     except AttributeError:  # pragma: no cover — older Schema wrapper
@@ -500,20 +501,24 @@ def merge_join(left, right, *, on, cfg: PipelineConfig,
 
     ls = left.sort(on).materialize()
     l_refs = list(ls.to_arrow_refs())
-    l_ranges = ray.get([rng.remote(r, on) for r in l_refs])
-    l_counts = ray.get([ray.remote(lambda t: t.num_rows).remote(r)
-                        for r in l_refs])
+    l_stats = ray.get([rng.remote(r, on) for r in l_refs])
 
     probe = ray.remote(_mj_probe)
     out_refs = []
     for i, lref in enumerate(l_refs):
-        if l_counts[i] == 0:
+        ln, llo, lhi, lnull = l_stats[i]
+        if ln == 0:
             continue
-        lrange = l_ranges[i]
-        overl = [] if lrange is None else \
-            [r_refs[j] for j, rr in enumerate(r_ranges)
-             if rr is not None and not (rr[1] < lrange[0]
-                                        or rr[0] > lrange[1])]
+        # a right block overlaps if its non-null range intersects the
+        # left block's, OR both sides carry null keys — index_in matches
+        # null-to-null exactly like the broadcast tier, so null-key rows
+        # must see the null-carrying right blocks REGARDLESS of which
+        # sorted block Ray placed them in (review finding, round 4)
+        overl = [r_refs[j] for j, (rn, rlo, rhi, rnull)
+                 in enumerate(r_stats)
+                 if rn > 0 and ((llo is not None and rlo is not None
+                                 and not (rhi < llo or rlo > lhi))
+                                or (lnull and rnull))]
         out_refs.append(probe.remote(lref, on, join_type, right_schema,
                                      *overl))
     if not out_refs:

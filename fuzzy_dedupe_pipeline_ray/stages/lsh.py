@@ -179,7 +179,14 @@ def _hashagg_grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str):
 
     from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
 
+    import dataclasses
+
     cap = cfg.band_group_pair_cap
+    # the baseline must stay INDEPENDENT of the sort-based code it
+    # validates: route its sizes join to the Acero hash join, never to
+    # merge_join (review finding, round 4)
+    cfg = dataclasses.replace(cfg, extra={**(cfg.extra or {}),
+                                          "lookup_join_impl": "hash"})
     sizes = keyed_ds.groupby(key).aggregate(
         Count(alias_name="grp_n"), Min("doc_id", alias_name="grp_min"))
     # materialize: `keyed` feeds both the star branch and the small-group
@@ -656,7 +663,7 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig):
 #   emits (pivot, member) star pairs locally, else the driver emits its
 #   ≤ cap² all-pairs itself from the summary-shipped member runs;
 # * the final cross-band distinct is ALSO sort-based
-#   (``_distinct_pairs_sorted``): one (id_a, id_b) sort, adjacent-unique
+#   (``distinct_pairs_sorted``): one (id_a, id_b) sort, adjacent-unique
 #   per block, one carried pair per boundary.
 #
 # Pair-set equivalence with the hash-aggregate tier (retained as
@@ -827,7 +834,7 @@ def _pair_dedup_label(tbl: pa.Table, prev_pair) -> pa.Table:
                     schema=PAIR_SCHEMA)
 
 
-def _distinct_pairs_sorted(pairs_ds):
+def distinct_pairs_sorted(pairs_ds):
     """Distinct (id_a, id_b) by range sort + per-block adjacent-unique
     with one carried boundary pair — replaces the hash-aggregate distinct
     on the sorted distributed tier (sort is ~25× cheaper per row here)."""
@@ -875,4 +882,4 @@ def _sorted_grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str):
         rd.from_arrow(PAIR_SCHEMA.empty_table())
     if span_tbl.num_rows:
         parts = parts.union(rd.from_arrow(span_tbl))
-    return _distinct_pairs_sorted(parts)
+    return distinct_pairs_sorted(parts)

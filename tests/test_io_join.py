@@ -211,3 +211,38 @@ def test_merge_join_matches_hash_join_and_broadcast(ray_session):
                                     extra={"lookup_join_impl": "hash"}), jt)
         pd.testing.assert_frame_equal(mj, bc)
         pd.testing.assert_frame_equal(mj, hj[mj.columns])
+
+
+def test_merge_join_null_keys_match_broadcast(ray_session):
+    """Null join keys must behave identically on every tier REGARDLESS
+    of Ray's sorted-block layout: index_in matches null-to-null, so a
+    null-key left row finds the null right row even when the nulls land
+    in their own all-null sorted block (review finding, round 4)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 2, None, 3], pa.int64()),
+        "v": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })).repartition(3)
+    # many null right rows so the sort isolates them in their own block
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([None] * 30 + [1, 2], pa.int64()),
+        "w": pa.array([99] * 30 + [100, 200], pa.int64()),
+    })).repartition(5)
+
+    def collect(cfg, jt):
+        df = lookup_join(left, right, on="k", cfg=cfg,
+                         join_type=jt).to_pandas()
+        return (df.sort_values(["v"]).reset_index(drop=True)
+                .astype({"w": "float64"}))
+
+    for jt in ("inner", "left_outer"):
+        bc = collect(PipelineConfig(), jt)
+        mj = collect(PipelineConfig(broadcast_max_rows=0), jt)
+        pd.testing.assert_frame_equal(mj, bc)
