@@ -671,6 +671,14 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig):
 # tests/test_lsh_paths.py.
 
 
+# Partitioning assumption (shared with relational._sorted_block_scan,
+# where it has been load-bearing since round 4 opened): ``Dataset.sort``
+# emits range-partitioned blocks whose ``to_arrow_refs`` order IS the
+# global key order, so consecutive blocks share at most one key run at
+# their boundary. The boundary scans below depend on it; the three-way
+# tier equivalence tests would fail loudly if a Ray upgrade broke it.
+
+
 def _run_lengths(k: np.ndarray) -> "tuple[int, int]":
     """(first-run length, last-run length) of a sorted key array."""
     n = len(k)
