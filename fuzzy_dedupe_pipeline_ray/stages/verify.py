@@ -379,9 +379,22 @@ def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig, bank=None):
         {"doc_id": "id_b", "minhash": "minhash_b", "simhash": "simhash_b",
          "content_sha256": "sha_b"})
 
-    joined = lookup_join(pairs_ds, a_side, on="id_a", cfg=cfg,
+    # These two joins gather ~600 B of signature payload per pair — the
+    # heaviest-payload joins in the engine. Route them explicitly to the
+    # streaming Acero hash tier: merge_join pins BOTH probe-output legs
+    # plus two sorted copies simultaneously, which at a 4×-corpus 20.9M
+    # pairs exceeded the object store's spill headroom (OutOfDiskError,
+    # round-4 close), while the hash tier's aggregator actors stream the
+    # same bytes through bounded blocks and have completed that input
+    # every round. merge_join remains the default for the engine's
+    # narrow-payload lookups.
+    import dataclasses
+
+    cfg_hash = dataclasses.replace(
+        cfg, extra={**(cfg.extra or {}), "lookup_join_impl": "hash"})
+    joined = lookup_join(pairs_ds, a_side, on="id_a", cfg=cfg_hash,
                          right_count=n_sigs)
-    joined = lookup_join(joined, b_side, on="id_b", cfg=cfg,
+    joined = lookup_join(joined, b_side, on="id_b", cfg=cfg_hash,
                          right_count=n_sigs)
     return joined.map_batches(
         lambda b: score_pairs_batch(b, cfg), batch_format="pyarrow",
