@@ -199,78 +199,16 @@ def entry() -> Any:
 
 def queries() -> "dict[str, Callable[[str], Any]]":
     return {
-        # flagship + near-dup family (engine kernels)
+        # flagship + its invariant checks (always in the driver window)
         "files_dedupe": files_dedupe,
         "files_exact_family_check": files_exact_family_check,
         "files_incremental_check": files_incremental_check,
-        "doc_minhash_lsh_dedupe": textops.doc_minhash_lsh_dedupe,
-        "doc_dedupe_exact_family_check": textops.doc_dedupe_exact_family_check,
-        "doc_simhash_dedupe": textops.doc_simhash_dedupe,
-        "doc_simhash_exact_family_check":
-            textops.doc_simhash_exact_family_check,
-        "doc_exact_dedupe": textops.doc_exact_dedupe,
-        "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
-        "doc_ngram_containment_pairs": textops.doc_ngram_containment_pairs,
-        "doc_line_dedupe": textops.doc_line_dedupe,
-        "doc_gopher_repetition": textops.doc_gopher_repetition,
-        # text analysis
-        "doc_normalize": textops.doc_normalize,
-        "doc_token_stats": textops.doc_token_stats,
-        "doc_quality": textops.doc_quality,
-        "doc_langid": textops.doc_langid,
-        "doc_sample": textops.doc_sample,
-        "token_doc_freq": textops.token_doc_freq,
-        "doc_token_repetition": textops.doc_token_repetition,
-        "doc_rarest_token": textops.doc_rarest_token,
-        "doc_pii_scrub": textops.doc_pii_scrub,
-        "doc_chunk": textops.doc_chunk,
-        "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
-        "doc_distinct_shingle_sketch": textops.doc_distinct_shingle_sketch,
-        "doc_decontaminate": textops.doc_decontaminate,
-        "doc_fuzzy_decontaminate": textops.doc_fuzzy_decontaminate,
-        "doc_fuzzy_decontaminate_exact_check":
-            textops.doc_fuzzy_decontaminate_fixture_check,
-        "doc_ngram_novelty": textops.doc_ngram_novelty,
-        "files_dup_rate_by_lang": textops.files_dup_rate_by_lang,
-        "doc_curation_funnel": textops.doc_curation_funnel,
-        "doc_quality_audit": textops.doc_quality_audit,
-        "doc_sample_stratified": textops.doc_sample_stratified,
-        "doc_shuffle_deterministic": textops.doc_shuffle_deterministic,
-        "doc_split_train_val_test": textops.doc_split_train_val_test,
-        "doc_unigram_logfreq": textops.doc_unigram_logfreq,
-        "doc_grep": textops.doc_grep,
-        "doc_similar_topk": textops.doc_similar_topk,
-        "doc_similar_topk_self_check": textops.doc_similar_topk_self_check,
-        "doc_fingerprint": textops.doc_fingerprint,
-        "doc_fingerprint_exact_family_check":
-            textops.doc_fingerprint_exact_family_check,
-        # similarity search
-        "ann_topk": ann.ann_topk,
-        "embedding_knn_graph": ann.embedding_knn_graph,
-        "ann_lsh_topk": ann.ann_lsh_topk,
-        "ann_lsh_recall_check": ann.ann_lsh_recall_check,
-        "ann_ivf_topk": ann.ann_ivf_topk,
-        "ann_ivf_recall_check": ann.ann_ivf_recall_check,
-        "ann_pq_topk": ann.ann_pq_topk,
-        "ann_pq_recall_check": ann.ann_pq_recall_check,
-        "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
-        "ann_range_search": ann.ann_range_search,
+        # round-5 rotation: queries never driver-checked in r1-r4 come
+        # first so they land inside the driver's ~50-entry check window
         "embedding_cc_clusters": ann.embedding_cc_clusters,
         "embedding_label_centroid": ann.embedding_label_centroid,
-        # scalar extractors (M6/M7) over the deterministic address fixture
-        "addr_extract": addresses.addr_extract,
-        # multimodal (deterministic fixture; decode stubbed, plumbing real)
-        "media_features": multimodal.media_features_query,
-        "media_exact_dupes": multimodal.media_exact_dupes_query,
         "media_resize": multimodal.media_resize_query,
         "media_frame_sample": multimodal.media_frame_sample_query,
-        # relational operator demos
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "top_customers": relational.top_customers,
-        "nation_order_stats": relational.nation_order_stats,
-        "part_type_distinct": relational.part_type_distinct,
-        "events_hourly_window": relational.events_hourly_window,
-        "events_sessionize": relational.events_sessionize,
         "events_dedup_within_window": relational.events_dedup_within_window,
         "events_conversion_latency": relational.events_conversion_latency,
         "events_late_arrivals": relational.events_late_arrivals_fixture,
@@ -294,8 +232,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "lineitem_price_histogram": relational.lineitem_price_histogram,
         "supplier_nation_stats": relational.supplier_nation_stats,
         "urgent_order_revenue": relational.urgent_order_revenue,
-        "doc_dedup_consecutive_tokens":
-            textops.doc_dedup_consecutive_tokens,
+        "doc_dedup_consecutive_tokens": textops.doc_dedup_consecutive_tokens,
         "events_daily_users": relational.events_daily_users,
         "orders_rollup": relational.orders_rollup,
         "events_value_ntile": relational.events_value_ntile,
@@ -337,6 +274,66 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "q12_priority_line_counts": relational.q12_priority_line_counts,
         "q16_supplier_variety": relational.q16_supplier_variety,
         "q21_only_returned_supplier": relational.q21_only_returned_supplier,
+        # veterans: driver-green in earlier rounds (r1-r4), rotated back
+        "doc_minhash_lsh_dedupe": textops.doc_minhash_lsh_dedupe,
+        "doc_dedupe_exact_family_check": textops.doc_dedupe_exact_family_check,
+        "doc_simhash_dedupe": textops.doc_simhash_dedupe,
+        "doc_simhash_exact_family_check":
+            textops.doc_simhash_exact_family_check,
+        "doc_exact_dedupe": textops.doc_exact_dedupe,
+        "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
+        "doc_ngram_containment_pairs": textops.doc_ngram_containment_pairs,
+        "doc_line_dedupe": textops.doc_line_dedupe,
+        "doc_gopher_repetition": textops.doc_gopher_repetition,
+        "doc_normalize": textops.doc_normalize,
+        "doc_token_stats": textops.doc_token_stats,
+        "doc_quality": textops.doc_quality,
+        "doc_langid": textops.doc_langid,
+        "doc_sample": textops.doc_sample,
+        "token_doc_freq": textops.token_doc_freq,
+        "doc_token_repetition": textops.doc_token_repetition,
+        "doc_rarest_token": textops.doc_rarest_token,
+        "doc_pii_scrub": textops.doc_pii_scrub,
+        "doc_chunk": textops.doc_chunk,
+        "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
+        "doc_distinct_shingle_sketch": textops.doc_distinct_shingle_sketch,
+        "doc_decontaminate": textops.doc_decontaminate,
+        "doc_fuzzy_decontaminate": textops.doc_fuzzy_decontaminate,
+        "doc_fuzzy_decontaminate_exact_check":
+            textops.doc_fuzzy_decontaminate_fixture_check,
+        "doc_ngram_novelty": textops.doc_ngram_novelty,
+        "files_dup_rate_by_lang": textops.files_dup_rate_by_lang,
+        "doc_curation_funnel": textops.doc_curation_funnel,
+        "doc_quality_audit": textops.doc_quality_audit,
+        "doc_sample_stratified": textops.doc_sample_stratified,
+        "doc_shuffle_deterministic": textops.doc_shuffle_deterministic,
+        "doc_split_train_val_test": textops.doc_split_train_val_test,
+        "doc_unigram_logfreq": textops.doc_unigram_logfreq,
+        "doc_grep": textops.doc_grep,
+        "doc_similar_topk": textops.doc_similar_topk,
+        "doc_similar_topk_self_check": textops.doc_similar_topk_self_check,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "doc_fingerprint_exact_family_check":
+            textops.doc_fingerprint_exact_family_check,
+        "ann_topk": ann.ann_topk,
+        "embedding_knn_graph": ann.embedding_knn_graph,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_lsh_recall_check": ann.ann_lsh_recall_check,
+        "ann_ivf_topk": ann.ann_ivf_topk,
+        "ann_ivf_recall_check": ann.ann_ivf_recall_check,
+        "ann_pq_topk": ann.ann_pq_topk,
+        "ann_pq_recall_check": ann.ann_pq_recall_check,
+        "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        "ann_range_search": ann.ann_range_search,
+        "addr_extract": addresses.addr_extract,
+        "media_features": multimodal.media_features_query,
+        "media_exact_dupes": multimodal.media_exact_dupes_query,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "top_customers": relational.top_customers,
+        "nation_order_stats": relational.nation_order_stats,
+        "part_type_distinct": relational.part_type_distinct,
+        "events_hourly_window": relational.events_hourly_window,
+        "events_sessionize": relational.events_sessionize,
     }
 
 
