@@ -139,6 +139,14 @@ class PipelineConfig:
     # distributed hash join.
     wide_broadcast_max_rows: int = 250_000
     wide_broadcast_max_bytes: int = 2 << 30
+    # merge_join probe-mass guard: each left block's probe task concats
+    # every key-range-overlapping right block; if any single probe would
+    # pin more than this many right-side bytes (the full-right-gather
+    # shape behind the round-4 verify OutOfDiskError), the whole join
+    # falls back to the streaming Acero hash tier (bounded aggregator
+    # blocks). Both sides are already sorted at the decision point, so
+    # the fallback costs no re-read.
+    merge_join_probe_max_bytes: int = 1 << 30
     # Document-identity width. 64 (default): doc_id = first 8 sha bytes,
     # enough below ~10^10 rows and cheapest. 128: the scale path
     # (``stages/identity.py``) — ids are derived from 126 bits and a

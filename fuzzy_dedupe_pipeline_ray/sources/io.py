@@ -423,18 +423,20 @@ def _prepared_bloom(ref):
 
 
 def _mj_block_range(tbl, on: str):
-    """Ray task: ``(n_rows, lo, hi, has_null)`` for a block's key column
-    (lo/hi None when every key is null). One task serves row counts,
-    overlap ranges AND null presence — the boundary scan needs all three
-    and must not pay a task wave per fact (review finding, round 4)."""
+    """Ray task: ``(n_rows, lo, hi, has_null, nbytes)`` for a block's key
+    column (lo/hi None when every key is null). One task serves row
+    counts, overlap ranges, null presence AND byte size — the boundary
+    scan and the probe-mass guard need all of them and must not pay a
+    task wave per fact (review finding, round 4)."""
     import pyarrow.compute as pc
 
     if tbl.num_rows == 0:
-        return (0, None, None, False)
+        return (0, None, None, False, 0)
     col = tbl.column(on)
     mm = pc.min_max(col)
     has_null = col.null_count > 0
-    return (tbl.num_rows, mm["min"].as_py(), mm["max"].as_py(), has_null)
+    return (tbl.num_rows, mm["min"].as_py(), mm["max"].as_py(), has_null,
+            tbl.nbytes)
 
 
 def _mj_probe(ltbl, on: str, join_type: str, right_schema, *rtbls):
@@ -492,21 +494,29 @@ def merge_join(left, right, *, on, cfg: PipelineConfig,
 
     rs = right.sort(on).materialize()
     r_refs = list(rs.to_arrow_refs())
-    rng = ray.remote(_mj_block_range)
-    r_stats = ray.get([rng.remote(r, on) for r in r_refs])
     try:
         right_schema = rs.schema().base_schema
     except AttributeError:  # pragma: no cover — older Schema wrapper
         right_schema = rs.schema()
+    if right_schema is None:
+        # schema-less right (empty dataset built from no blocks): there
+        # are no payload columns to append, so the join degenerates —
+        # left unchanged for left_outer, empty for inner (review
+        # finding, round 5)
+        return left if join_type == "left_outer" else left.limit(0)
+    rng = ray.remote(_mj_block_range)
+    r_stats = ray.get([rng.remote(r, on) for r in r_refs])
 
     ls = left.sort(on).materialize()
     l_refs = list(ls.to_arrow_refs())
     l_stats = ray.get([rng.remote(r, on) for r in l_refs])
 
     probe = ray.remote(_mj_probe)
+    probe_budget = getattr(cfg, "merge_join_probe_max_bytes",
+                           1 << 30)
     out_refs = []
     for i, lref in enumerate(l_refs):
-        ln, llo, lhi, lnull = l_stats[i]
+        ln, llo, lhi, lnull, _lb = l_stats[i]
         if ln == 0:
             continue
         # a right block overlaps if its non-null range intersects the
@@ -514,13 +524,24 @@ def merge_join(left, right, *, on, cfg: PipelineConfig,
         # null-to-null exactly like the broadcast tier, so null-key rows
         # must see the null-carrying right blocks REGARDLESS of which
         # sorted block Ray placed them in (review finding, round 4)
-        overl = [r_refs[j] for j, (rn, rlo, rhi, rnull)
+        overl = [(r_refs[j], rb) for j, (rn, rlo, rhi, rnull, rb)
                  in enumerate(r_stats)
                  if rn > 0 and ((llo is not None and rlo is not None
                                  and not (rhi < llo or rlo > lhi))
                                 or (lnull and rnull))]
+        # Probe-mass guard (review finding, round 5): _mj_probe concats
+        # every overlapping right block into one task — with a wide left
+        # block or a payload-heavy right side that approaches a full
+        # right-table gather on one worker (the exact shape behind the
+        # round-4 OutOfDiskError in verify). When any single probe would
+        # pin more than the budget, route the WHOLE join to the
+        # streaming Acero hash tier — both sides are already sorted and
+        # materialized, so the fallback re-reads no sources.
+        if sum(rb for _, rb in overl) > probe_budget:
+            return hash_join(ls, rs, on=on, join_type=join_type,
+                             cfg=cfg)
         out_refs.append(probe.remote(lref, on, join_type, right_schema,
-                                     *overl))
+                                     *[r for r, _ in overl]))
     if not out_refs:
         try:
             left_schema = ls.schema().base_schema

@@ -187,6 +187,13 @@ def _hashagg_grouped_pairs(keyed_ds, cfg: PipelineConfig, key: str):
     # merge_join (review finding, round 4)
     cfg = dataclasses.replace(cfg, extra={**(cfg.extra or {}),
                                           "lookup_join_impl": "hash"})
+    # Distinct (key, doc_id) FIRST so grp_n counts UNIQUE members — the
+    # semantics the sorted tier and the broadcast kernels use. Without
+    # it the two tiers diverge on inputs carrying duplicate (key,
+    # doc_id) rows (production-impossible, but the baseline must be a
+    # valid equivalence oracle on all inputs — review finding, round 5).
+    keyed_ds = keyed_ds.groupby([key, "doc_id"]).aggregate(
+        Count(alias_name="_dup_n")).drop_columns(["_dup_n"])
     sizes = keyed_ds.groupby(key).aggregate(
         Count(alias_name="grp_n"), Min("doc_id", alias_name="grp_min"))
     # materialize: `keyed` feeds both the star branch and the small-group

@@ -246,3 +246,63 @@ def test_merge_join_null_keys_match_broadcast(ray_session):
         bc = collect(PipelineConfig(), jt)
         mj = collect(PipelineConfig(broadcast_max_rows=0), jt)
         pd.testing.assert_frame_equal(mj, bc)
+
+
+def test_merge_join_probe_budget_falls_back_to_hash(ray_session):
+    """A tiny ``merge_join_probe_max_bytes`` makes every probe exceed
+    budget, so merge_join must route the whole join to the hash tier —
+    and the result must still match the broadcast tier exactly (review
+    finding, round 5: the full-right-gather probe shape behind the
+    round-4 verify OutOfDiskError now self-guards)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    rng = np.random.RandomState(9)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(rng.randint(0, 200, 1500), pa.int64()),
+        "v": pa.array(np.arange(1500), pa.int64()),
+    })).repartition(5)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(0, 200, 2), pa.int64()),
+        "w": pa.array([b"x" * 64] * 100, pa.binary()),
+    })).repartition(3)
+
+    def collect(cfg, jt):
+        df = lookup_join(left, right, on="k", cfg=cfg,
+                         join_type=jt).to_pandas()
+        return df.sort_values(["k", "v"]).reset_index(drop=True)
+
+    for jt in ("inner", "left_outer"):
+        bc = collect(PipelineConfig(), jt)
+        guarded = collect(PipelineConfig(broadcast_max_rows=0,
+                                         merge_join_probe_max_bytes=1),
+                          jt)
+        pd.testing.assert_frame_equal(
+            guarded[sorted(guarded.columns)], bc[sorted(bc.columns)])
+
+
+def test_merge_join_schema_less_right(ray_session):
+    """merge_join with an empty, schema-less right dataset must not
+    crash (right_schema is None): left unchanged for left_outer, empty
+    for inner (review finding, round 5 — merge_join is a public helper,
+    reachable without lookup_join's gates)."""
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import merge_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64()),
+    }))
+    right = ray.data.from_items([])
+    assert right.schema() is None
+
+    inner = merge_join(left, right, on="k", cfg=CFG, join_type="inner")
+    assert inner.count() == 0
+    outer = merge_join(left, right, on="k", cfg=CFG,
+                       join_type="left_outer")
+    df = outer.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["v"].tolist() == [10, 20, 30]

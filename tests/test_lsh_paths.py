@@ -364,11 +364,15 @@ def test_sorted_tier_matches_hashagg_and_local(ray_session, cap):
     assert srt == hag == local
     assert len(local) > 0
 
-    # WITH duplicate (key, doc) rows: sorted tier matches the local
-    # tier's unique-member semantics (the hashagg baseline counts ROWS
-    # for its star decision, so it can star a group whose unique-member
-    # count is under the cap — a known divergence on an input shape
-    # production never produces)
+    # WITH duplicate (key, doc) rows: all three tiers must STILL agree —
+    # the hashagg baseline distincts (key, doc_id) before its Count so
+    # its star decision uses unique-member counts like the sorted and
+    # local tiers (review finding, round 5; previously a documented
+    # divergence on this production-impossible input shape)
     ds_d = mk_ds(keys, docs)
-    assert collect(ds_d, PipelineConfig(**gates)) \
-        == collect(ds_d, PipelineConfig(band_group_pair_cap=cap))
+    local_d = collect(ds_d, PipelineConfig(band_group_pair_cap=cap))
+    srt_d = collect(ds_d, PipelineConfig(**gates))
+    hag_d = collect(ds_d, PipelineConfig(**gates,
+                                         extra={"grouped_pairs_impl":
+                                                "hashagg"}))
+    assert srt_d == hag_d == local_d
