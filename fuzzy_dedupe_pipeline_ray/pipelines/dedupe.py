@@ -38,14 +38,13 @@ from fuzzy_dedupe_pipeline_ray.stages.exact import EDGE_SCHEMA, exact_edges
 from fuzzy_dedupe_pipeline_ray.stages.finalize import finalize
 from fuzzy_dedupe_pipeline_ray.stages.fingerprint import fingerprint
 from fuzzy_dedupe_pipeline_ray.stages.ingest import ingest_meta, ingest_meta_batch
-from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
 from fuzzy_dedupe_pipeline_ray.stages.substring import (
     substring_edges,
     substring_prep,
 )
 from fuzzy_dedupe_pipeline_ray.stages.verify import (
+    fuzzy_edges,
     prepare_sig_bank,
-    verify_pairs,
 )
 from fuzzy_dedupe_pipeline_ray.state.manifest import (
     RunManifest,
@@ -205,8 +204,8 @@ class DedupePipeline:
                 bank = prepare_sig_bank(sigs, cfg)
 
             def run_fuzzy():
-                return self._stage("edges_fuzzy", lambda: verify_pairs(
-                    candidate_pairs(sigs, cfg), sigs, cfg, bank=bank))
+                return self._stage("edges_fuzzy", lambda: fuzzy_edges(
+                    sigs, cfg, bank=bank))
 
             # The substring HEAD (anchor candidates + content gather)
             # depends only on signatures — overlap it with the fuzzy

@@ -844,22 +844,26 @@ def _pair_dedup_label(tbl: pa.Table, prev_pair) -> pa.Table:
             and int(a[0]) == prev_pair[0] and int(b[0]) == prev_pair[1]:
         keep[0] = False
     sel = pa.array(np.flatnonzero(keep), pa.int64())
-    return pa.table({"id_a": tbl.column("id_a").take(sel),
-                     "id_b": tbl.column("id_b").take(sel)},
-                    schema=PAIR_SCHEMA)
+    # take on the FULL table: payload columns (e.g. the fused tier's
+    # scored-edge columns) ride along — duplicate (id_a, id_b) rows are
+    # deterministic re-computations, so keep-first is exact
+    return tbl.take(sel)
 
 
-def distinct_pairs_sorted(pairs_ds):
-    """Distinct (id_a, id_b) by range sort + per-block adjacent-unique
+def distinct_pairs_sorted(pairs_ds, schema: pa.Schema = PAIR_SCHEMA):
+    """Distinct on (id_a, id_b) by range sort + per-block adjacent-unique
     with one carried boundary pair — replaces the hash-aggregate distinct
-    on the sorted distributed tier (sort is ~25× cheaper per row here)."""
+    on the sorted distributed tier (sort is ~25× cheaper per row here).
+    Non-key columns are preserved (keep-first; callers guarantee
+    duplicates carry identical payloads); ``schema`` shapes the empty
+    result."""
     import ray
     import ray.data as rd
 
     s = pairs_ds.sort(["id_a", "id_b"]).materialize()
     refs = list(s.to_arrow_refs())
     if not refs:
-        return rd.from_arrow(PAIR_SCHEMA.empty_table())
+        return rd.from_arrow(schema.empty_table())
     summarize = ray.remote(_pair_first_last)
     sums = ray.get([summarize.remote(r) for r in refs])
     label = ray.remote(_pair_dedup_label)
@@ -870,7 +874,7 @@ def distinct_pairs_sorted(pairs_ds):
         out_refs.append(label.remote(refs[i], carry))
         carry = sm[1]
     if not out_refs:
-        return rd.from_arrow(PAIR_SCHEMA.empty_table())
+        return rd.from_arrow(schema.empty_table())
     return rd.from_arrow_refs(out_refs)
 
 

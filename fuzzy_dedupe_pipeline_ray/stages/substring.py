@@ -121,6 +121,19 @@ def anti_join_pairs(pairs_ds, exclude_ds, cfg: PipelineConfig):
         return pairs_ds.map_batches(filt, batch_format="pyarrow",
                                     zero_copy_batch=True)
 
+    # Above the broadcast gate: distributed SORT-based anti-join by
+    # default — the same range-sort + per-block overlap probing shape as
+    # sources/io.merge_join, with the broadcast path's np.searchsorted
+    # membership kernel. The previous fallback (marker groupby +
+    # left-outer hash join) spun up TWO aggregator actor pools and cost
+    # ~4 s on a 102k-row exclude set in forced mode (round-5 profile);
+    # the sorted tier moves the same narrow 16 B rows through one range
+    # sort per side. The hash tier stays selectable via
+    # cfg.extra['anti_join_impl'] = 'hash' as the equivalence baseline
+    # (tests/test_stages.py::test_anti_join_tiers_equivalent).
+    if (cfg.extra or {}).get("anti_join_impl") != "hash":
+        return _sorted_anti_join_pairs(pairs_ds, exclude_ds, cfg)
+
     marked = exclude_ds.map_batches(
         lambda b: pa.table({
             "id_a": b.column("id_a"), "id_b": b.column("id_b"),
@@ -136,6 +149,63 @@ def anti_join_pairs(pairs_ds, exclude_ds, cfg: PipelineConfig):
         lambda b: b.filter(pc.is_null(b.column("_seen"))).select(
             ["id_a", "id_b"]),
         batch_format="pyarrow")
+
+
+def _aj_range(tbl: pa.Table):
+    """Ray task: ((first id_a, first id_b), (last id_a, last id_b)) of a
+    (id_a, id_b)-sorted block, or None when empty — lexicographic tuple
+    ranges for the anti-join's block-overlap test."""
+    if tbl.num_rows == 0:
+        return None
+    a, b = tbl.column("id_a"), tbl.column("id_b")
+    return ((a[0].as_py(), b[0].as_py()), (a[-1].as_py(), b[-1].as_py()))
+
+
+def _aj_probe(ltbl: pa.Table, *rtbls):
+    """Ray task: drop left rows whose (id_a, id_b) appears in any
+    overlapping right block (same packed-key searchsorted membership as
+    the broadcast filter; left payload columns ride along)."""
+    if ltbl.num_rows == 0 or not rtbls:
+        return ltbl
+    keys = _pack_pairs(ltbl.column("id_a").to_numpy(),
+                       ltbl.column("id_b").to_numpy())
+    ex = np.sort(np.concatenate([
+        _pack_pairs(r.column("id_a").to_numpy(),
+                    r.column("id_b").to_numpy()) for r in rtbls]))
+    pos = np.minimum(np.searchsorted(ex, keys), len(ex) - 1)
+    seen = ex[pos] == keys
+    return ltbl.take(pa.array(np.flatnonzero(~seen)))
+
+
+def _sorted_anti_join_pairs(pairs_ds, exclude_ds, cfg: PipelineConfig):
+    """Distributed sort-based anti-join on (id_a, id_b): range-sort both
+    sides, each left block probes only the right blocks whose pair range
+    overlaps its own. Narrow 16 B keys — one sort per side, no
+    aggregator actors (see anti_join_pairs)."""
+    import ray
+    import ray.data as rd
+
+    ls = pairs_ds.sort(["id_a", "id_b"]).materialize()
+    l_refs = list(ls.to_arrow_refs())
+    if not l_refs:
+        return ls
+    rs = exclude_ds.sort(["id_a", "id_b"]).materialize()
+    r_refs = list(rs.to_arrow_refs())
+    rng = ray.remote(_aj_range)
+    l_rngs = ray.get([rng.remote(r) for r in l_refs])
+    r_rngs = ray.get([rng.remote(r) for r in r_refs])
+    probe = ray.remote(_aj_probe)
+    out = []
+    for i, lr in enumerate(l_rngs):
+        if lr is None:
+            continue
+        llo, lhi = lr
+        overl = [r_refs[j] for j, rr in enumerate(r_rngs)
+                 if rr is not None and not (rr[1] < llo or rr[0] > lhi)]
+        out.append(probe.remote(l_refs[i], *overl))
+    if not out:
+        return ls
+    return rd.from_arrow_refs(out)
 
 
 #: rolling-hash base: hashing.py's FNV prime (odd → invertible mod 2^64);

@@ -33,22 +33,23 @@ from fuzzy_dedupe_pipeline_ray.functions.hashing import hamming64, unpack_signat
 from fuzzy_dedupe_pipeline_ray.stages.exact import EDGE_SCHEMA
 
 
-def score_pairs_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    """Vectorized scorer over a joined batch with columns
-    (id_a, id_b, minhash_a, simhash_a, sha_a, minhash_b, simhash_b, sha_b)."""
-    m = batch.num_rows
+def score_sig_arrays(id_a: np.ndarray, id_b: np.ndarray,
+                     sig_a: np.ndarray, sig_b: np.ndarray,
+                     sim_a: np.ndarray, sim_b: np.ndarray,
+                     sha_a: np.ndarray, sha_b: np.ndarray,
+                     cfg: PipelineConfig) -> pa.Table:
+    """THE decision table (module docstring), over raw per-side arrays:
+    ``sig_*`` are (m, P) unpacked MinHash matrices, ``sim_*`` uint64
+    SimHashes, ``sha_*`` content-sha arrays (any equality-comparable
+    dtype). Shared by the joined-batch scorer below and the fused
+    sort-tier emission (``stages/fused.py``) so the two physical plans
+    cannot drift — returns the thresholded EDGE table."""
+    m = len(id_a)
     if m == 0:
         return EDGE_SCHEMA.empty_table()
-    sig_a = unpack_signatures(batch.column("minhash_a"), cfg.num_perms)
-    sig_b = unpack_signatures(batch.column("minhash_b"), cfg.num_perms)
     sig_sim = (sig_a == sig_b).mean(axis=1)
-
-    ham = hamming64(batch.column("simhash_a").to_numpy(),
-                    batch.column("simhash_b").to_numpy())
+    ham = hamming64(sim_a, sim_b)
     second_sim = 1.0 - ham / 64.0
-
-    sha_a = batch.column("sha_a").to_numpy(zero_copy_only=False)
-    sha_b = batch.column("sha_b").to_numpy(zero_copy_only=False)
     exact = sha_a == sha_b
 
     keep = sig_sim >= cfg.jaccard_threshold
@@ -58,19 +59,34 @@ def score_pairs_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     confidence = np.where(hybrid | sigbits, combined, sig_sim)
     match_type = np.where(hybrid, "hybrid",
                           np.where(sigbits, "signature+bits", "signature"))
-
-    id_a = batch.column("id_a").to_numpy()
-    id_b = batch.column("id_b").to_numpy()
     k = keep
     return pa.table({
-        "id_a": pa.array(id_a[k], pa.int64()),
-        "id_b": pa.array(id_b[k], pa.int64()),
+        "id_a": pa.array(np.asarray(id_a)[k], pa.int64()),
+        "id_b": pa.array(np.asarray(id_b)[k], pa.int64()),
         "sig_sim": pa.array(sig_sim[k], pa.float64()),
         "second_sim": pa.array(second_sim[k], pa.float64()),
-        "exact_match": pa.array(exact[k], pa.bool_()),
+        "exact_match": pa.array(np.asarray(exact)[k], pa.bool_()),
         "match_type": pa.array(match_type[k].tolist(), pa.string()),
         "confidence": pa.array(confidence[k], pa.float64()),
     }, schema=EDGE_SCHEMA)
+
+
+def score_pairs_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Vectorized scorer over a joined batch with columns
+    (id_a, id_b, minhash_a, simhash_a, sha_a, minhash_b, simhash_b, sha_b)."""
+    m = batch.num_rows
+    if m == 0:
+        return EDGE_SCHEMA.empty_table()
+    return score_sig_arrays(
+        batch.column("id_a").to_numpy(),
+        batch.column("id_b").to_numpy(),
+        unpack_signatures(batch.column("minhash_a"), cfg.num_perms),
+        unpack_signatures(batch.column("minhash_b"), cfg.num_perms),
+        batch.column("simhash_a").to_numpy(),
+        batch.column("simhash_b").to_numpy(),
+        batch.column("sha_a").to_numpy(zero_copy_only=False),
+        batch.column("sha_b").to_numpy(zero_copy_only=False),
+        cfg)
 
 
 def _prep_bank_narrow(block_refs):
@@ -315,6 +331,40 @@ def prepare_sig_bank(signatures_ds, cfg: PipelineConfig):
     refs = list(sig_narrow.materialize().to_arrow_refs())
     narrow_ref, piece_refs = _submit_bank_tasks(refs, cfg)
     return narrow_ref, piece_refs, n_sigs
+
+
+def fuzzy_edges(signatures_ds, cfg: PipelineConfig, bank=None):
+    """Candidate generation + verification, tier-dispatched — the fuzzy
+    stage's single entry point.
+
+    * below the broadcast/keyed gates (single-node-comfortable inputs):
+      the classic composition — ``candidate_pairs`` fast paths + the
+      verify task DAG (or the two-join tier between the gates).
+    * above BOTH gates (the 100 TB shape): the FUSED sort tier
+      (``stages/fused.py``) — signatures are carried through the band
+      shuffle and pairs are scored in-group, eliminating the two
+      ~600 B/pair signature joins entirely (SURVEY §2.4 J2).
+
+    ``cfg.extra['fuzzy_impl']`` ∈ {'fused', 'classic'} forces a tier
+    (equivalence tests); the two produce bit-identical edge sets."""
+    impl = (cfg.extra or {}).get("fuzzy_impl")
+    if impl not in (None, "fused", "classic"):
+        raise ValueError(f"bad fuzzy_impl {impl!r}")
+    if impl is None:
+        n_sigs = bank[2] if bank is not None else signatures_ds.count()
+        above = (n_sigs > cfg.broadcast_max_rows
+                 and n_sigs * cfg.num_bands > cfg.keyed_broadcast_max_rows)
+        impl = "fused" if above else "classic"
+    if impl == "fused":
+        from fuzzy_dedupe_pipeline_ray.stages.fused import (
+            fused_scored_edges,
+        )
+
+        return fused_scored_edges(signatures_ds, cfg)
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import candidate_pairs
+
+    return verify_pairs(candidate_pairs(signatures_ds, cfg),
+                        signatures_ds, cfg, bank=bank)
 
 
 def verify_pairs(pairs_ds, signatures_ds, cfg: PipelineConfig, bank=None):

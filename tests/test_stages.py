@@ -332,3 +332,39 @@ def test_doc_fingerprint_exact_family_check(ray_session):
         "/root/testdata/sf0.001").to_pandas()
     assert len(df) == 500
     assert df["same_fp_as_rep"].all()
+
+
+def test_anti_join_tiers_equivalent(ray_session):
+    """anti_join_pairs three ways — broadcast np.isin filter (gate on),
+    sorted distributed tier (default above gate), marker hash join
+    (retained baseline) — must drop exactly the same pair set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+    from fuzzy_dedupe_pipeline_ray.stages.substring import anti_join_pairs
+
+    rng = np.random.RandomState(17)
+    a = rng.randint(0, 300, 5000).astype(np.int64)
+    b = rng.randint(300, 600, 5000).astype(np.int64)
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array(a), "id_b": pa.array(b)})).repartition(7)
+    # exclude ~half, plus pairs absent from the left side
+    ex_idx = rng.choice(5000, 2500, replace=False)
+    exclude = ray.data.from_arrow(pa.table({
+        "id_a": pa.array(np.r_[a[ex_idx], [9999, 10000]]),
+        "id_b": pa.array(np.r_[b[ex_idx], [1, 2]])})).repartition(5)
+
+    def collect(cfg):
+        df = anti_join_pairs(pairs, exclude, cfg).to_pandas()
+        return sorted(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+    bc = collect(PipelineConfig())
+    srt = collect(PipelineConfig(broadcast_max_rows=0))
+    hsh = collect(PipelineConfig(broadcast_max_rows=0,
+                                 extra={"anti_join_impl": "hash"}))
+    assert srt == bc == hsh
+    kept = set(srt)
+    dropped = set(zip(a[ex_idx].tolist(), b[ex_idx].tolist()))
+    assert not (kept & dropped) and len(kept) > 0
