@@ -178,7 +178,16 @@ def finalize(docs_ds, labels_ds, edges_ds, cfg: PipelineConfig,
             return lookup_join(docs_ds, rd.from_arrow(assign), on="doc_id",
                                cfg=cfg, right_count=n_docs)
 
-    joined = lookup_join(docs_ds, labels_ds, on="doc_id",
+    # Distributed path: stay NARROW until the very last step. The
+    # previous shape chained four joins + two aggregates over the WIDE
+    # docs rows (content bytes moved through every sort/shuffle); here
+    # every join/aggregate runs on (doc_id, n_chars, label, ...) int
+    # columns and only the final assignment table — the fast path's
+    # exact shape — joins back onto the wide docs Dataset once
+    # (round-5 profile: forced-mode assignments 6.8 s → the wide-row
+    # traffic was the dominant term).
+    narrow = docs_ds.select_columns(["doc_id", "n_chars"])
+    joined = lookup_join(narrow, labels_ds, on="doc_id",
                          join_type="left_outer", cfg=cfg)
 
     def fill_label(b: pa.Table) -> pa.Table:
@@ -192,37 +201,137 @@ def finalize(docs_ds, labels_ds, edges_ds, cfg: PipelineConfig,
     joined = lookup_join(joined, conf, on="doc_id", join_type="left_outer",
                          cfg=cfg).materialize()
 
-    stats = joined.groupby("label").aggregate(
-        Count(alias_name="duplicate_count"),
-        Max("n_chars", alias_name="_max_n_chars"))
-    joined = lookup_join(joined, stats, on="label", cfg=cfg).materialize()
+    # Per-label stats + representative via ONE label range sort and the
+    # shared sorted-block scaffold — replacing two hash aggregates plus
+    # two joins (each a ~1.5 s fixed cost at 32 CPUs: the round-5
+    # profile showed per-operation spin-up, not row volume, dominating
+    # this stage). Boundary-straddling label groups combine through the
+    # associative (count, max_n, rep) merge in the driver scan.
+    from fuzzy_dedupe_pipeline_ray.pipelines.relational import (
+        _sorted_block_scan,
+    )
 
-    # representative = min doc_id among rows attaining the max n_chars
-    def rep_candidates(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.equal(b.column("n_chars"), b.column("_max_n_chars")))
-        return pa.table({"label": t.column("label"),
-                         "doc_id": t.column("doc_id")})
+    s = joined.sort("label").materialize()
+    assign = _sorted_block_scan(s, _fin_label_summary, (), _fin_label_scan,
+                                _fin_label_emit)
+    if assign is None:
+        import ray.data as rd
 
-    reps = (joined.map_batches(rep_candidates, batch_format="pyarrow")
-            .groupby("label").aggregate(Min("doc_id", alias_name="cluster_id")))
-    final = lookup_join(joined, reps, on="label", cfg=cfg)
+        assign = rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "duplicate_count": pa.array([], pa.uint32()),
+            "confidence": pa.array([], pa.float64()),
+            "is_representative": pa.array([], pa.bool_())}))
+    return lookup_join(docs_ds, assign.materialize(), on="doc_id", cfg=cfg,
+                       right_count=n_docs)
 
-    def emit(b: pa.Table) -> pa.Table:
-        confidence = pc.fill_null(
-            pc.cast(b.column("edge_confidence"), pa.float64()), 1.0)
-        out = {
-            "doc_id": b.column("doc_id"),
-            "cluster_id": b.column("cluster_id"),
-            "duplicate_count": pc.cast(b.column("duplicate_count"),
-                                       pa.uint32()),
-            "confidence": confidence,
-            "is_representative": pc.equal(b.column("doc_id"),
-                                          b.column("cluster_id")),
-        }
-        for name in b.schema.names:
-            if name not in out and name not in (
-                    "label", "edge_confidence", "_max_n_chars"):
-                out[name] = b.column(name)
-        return pa.table(out)
 
-    return final.map_batches(emit, batch_format="pyarrow")
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _fin_run_agg(n_chars: np.ndarray, doc: np.ndarray):
+    """(count, max_n_chars, rep) of one label run — rep = min doc_id
+    among rows attaining the run max (the finalize total order)."""
+    mx = n_chars.max()
+    return (len(doc), int(mx), int(doc[n_chars == mx].min()))
+
+
+def _fin_label_summary(tbl: pa.Table):
+    """Ray task: boundary-run summary of a label-sorted block —
+    ``(first_label, (cnt, max_n, rep), last_label, (cnt, max_n, rep))``
+    or None when empty."""
+    if tbl.num_rows == 0:
+        return None
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import _run_lengths
+
+    lab = tbl.column("label").to_numpy()
+    nch = tbl.column("n_chars").to_numpy()
+    doc = tbl.column("doc_id").to_numpy()
+    n = len(lab)
+    f_len, l_len = _run_lengths(lab)
+    return (int(lab[0]), _fin_run_agg(nch[:f_len], doc[:f_len]),
+            int(lab[-1]), _fin_run_agg(nch[n - l_len:], doc[n - l_len:]))
+
+
+def _fin_label_scan(summaries):
+    """Driver scan: combine label groups straddling block boundaries by
+    the associative merge (count=sum, max_n=max, rep=min over runs
+    attaining the global max) and hand each block its boundary-run
+    overrides ``(ov_first, ov_last, ov_all)``. Verifies sorted-block
+    key order in-path (raises on violation — round-5 review item)."""
+    args = [{"ov_first": None, "ov_last": None, "ov_all": None}
+            for _ in summaries]
+
+    def close(p):
+        if p is None or len(p["blocks"]) < 2:
+            return
+        cnt = sum(a[0] for a in p["aggs"])
+        mx = max(a[1] for a in p["aggs"])
+        rep = min(a[2] for a in p["aggs"] if a[1] == mx)
+        for i, which in p["blocks"]:
+            args[i][f"ov_{which}"] = (cnt, mx, rep)
+
+    pending = None
+    prev_last = None
+    for i, sm in enumerate(summaries):
+        if sm is None:
+            continue
+        fk, f_agg, lk, l_agg = sm
+        if prev_last is not None and fk < prev_last:
+            raise RuntimeError(
+                "sorted-block order violation in finalize label scan: "
+                f"first_label {fk} < previous last_label {prev_last}")
+        prev_last = lk
+        single = fk == lk
+        if pending is not None and pending["key"] == fk:
+            pending["blocks"].append((i, "all" if single else "first"))
+            pending["aggs"].append(f_agg)
+            if single:
+                continue
+            close(pending)
+            pending = None
+        elif pending is not None:
+            close(pending)
+            pending = None
+        pending = {"key": lk, "blocks": [(i, "all" if single else "last")],
+                   "aggs": [l_agg]}
+    close(pending)
+    return [(a["ov_first"], a["ov_last"], a["ov_all"]) for a in args]
+
+
+def _fin_label_emit(tbl: pa.Table, ov_first, ov_last, ov_all) -> pa.Table:
+    """Ray task: per-row assignment columns from this block's label runs
+    (vectorized reduceat per run), with driver overrides applied to the
+    boundary runs that straddle blocks."""
+    lab = tbl.column("label").to_numpy()
+    nch = tbl.column("n_chars").to_numpy()
+    doc = tbl.column("doc_id").to_numpy()
+    n = len(lab)
+    starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    maxn = np.maximum.reduceat(nch, starts)
+    maxn_row = np.repeat(maxn, counts)
+    masked = np.where(nch == maxn_row, doc, _I64_MAX)
+    rep = np.minimum.reduceat(masked, starts)
+    cnt = counts.astype(np.int64)
+    if ov_all is not None:
+        cnt[:] = ov_all[0]
+        rep[:] = ov_all[2]
+    else:
+        if ov_first is not None:
+            cnt[0], _, rep[0] = ov_first
+        if ov_last is not None:
+            cnt[-1], _, rep[-1] = ov_last
+    cnt_row = np.repeat(cnt, counts)
+    rep_row = np.repeat(rep, counts)
+    confidence = pc.fill_null(
+        pc.cast(tbl.column("edge_confidence"), pa.float64()), 1.0)
+    return pa.table({
+        "doc_id": tbl.column("doc_id"),
+        "cluster_id": pa.array(rep_row, pa.int64()),
+        "duplicate_count": pa.array(cnt_row.astype(np.uint32),
+                                    pa.uint32()),
+        "confidence": confidence,
+        "is_representative": pa.array(doc == rep_row, pa.bool_()),
+    })
