@@ -307,7 +307,8 @@ def _session_prefix_scan(summaries, gap_us: int):
     return per_block_offsets, conts
 
 
-def _sorted_block_scan(sorted_ds, summarize_fn, sum_args, scan_fn, label_fn):
+def _sorted_block_scan(sorted_ds, summarize_fn, sum_args, scan_fn, label_fn,
+                       key_of=None):
     """Shared harness for the ordered-window family (sessionize, as-of
     join, rolling / trailing windows, range join): globally sorted
     blocks → one tiny remote summary per block → an O(#blocks) driver
@@ -321,7 +322,12 @@ def _sorted_block_scan(sorted_ds, summarize_fn, sum_args, scan_fn, label_fn):
       for an empty block;
     * ``scan_fn(summaries)`` → one label-arg TUPLE per block (entries
       for None summaries are ignored);
-    * ``label_fn(block, *label_args)`` → pa.Table.
+    * ``label_fn(block, *label_args)`` → pa.Table;
+    * ``key_of(summary)`` → optional ``(first_key, last_key)`` extractor
+      used to VERIFY the load-bearing assumption that ``Dataset.sort``
+      emits range-partitioned blocks whose ref order is the global key
+      order — violated, the carry scans would silently mis-stitch, so
+      the scaffold raises instead (review finding, round 5).
 
     Returns the labeled Dataset, or ``None`` when every block is empty —
     each operator supplies its own typed empty result in that case (the
@@ -332,6 +338,19 @@ def _sorted_block_scan(sorted_ds, summarize_fn, sum_args, scan_fn, label_fn):
     refs = list(sorted_ds.to_arrow_refs())
     summarize = ray.remote(summarize_fn)
     summaries = ray.get([summarize.remote(r, *sum_args) for r in refs])
+    if key_of is not None:
+        prev_last = None
+        for sm in summaries:
+            if sm is None:
+                continue
+            first, last = key_of(sm)
+            if prev_last is not None and first < prev_last:
+                raise RuntimeError(
+                    "sorted-block order violation: block first key "
+                    f"{first!r} < previous block last key {prev_last!r}"
+                    " — Dataset.sort no longer emits range-ordered "
+                    "blocks; the boundary carry scan cannot run")
+            prev_last = last
     label_args = scan_fn(summaries)
     label = ray.remote(label_fn)
     label_refs = [label.remote(r, *label_args[i])
@@ -369,7 +388,9 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         return [(gap_us, offs[i], conts[i]) for i in range(len(summaries))]
 
     labeled = _sorted_block_scan(sorted_ds, _session_block_summary,
-                                 (gap_us,), scan, _session_block_labels)
+                                 (gap_us,), scan, _session_block_labels,
+                                 key_of=lambda s: ((s[0], s[1]),
+                                                   (s[2], s[3])))
     if labeled is None:
         # empty events table: return an empty result with the explicit
         # final output schema (the groupby below would lose it)
@@ -525,7 +546,8 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
         return carry_ins
 
     out = _sorted_block_scan(sorted_ds, _asof_block_summary, (), scan,
-                             _asof_block_labels)
+                             _asof_block_labels,
+                             key_of=lambda s: (s[0], s[1]))
     if out is None:
         empty = pa.schema([
             ("event_id", pa.int64()), ("user_id", pa.int64()),
@@ -631,7 +653,8 @@ def events_rolling(sf_dir: str, k: int = 3):
         return carry_ins
 
     out = _sorted_block_scan(sorted_ds, _rolling_block_summary, (k,), scan,
-                             _rolling_block_labels)
+                             _rolling_block_labels,
+                             key_of=lambda s: (s[0], s[1]))
     if out is None:
         empty = pa.schema([
             ("event_id", pa.int64()), ("user_id", pa.int64()),
@@ -800,7 +823,8 @@ def events_trailing_window(sf_dir: str, gap_minutes: int = 30):
         return carry_ins
 
     out = _sorted_block_scan(sorted_ds, _trailing_block_summary, (gap_us,),
-                             scan, _trailing_block_labels)
+                             scan, _trailing_block_labels,
+                             key_of=lambda s: (s[0], s[1]))
     if out is None:
         empty = pa.schema([
             ("event_id", pa.int64()), ("user_id", pa.int64()),

@@ -156,10 +156,18 @@ def _sorted_exact_edges(narrow, conf: float):
     label = ray.remote(_exact_block_label)
     out_refs = []
     carry_key, carry_min = None, None
+    prev_last = None
     for i, sm in enumerate(sums):
         if sm is None:
             continue
         fk, fdoc, lk, lmin = sm
+        if prev_last is not None and fk < prev_last:
+            raise RuntimeError(
+                "sorted-block order violation: block first sha "
+                f"{fk!r} < previous block last sha {prev_last!r} — "
+                "the exact-edge boundary carry cannot run (review, "
+                "round 5)")
+        prev_last = lk
         override = carry_min if carry_key == fk else None
         out_refs.append(label.remote(refs[i], override, conf))
         if not (lk == fk and override is not None):

@@ -786,10 +786,18 @@ def _scan_boundary_spans(summaries, cap: int):
             small_spans.append(members)
 
     pending = None
+    prev_last_key = None
     for i, sm in enumerate(summaries):
         if sm is None:
             continue
         fk, f_len, f_uniq, f_nu, lk, l_len, l_uniq, l_nu = sm
+        if prev_last_key is not None and fk < prev_last_key:
+            raise RuntimeError(
+                "sorted-block order violation: block first_key "
+                f"{fk} < previous block last_key {prev_last_key} — "
+                "Dataset.sort no longer emits range-ordered blocks; "
+                "the boundary span scan cannot run (review, round 5)")
+        prev_last_key = lk
         single = fk == lk
         if pending is not None and pending["key"] == fk:
             pending["blocks"].append((i, "all" if single else "first"))
@@ -871,6 +879,11 @@ def distinct_pairs_sorted(pairs_ds, schema: pa.Schema = PAIR_SCHEMA):
     for i, sm in enumerate(sums):
         if sm is None:
             continue
+        if carry is not None and sm[0] < carry:
+            raise RuntimeError(
+                "sorted-block order violation: block first pair "
+                f"{sm[0]} < previous block last pair {carry} — the "
+                "adjacent-unique distinct cannot run (review, round 5)")
         out_refs.append(label.remote(refs[i], carry))
         carry = sm[1]
     if not out_refs:

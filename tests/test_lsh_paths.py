@@ -376,3 +376,44 @@ def test_sorted_tier_matches_hashagg_and_local(ray_session, cap):
                                          extra={"grouped_pairs_impl":
                                                 "hashagg"}))
     assert srt_d == hag_d == local_d
+
+
+def test_boundary_scans_reject_unsorted_blocks(ray_session):
+    """The sorted tiers' load-bearing assumption — Dataset.sort emits
+    range-ordered blocks — is now VERIFIED in-path: feeding block
+    summaries/refs in shuffled key order must raise, not mis-stitch
+    (round-5 review item)."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.pipelines.relational import (
+        _sorted_block_scan,
+    )
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import _scan_boundary_spans
+
+    # lsh span scan (pure function): first_key below previous last_key
+    def sm(fk, lk):
+        u = np.array([1], np.int64)
+        return (fk, 1, u, 1, lk, 1, u, 1)
+
+    _scan_boundary_spans([sm(0, 4), sm(4, 9)], cap=4)  # in order: fine
+    with pytest.raises(RuntimeError, match="order violation"):
+        _scan_boundary_spans([sm(10, 20), sm(2, 5)], cap=4)
+
+    # generic scaffold with key_of: blocks materialized in the wrong
+    # key order (from_arrow preserves block order; no sort applied)
+    t1 = pa.table({"k": pa.array([10, 11], pa.int64())})
+    t2 = pa.table({"k": pa.array([1, 2], pa.int64())})
+    bad = ray.data.from_arrow([t1, t2]).materialize()
+
+    def summarize(tbl):
+        if tbl.num_rows == 0:
+            return None
+        kk = tbl.column("k").to_numpy()
+        return (int(kk[0]), int(kk[-1]))
+
+    with pytest.raises(RuntimeError, match="order violation"):
+        _sorted_block_scan(bad, summarize, (),
+                           lambda sums: [() for _ in sums],
+                           lambda tbl: tbl, key_of=lambda s: s)
