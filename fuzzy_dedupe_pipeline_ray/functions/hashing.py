@@ -293,6 +293,62 @@ def token_shingle_hashes(tokens: np.ndarray, n: int, unique: bool = True) -> np.
     return np.unique(h) if unique else h
 
 
+#: multiplicative inverse of _FNV_PRIME mod 2**64 (the prime is odd, so
+#: it exists) — lets the batched token hasher difference PREFIX sums:
+#: hash(bytes s..e) = P**(e-1) * (T[e] - T[s]) with
+#: T[j] = Σ_{i<j} b[i]·P⁻ⁱ, all arithmetic wrapping mod 2**64.
+_FNV_PRIME_INV = np.uint64(pow(int(_FNV_PRIME), -1, 1 << 64))
+
+
+@_wrap_errstate
+def token_hashes_bytes(data: np.ndarray, offs: np.ndarray):
+    """Vectorized :func:`hash_tokens` over a BATCH of space-separated
+    normalized utf-8 byte docs: ``data`` is the concatenated uint8
+    buffer, ``offs`` the per-doc int64 offsets (len n_docs+1, as from
+    ``fingerprint._normalized_byte_views``). Returns ``(tok_h,
+    tok_offs)`` — the flat uint64 token-hash array and per-doc token
+    offsets (``tok_h[tok_offs[i]:tok_offs[i+1]]`` is doc i's tokens).
+
+    Bit-identical to ``hash_tokens(norm.split())`` per doc when the
+    input is whitespace-collapsed (single 0x20 separators, no
+    leading/trailing) — token poly sums are reproduced exactly via
+    modular prefix sums (see ``_FNV_PRIME_INV``). Replaces the per-row
+    Python tokenize+hash loop of the token shingle mode (review item,
+    round 5)."""
+    n = len(data)
+    offs = np.asarray(offs, dtype=np.int64)
+    if n == 0:
+        return (np.empty(0, np.uint64),
+                np.zeros(len(offs), np.int64))
+    sep = data == 0x20
+    doc_start = np.zeros(n, bool)
+    doc_start[offs[:-1][offs[:-1] < n]] = True
+    doc_end = np.zeros(n, bool)
+    ends_pos = offs[1:] - 1
+    doc_end[ends_pos[(ends_pos >= 0) & (ends_pos < n)]] = True
+    nonsep = ~sep
+    starts = np.flatnonzero(nonsep & (np.r_[True, sep[:-1]] | doc_start))
+    ends = np.flatnonzero(nonsep & (np.r_[sep[1:], True] | doc_end)) + 1
+    if len(starts) == 0:
+        return (np.empty(0, np.uint64),
+                np.zeros(len(offs), np.int64))
+    # prefix machinery (one cumprod/cumsum pass per batch, mod 2**64)
+    pow_p = np.empty(n, np.uint64)
+    pow_p[0] = 1
+    np.multiply.accumulate(np.full(n - 1, _FNV_PRIME, np.uint64),
+                           out=pow_p[1:]) if n > 1 else None
+    pow_inv = np.empty(n, np.uint64)
+    pow_inv[0] = 1
+    np.multiply.accumulate(np.full(n - 1, _FNV_PRIME_INV, np.uint64),
+                           out=pow_inv[1:]) if n > 1 else None
+    t_pref = np.zeros(n + 1, np.uint64)
+    np.cumsum(data.astype(np.uint64) * pow_inv, dtype=np.uint64,
+              out=t_pref[1:])
+    raw = (t_pref[ends] - t_pref[starts]) * pow_p[ends - 1]
+    tok_offs = np.searchsorted(starts, offs).astype(np.int64)
+    return splitmix64(raw), tok_offs
+
+
 def hash_tokens(tokens: "list[str]") -> np.ndarray:
     """uint64 hash per token string (FNV-1a, C-speed via bytes→poly)."""
     out = np.empty(len(tokens), dtype=np.uint64)

@@ -31,6 +31,7 @@ from fuzzy_dedupe_pipeline_ray.functions.hashing import (
     char_shingle_hashes,
     char_shingle_hashes_bytes,
     hash_tokens,
+    token_hashes_bytes,
     make_minhasher,
     mask_keys,
     pack_signatures,
@@ -124,10 +125,10 @@ class FingerprintActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         use_bytes = cfg.shingle_mode == "char"
-        if use_bytes:  # zero-copy normalized byte views (no Python strs)
-            data, offs = _normalized_byte_views(batch.column("content"),
-                                                cfg)
-            content = None
+        # zero-copy normalized byte views (no Python strs) — BOTH modes:
+        # ONE Arrow normalization pass per batch, then pure offset math
+        data, offs = _normalized_byte_views(batch.column("content"), cfg)
+        if use_bytes:
             # ONE window-hash pass over the whole batch buffer per k —
             # window hashes are position-independent (hashing.py
             # _window_poly_hashes), so the per-doc hash vector is a pure
@@ -136,11 +137,18 @@ class FingerprintActor:
             # never sliced out; ≤k-1 wasted lanes per doc)
             h_sh_all = char_shingle_hashes_bytes(data, cfg.shingle_k,
                                                  unique=False)
-            h_an_all = (char_shingle_hashes_bytes(data, cfg.anchor_k,
-                                                  unique=False)
-                        if cfg.substring_enabled else None)
-        else:  # token mode: per-doc Python tokenization path
-            content = batch.column("content").to_pylist()
+        else:
+            # token mode, batched the same way: one vectorized
+            # tokenize+hash pass over the whole buffer
+            # (token_hashes_bytes — bit-identical to the former per-row
+            # hash_tokens(norm.split()) loop), one flat n-token window
+            # pass, per-doc pure slices of the token-hash array
+            tok_h, tok_offs = token_hashes_bytes(data, offs)
+            h_tok_all = token_shingle_hashes(tok_h, cfg.shingle_k,
+                                             unique=False)
+        h_an_all = (char_shingle_hashes_bytes(data, cfg.anchor_k,
+                                              unique=False)
+                    if cfg.substring_enabled else None)
         if "doc_id" in batch.schema.names:  # caller-supplied ids (e.g. documents table)
             doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
         else:
@@ -164,30 +172,30 @@ class FingerprintActor:
         anchors: list[np.ndarray] = []
         k_sh, k_an = cfg.shingle_k, cfg.anchor_k
         for out_i, i in enumerate(reps):
+            s, e = offs[i], offs[i + 1]
             if use_bytes:
-                s, e = offs[i], offs[i + 1]
                 if e - s >= k_sh:
                     sh = np.unique(h_sh_all[s:e - k_sh + 1])
                 else:  # short doc: whole-text single shingle (or empty)
                     sh = char_shingle_hashes_bytes(data[s:e], k_sh)
-                if len(sh) > cfg.max_shingles_per_doc:
-                    sh = sh[: cfg.max_shingles_per_doc]  # sorted → deterministic
             else:
-                sh = shingle_set(content[i], cfg)
+                ts, te = tok_offs[i], tok_offs[i + 1]
+                if te - ts >= k_sh:
+                    sh = np.unique(h_tok_all[ts:te - k_sh + 1])
+                else:  # short doc: single all-token window (or empty)
+                    sh = token_shingle_hashes(tok_h[ts:te], k_sh)
+            if len(sh) > cfg.max_shingles_per_doc:
+                sh = sh[: cfg.max_shingles_per_doc]  # sorted → deterministic
             sigs[out_i] = self.mh.signature(sh)
             simhashes[out_i] = simhash64(sh)
             n_shingles[out_i] = len(sh)
             if cfg.substring_enabled:
-                # anchors reuse the SAME normalized bytes — the str path
-                # re-normalized + re-encoded every doc a second time
-                if use_bytes:
-                    big = (h_an_all[s:e - k_an + 1] if e - s >= k_an else
-                           char_shingle_hashes_bytes(data[s:e], k_an,
-                                                     unique=False))
-                else:
-                    big = char_shingle_hashes(
-                        normalize_for_shingles(content[i], cfg),
-                        k_an, unique=False)
+                # anchors reuse the SAME normalized bytes in BOTH modes
+                # (the former token path re-normalized + re-encoded every
+                # doc through Python a second time)
+                big = (h_an_all[s:e - k_an + 1] if e - s >= k_an else
+                       char_shingle_hashes_bytes(data[s:e], k_an,
+                                                 unique=False))
                 # masked to 63-bit int64: anchors become groupby keys
                 anchors.append(mask_keys(
                     bottom_k_distinct(big, cfg.anchors_per_doc)))

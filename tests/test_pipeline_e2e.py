@@ -527,3 +527,82 @@ def test_worker_kill_mid_stage_retried(ray_session, tmp_path):
          .to_table().sort_by("doc_id"))
     b = pds2.dataset(clean["assignments"]).to_table().sort_by("doc_id")
     assert a.equals(b)
+
+
+def test_token_mode_batched_matches_per_row_reference(ray_session):
+    """The token shingle mode's batched kernel path (token_hashes_bytes
+    + flat window pass + per-doc slices) must produce BIT-IDENTICAL
+    signatures to the retained per-row reference (shingle_set →
+    MinHasher.signature), i.e. vectorizing the mode changed nothing
+    (round-5 review item: the token path was the last per-row Python
+    loop in the flagship)."""
+    import numpy as np
+
+    import pyarrow as pa
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        make_minhasher,
+        simhash64,
+        unpack_signatures,
+    )
+    from fuzzy_dedupe_pipeline_ray.stages.fingerprint import (
+        FingerprintActor,
+        normalize_for_shingles,
+        shingle_set,
+    )
+
+    cfg = PipelineConfig(shingle_mode="token", shingle_k=3)
+    texts = [
+        "def foo(x):\n    return x + 1\n",
+        "def foo(x):\n    return x + 2\n",
+        "",                       # empty doc
+        "one two",                # fewer tokens than k -> single window
+        "  leading   and trailing   whitespace  ",
+        "unicode tøkens añd stüff " * 5,
+        "def foo(x):\n    return x + 1\n",  # exact dup (batch-local dedup)
+    ] + [f"random text number {i} with shared suffix tokens" for i in range(20)]
+    batch = pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "content": pa.array(texts, pa.string()),
+    })
+    out = FingerprintActor(cfg.to_json())(batch)
+
+    mh = make_minhasher(cfg)
+    got_sigs = unpack_signatures(out.column("minhash"), cfg.num_perms)
+    by_id = {out.column("doc_id")[i].as_py(): i
+             for i in range(out.num_rows)}
+    checked = 0
+    for doc_id, text in zip(range(1, len(texts) + 1), texts):
+        if doc_id not in by_id:   # deduped under the batch-local rep
+            continue
+        sh = shingle_set(text, cfg)
+        expect = mh.signature(sh)
+        i = by_id[doc_id]
+        # stored slots may be uint32-truncated (sig_bits) — compare at
+        # the stored width
+        shift = 64 - cfg.sig_bits
+        assert np.array_equal(got_sigs[i],
+                              (expect >> np.uint64(shift)).astype(
+                                  got_sigs.dtype)), text
+        assert out.column("simhash")[i].as_py() == int(simhash64(sh)), text
+        checked += 1
+    assert checked >= len(texts) - 2
+
+
+def test_token_mode_flagship_e2e(ray_session, tmp_path):
+    """Token shingle mode end-to-end: the flagship runs green and still
+    clusters the fixture's exact-duplicate families together."""
+    import pyarrow.compute as pc
+
+    d = corpus_dir("tiny", root=CORPUS_ROOT)
+    run_dir = str(tmp_path / "run_token")
+    cfg = PipelineConfig(shingle_mode="token")
+    p = DedupePipeline(f"{d}/files.parquet", run_dir, cfg)
+    paths = p.run()
+    a = _load(paths, "assignments")
+    docs = _load(paths, "docs").select(["doc_id", "content_sha256"])
+    j = a.select(["doc_id", "cluster_id"]).join(docs, keys="doc_id")
+    df = j.to_pandas()
+    groups = df.groupby("content_sha256")["cluster_id"].nunique()
+    assert (groups == 1).all()          # sha families share a cluster
+    assert df["cluster_id"].nunique() < len(df)  # real merging happened
