@@ -1,12 +1,16 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-behind ``DecodeUnavailable`` / a deterministic fake — but every piece of
-Ray-side plumbing is real and tested: schema contracts, actor-pool
-``map_batches`` signatures, small-batch sizing for wide binary payloads,
-and the output layout. Swapping the stub for PIL/ffmpeg is a one-function
-change inside the actor.
+IMAGE (PNG) and AUDIO (16-bit PCM WAV) decode FOR REAL — the stdlib
+carries the needed codecs (zlib / wave; see
+``functions/mediacodecs.py``), and the v3 fixture's payloads are genuine
+PNGs/WAVs, so the decode → features → resize path runs end-to-end on
+real formats. VIDEO decode stays stubbed behind ``DecodeUnavailable`` /
+the deterministic fake (no stdlib container codec exists); all Ray-side
+plumbing — schema contracts, actor-pool ``map_batches`` signatures,
+small-batch sizing for wide binary payloads, output layout — is real
+and tested for every kind. Swapping the video stub for ffmpeg is a
+one-function change inside the actor.
 
 Schema contract (MEDIA_SCHEMA):
   media_id: int64, kind: string ('image'|'audio'|'video'),
@@ -43,28 +47,39 @@ FEATURE_DIM = 32
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real-decode path: codec libraries are not available
-    in this environment. Use ``fake_decode=True`` (deterministic stub)."""
+    """Raised by the real-decode path for formats this environment cannot
+    decode (video — no stdlib container codec exists). PNG and WAV decode
+    for real via ``functions/mediacodecs.py`` (zlib / wave are stdlib)."""
 
 
 class MediaDecodeActor:
     """Actor-pool decoder: state (codec context / model weights in a real
     deployment; here the feature-projection matrix) built once per actor.
 
+    ``fake_decode``: True → the deterministic stub for every payload
+    (dims from meta, features from a byte histogram); False → REAL
+    decode (PNG pixels / WAV samples, sniffed by payload signature;
+    ``DecodeUnavailable`` for anything else); ``"auto"`` → real decode
+    where a codec exists, the stub otherwise (the video rows).
+
     __call__(batch: pa.Table[MEDIA_SCHEMA]) -> pa.Table with
       media_id, kind, n_bytes, width, height, features(list<float>[32])
     """
 
-    def __init__(self, fake_decode: bool = True, seed: int = 17):
+    def __init__(self, fake_decode: "bool | str" = True, seed: int = 17):
+        if fake_decode not in (True, False, "auto"):
+            raise ValueError(f"bad fake_decode {fake_decode!r}")
         self.fake_decode = fake_decode
         rng = np.random.RandomState(seed)
         # analog of model weights: loaded ONCE per actor
         self.projection = rng.randn(64, FEATURE_DIM).astype(np.float32)
 
-    def _decode_one(self, payload: bytes, kind: str, meta: str):
-        if not self.fake_decode:
-            raise DecodeUnavailable(
-                f"no codec for kind={kind!r} in this environment")
+    def _project(self, hist: np.ndarray):
+        feats = hist.astype(np.float32) @ self.projection
+        norm = float(np.linalg.norm(feats)) or 1.0
+        return (feats / norm).astype(np.float32)
+
+    def _fake_one(self, payload: bytes, meta: str):
         # deterministic fake: dims from meta JSON (or payload length),
         # features from a checksum-seeded byte histogram projection
         try:
@@ -74,10 +89,35 @@ class MediaDecodeActor:
         width = int(m.get("width", len(payload) % 640 + 1))
         height = int(m.get("height", len(payload) % 480 + 1))
         arr = np.frombuffer(payload[:4096], dtype=np.uint8)
-        hist = np.bincount(arr % 64, minlength=64).astype(np.float32)
-        feats = hist @ self.projection
-        norm = float(np.linalg.norm(feats)) or 1.0
-        return width, height, (feats / norm).astype(np.float32)
+        return width, height, self._project(
+            np.bincount(arr % 64, minlength=64))
+
+    def _decode_one(self, payload: bytes, kind: str, meta: str):
+        if self.fake_decode is True:
+            return self._fake_one(payload, meta)
+        from fuzzy_dedupe_pipeline_ray.functions.mediacodecs import (
+            png_decode,
+            wav_decode,
+        )
+
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            px = png_decode(payload)  # (h, w) or (h, w, ch) uint8
+            h, w = px.shape[0], px.shape[1]
+            # features from the DECODED pixels: 64-bin value histogram
+            return w, h, self._project(
+                np.bincount(px.ravel() >> 2, minlength=64))
+        if payload[:4] == b"RIFF":
+            samples, _rate = wav_decode(payload)  # (n, ch) int16
+            hist = np.bincount(
+                (samples.ravel().astype(np.int32) + 32768) >> 10,
+                minlength=64)
+            # width = frame count, height = channel count (documented
+            # convention; the fixture's meta carries the same values)
+            return samples.shape[0], samples.shape[1], self._project(hist)
+        if self.fake_decode == "auto":
+            return self._fake_one(payload, meta)
+        raise DecodeUnavailable(
+            f"no codec for kind={kind!r} payload in this environment")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -103,22 +143,47 @@ class MediaDecodeActor:
 
 
 def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
-    """Deterministic synthetic media table (binary payloads with planted
-    exact duplicates) as an Arrow table."""
+    """Deterministic synthetic media table with planted exact duplicates.
+
+    v3: image payloads are REAL PNGs and audio payloads REAL 16-bit PCM
+    WAVs (``functions/mediacodecs.py`` — stdlib-only), so the decode
+    path runs end-to-end on genuine formats; video payloads stay
+    random bytes behind the documented stub. meta always carries the
+    TRUE width/height of the payload (audio: width = frame count,
+    height = channels) so the metadata oracle and the real decoder
+    agree; planted duplicates copy kind+payload+meta wholesale so every
+    row's meta matches its payload."""
+    from fuzzy_dedupe_pipeline_ray.functions.mediacodecs import (
+        png_encode,
+        wav_encode,
+    )
+
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        if i % 7 == 3:  # planted exact duplicate of the previous item
-            payload = rows[-1]["payload"]
+        if i % 7 == 3 and rows:  # planted exact duplicate of previous
+            prev = rows[-1]
+            rows.append({"media_id": i, "kind": prev["kind"],
+                         "payload": prev["payload"], "meta": prev["meta"]})
+            continue
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w = int(rng.randint(16, 64))
+            h = int(rng.randint(16, 48))
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            payload = png_encode(px)
+            meta = {"codec": "png", "width": w, "height": h}
+        elif kind == "audio":
+            ns = int(rng.randint(256, 2048))
+            payload = wav_encode(
+                (rng.randn(ns) * 6000).astype(np.int16), 16000)
+            meta = {"codec": "pcm_s16le", "width": ns, "height": 1,
+                    "sample_rate": 16000, "n_samples": ns}
         else:
             payload = rng.bytes(int(rng.randint(256, 4096)))
-        kind = ["image", "audio", "video"][i % 3]
-        meta = {"width": int(rng.randint(16, 640)),
-                "height": int(rng.randint(16, 480))}
-        if kind == "video":
-            # derived WITHOUT consuming the rng stream so payloads stay
-            # byte-identical across fixture versions
-            meta["n_frames"] = 30 + (i * 7) % 270
+            meta = {"width": int(rng.randint(16, 640)),
+                    "height": int(rng.randint(16, 480)),
+                    "n_frames": 30 + (i * 7) % 270}
         rows.append({
             "media_id": i,
             "kind": kind,
@@ -149,7 +214,7 @@ def media_fixture_path(root: str = "/tmp/fdpr_media") -> str:
 
     import pyarrow.parquet as pq
 
-    d = os.path.join(root, f"v2_{MEDIA_FIXTURE_N}_{MEDIA_FIXTURE_SEED}")
+    d = os.path.join(root, f"v3_{MEDIA_FIXTURE_N}_{MEDIA_FIXTURE_SEED}")
     path = os.path.join(d, "media.parquet")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
@@ -158,7 +223,7 @@ def media_fixture_path(root: str = "/tmp/fdpr_media") -> str:
     pq.write_table(synth_media_table(MEDIA_FIXTURE_N, MEDIA_FIXTURE_SEED),
                    path, row_group_size=32)
     with open(done, "w") as f:
-        f.write("v2")
+        f.write("v3")
     return path
 
 
@@ -186,7 +251,7 @@ def media_features_query(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(media_fixture_path())
-    feats = media_features(ds)
+    feats = media_features(ds, fake_decode="auto")  # REAL PNG/WAV decode
     return feats.select_columns(
         ["media_id", "kind", "n_bytes", "width", "height"]).sort("media_id")
 
@@ -227,19 +292,25 @@ def media_exact_dupes(media_ds):
 
 class MediaResizeActor:
     """Actor-pool resize stage: fit each item into a ``max_w × max_h`` box
-    preserving aspect ratio. The pixel transform itself is stubbed (no
-    codecs in this container — a real deployment does the decode+scale
-    here), but the output-dimension CONTRACT is computed exactly, in pure
-    integer arithmetic, so the stage is oracle-comparable:
+    preserving aspect ratio. The output-dimension CONTRACT is computed
+    exactly, in pure integer arithmetic, so the stage is
+    oracle-comparable:
 
       if w ≤ W and h ≤ H:            (w, h)            (never upscale)
       elif w·H ≤ h·W (height-limited): (⌊w·H/h⌋ max 1, H)
       else (width-limited):            (W, ⌊h·W/w⌋ max 1)
+
+    With ``emit_payload=True`` PNG payloads are REALLY resized —
+    decode → vectorized nearest-neighbor index scale → re-encode — and
+    a ``resized_payload`` binary column is appended (null for non-PNG
+    rows). Default off so the oracled metadata query keeps its schema.
     """
 
-    def __init__(self, max_w: int = 256, max_h: int = 256):
+    def __init__(self, max_w: int = 256, max_h: int = 256,
+                 emit_payload: bool = False):
         self.max_w = int(max_w)
         self.max_h = int(max_h)
+        self.emit_payload = bool(emit_payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -266,7 +337,7 @@ class MediaResizeActor:
                          np.where(height_lim, H,
                                   np.maximum(1, h * W // np.maximum(w, 1)))
                          ).astype(np.int64)
-        return pa.table({
+        out = {
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),
             "width": pa.array(w, pa.int64()),
@@ -274,16 +345,37 @@ class MediaResizeActor:
             "out_width": pa.array(out_w, pa.int64()),
             "out_height": pa.array(out_h, pa.int64()),
             "n_bytes": pc.cast(pc.binary_length(payloads), pa.int64()),
-        })
+        }
+        if self.emit_payload:
+            from fuzzy_dedupe_pipeline_ray.functions.mediacodecs import (
+                png_decode,
+                png_encode,
+            )
+
+            resized: "list[bytes | None]" = []
+            for i, p in enumerate(payloads.to_pylist()):
+                if p[:8] != b"\x89PNG\r\n\x1a\n":
+                    resized.append(None)
+                    continue
+                px = png_decode(p)
+                ow, oh = int(out_w[i]), int(out_h[i])
+                yi = (np.arange(oh) * px.shape[0]) // oh
+                xi = (np.arange(ow) * px.shape[1]) // ow
+                resized.append(png_encode(px[yi][:, xi]))
+            out["resized_payload"] = pa.array(resized, pa.binary())
+        return pa.table(out)
 
 
 def media_resize(media_ds, *, max_w: int = 256, max_h: int = 256,
-                 concurrency: int = 2, batch_size: int = 16):
+                 concurrency: int = 2, batch_size: int = 16,
+                 emit_payload: bool = False):
     """Resize stage as an actor-pool ``map_batches`` (same wide-row batch
-    sizing rules as the decode stage)."""
+    sizing rules as the decode stage). ``emit_payload=True`` appends the
+    really-resized PNG bytes (see MediaResizeActor)."""
     return media_ds.map_batches(
         MediaResizeActor,
-        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h,
+                               "emit_payload": emit_payload},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
