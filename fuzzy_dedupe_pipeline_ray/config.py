@@ -147,6 +147,16 @@ class PipelineConfig:
     # blocks). Both sides are already sorted at the decision point, so
     # the fallback costs no re-read.
     merge_join_probe_max_bytes: int = 1 << 30
+    # Fused fuzzy tier (stages/fused.py) byte gate: the signature-carry
+    # explode is n_sigs × num_bands × (P·sig_bits/8 + ~96 B) and its
+    # range sort pins ~2× that (input + sorted output) in object store
+    # + spill. Above this estimated exploded mass the dispatcher falls
+    # back to the classic tier (sorted pairs + streaming hash verify —
+    # bounded aggregator blocks, completes at any size). Found the hard
+    # way: a 1.96M-doc forced run (~37 GB exploded, ~74 GB sort
+    # residency) exhausted this host's 66 GB spill headroom. Size to
+    # roughly (aggregate object store + spill) / 4 on a real cluster.
+    fused_fuzzy_max_bytes: int = 16 << 30
     # Document-identity width. 64 (default): doc_id = first 8 sha bytes,
     # enough below ~10^10 rows and cheapest. 128: the scale path
     # (``stages/identity.py``) — ids are derived from 126 bits and a

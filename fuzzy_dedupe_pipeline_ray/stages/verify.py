@@ -354,7 +354,15 @@ def fuzzy_edges(signatures_ds, cfg: PipelineConfig, bank=None):
         n_sigs = bank[2] if bank is not None else signatures_ds.count()
         above = (n_sigs > cfg.broadcast_max_rows
                  and n_sigs * cfg.num_bands > cfg.keyed_broadcast_max_rows)
-        impl = "fused" if above else "classic"
+        # fused-tier residency gate: its explode carries the full
+        # signature per keyed row and the sort pins ~2× the exploded
+        # mass — above the byte budget the classic tier (streaming hash
+        # verify, bounded aggregator blocks) is the one that completes
+        # (see config.fused_fuzzy_max_bytes)
+        row_b = cfg.num_perms * (cfg.sig_bits // 8) + 96
+        fits = (n_sigs * cfg.num_bands * row_b
+                <= getattr(cfg, "fused_fuzzy_max_bytes", 16 << 30))
+        impl = "fused" if (above and fits) else "classic"
     if impl == "fused":
         from fuzzy_dedupe_pipeline_ray.stages.fused import (
             fused_scored_edges,

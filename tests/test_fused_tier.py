@@ -157,3 +157,13 @@ def test_fused_boundary_scan_rejects_shuffled_blocks():
     _scan_boundary_spans_sig([sm(0, 5), sm(5, 9)], cap=6)  # fine
     with pytest.raises(RuntimeError, match="order violation"):
         _scan_boundary_spans_sig([sm(10, 20), sm(3, 7)], cap=6)
+
+
+def test_fused_byte_gate_falls_back_to_classic(sig_ds):
+    """Above fused_fuzzy_max_bytes the dispatcher must pick the classic
+    tier (the fused explode's sort residency would not fit) — and the
+    result is unchanged."""
+    gated = _edges_df(fuzzy_edges(
+        sig_ds, _cfg(**FORCED, fused_fuzzy_max_bytes=1)))
+    fused = _edges_df(fuzzy_edges(sig_ds, _cfg(**FORCED)))
+    pd.testing.assert_frame_equal(gated, fused)
