@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship near-dup pipeline on the deterministic tiny
 source-code corpus. ``queries()`` exposes one callable per implemented
-operator/pipeline (SURVEY.md §2 + the training-data ops — 124 entries);
+operator/pipeline (SURVEY.md §2 + the training-data ops — 125 entries);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (115 oracles, including all-true INVARIANT oracles
+SQL-expressible one (116 oracles, including all-true INVARIANT oracles
 that pin the non-SQL fuzzy pipeline's exact-family behavior).
 
 Oracle-parity rules used throughout (see pipelines/relational.py and
@@ -192,6 +192,52 @@ def files_incremental_check(sf_dir: str):
         ["repo", "path", "commit"])
 
 
+def files_forced_distributed_check(sf_dir: str):
+    """Oracle-able INVARIANT over the 100 TB physical plan: run the
+    flagship on the fixed 'small' corpus with EVERY broadcast/local fast
+    path gated off (exploded/fused LSH, distributed verify, sorted
+    anti-join, distributed finalize — the above-gate tiers rewritten in
+    round 5) and compare its cluster partition per doc against the
+    default-gate run. Output: one all-true row per file when
+    forced ≡ fast. Reuses the ``query_small`` fast-path run directory
+    (checkpoint resume supplies it when ``files_dedupe`` already ran)."""
+    import pyarrow as pa
+
+    from fuzzy_dedupe_pipeline_ray.config import PipelineConfig
+
+    d = corpus_dir("small")
+    fast = DedupePipeline(f"{d}/files.parquet",
+                          "/tmp/fdpr_runs/query_small")
+    fast.run()
+    cfg = PipelineConfig(
+        broadcast_max_rows=0, keyed_broadcast_max_rows=0,
+        band_driver_max_rows=0, wide_broadcast_max_rows=0,
+        wide_broadcast_max_bytes=0, cc_unionfind_max_edges=0,
+        verify_dag_max_pairs=0)
+    shutil.rmtree("/tmp/fdpr_runs/query_small_forced", ignore_errors=True)
+    forced = DedupePipeline(f"{d}/files.parquet",
+                            "/tmp/fdpr_runs/query_small_forced", cfg)
+    forced.run()
+    cols = ["doc_id", "cluster_id", "duplicate_count", "is_representative"]
+
+    def part(p):
+        return (p.assignments().select_columns(cols).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    a, b = part(fast), part(forced)
+    ok = len(a) == len(b) and bool((a[cols] == b[cols]).all().all())
+    docs = forced.assignments().select_columns(["repo", "path", "commit"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return t.append_column("forced_matches_fast",
+                               pa.array(np.full(t.num_rows, ok)))
+
+    return docs.map_batches(flag, batch_format="pyarrow").sort(
+        ["repo", "path", "commit"])
+
+
 def entry() -> Any:
     """Flagship pipeline on the tiny corpus; returns the assignments."""
     return files_dedupe("/root/testdata/sf0.001")
@@ -203,6 +249,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "files_dedupe": files_dedupe,
         "files_exact_family_check": files_exact_family_check,
         "files_incremental_check": files_incremental_check,
+        "files_forced_distributed_check": files_forced_distributed_check,
         # round-5 rotation: queries never driver-checked in r1-r4 come
         # first so they land inside the driver's ~50-entry check window
         "embedding_cc_clusters": ann.embedding_cc_clusters,
@@ -411,6 +458,11 @@ def oracle_sql() -> "dict[str, str]":
         """,
         "files_incremental_check": f"""
             SELECT repo, path, commit, TRUE AS incremental_matches_full
+            FROM read_parquet('{small_files}')
+            ORDER BY repo, path, commit
+        """,
+        "files_forced_distributed_check": f"""
+            SELECT repo, path, commit, TRUE AS forced_matches_fast
             FROM read_parquet('{small_files}')
             ORDER BY repo, path, commit
         """,
