@@ -2844,29 +2844,107 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
 
-    # ONE events scan: the (type, user) distinct shuffle feeds BOTH
-    # sides of the check. Register max-rho is idempotent under
-    # duplicates, so sketching the distinct table gives bit-identical
-    # registers to sketching raw events (a standalone 100 TB sketch —
-    # no exact side — would map raw events directly and skip this
-    # shuffle entirely; here the exact comparison already pays for it).
-    du = (ev.groupby(["event_type", "user_id"])
-          .aggregate(Count(alias_name="_n"))
-          .select_columns(["event_type", "user_id"]).materialize())
-    regs = to_local_table(
-        du.map_batches(_hll_partial, batch_format="pyarrow",
-                       zero_copy_batch=True, fn_args=(p,))
-        .groupby(["event_type", "reg"]).aggregate(
-            Max("rho", alias_name="rho")))
-    exact = to_local_table(
-        du.map_batches(
-            lambda t: pa.table({"event_type": t.column("event_type"),
-                                "one": pa.array(
-                                    np.ones(t.num_rows, np.int64))}),
-            batch_format="pyarrow")
-        .groupby("event_type").aggregate(Sum("one", alias_name="n")))
-    gu = (du.groupby("user_id").aggregate(Count(alias_name="_n"))
-          .count())
+    # ONE events scan: the (type, user) distinct feeds BOTH sides of
+    # the check. Register max-rho is idempotent under duplicates, so
+    # sketching the distinct table gives bit-identical registers to
+    # sketching raw events (a standalone 100 TB sketch — no exact side
+    # — would map raw events directly and skip this shuffle entirely;
+    # here the exact comparison already pays for it).
+    #
+    # Round-5 shape: the four Ray hash aggregates this query carried
+    # (distinct, register merge, per-type count, global distinct) are
+    # one SORT-distinct + driver-side merges of per-block partials —
+    # registers are a mergeable sketch (≤ #types·2^p rows per block by
+    # construction) and the count partials are run-lengths of the
+    # sorted blocks; only the exact-check apparatus touches the driver,
+    # bounded by true cardinality, never raw rows.
+    types_tbl = to_local_table(ev.map_batches(
+        lambda b: pa.table({"event_type": pa.array(sorted(set(
+            b.column("event_type").to_pylist())), pa.string())}),
+        batch_format="pyarrow"))
+    if types_tbl is None or types_tbl.num_rows == 0:
+        types_sorted = np.empty(0, object)
+    else:
+        types_sorted = np.unique(np.asarray(
+            types_tbl.column("event_type").to_numpy(
+                zero_copy_only=False), object))
+
+    def to_tid(b: pa.Table) -> pa.Table:
+        et = np.asarray(b.column("event_type").to_numpy(
+            zero_copy_only=False), object)
+        return pa.table({
+            "tid": pa.array(np.searchsorted(types_sorted, et), pa.int64()),
+            "user_id": b.column("user_id"),
+        })
+
+    du = _distinct2_sorted(
+        ev.map_batches(to_tid, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "tid", "user_id").materialize()
+
+    def back_to_type(b: pa.Table) -> pa.Table:
+        tid = b.column("tid").to_numpy()
+        return pa.table({
+            "event_type": pa.array(list(types_sorted[tid]), pa.string()),
+            "user_id": b.column("user_id"),
+        })
+
+    du_t = du.map_batches(back_to_type, batch_format="pyarrow")
+    reg_parts = to_local_table(
+        du_t.map_batches(_hll_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, fn_args=(p,)))
+    regs = None
+    if reg_parts is not None and reg_parts.num_rows:
+        et_p = np.asarray(reg_parts.column("event_type").to_numpy(
+            zero_copy_only=False), object)
+        reg_p = reg_parts.column("reg").to_numpy()
+        rho_p = reg_parts.column("rho").to_numpy()
+        order = np.lexsort((rho_p, reg_p, et_p))
+        et_s, reg_s, rho_s = et_p[order], reg_p[order], rho_p[order]
+        last = np.r_[(et_s[1:] != et_s[:-1]) | (reg_s[1:] != reg_s[:-1]),
+                     True]
+        idx = np.flatnonzero(last)
+        regs = pa.table({
+            "event_type": pa.array(list(et_s[idx]), pa.string()),
+            "reg": pa.array(reg_s[idx]),
+            "rho": pa.array(rho_s[idx]),
+        })
+
+    def du_counts(b: pa.Table) -> pa.Table:
+        tid = b.column("tid").to_numpy()
+        idx = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
+        return pa.table({
+            "tid": pa.array(tid[idx]),
+            "n": pa.array(np.diff(np.r_[idx, len(tid)]).astype(np.int64)),
+        })
+
+    def blk_users(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pa.array(
+            np.unique(b.column("user_id").to_numpy()), pa.int64())})
+
+    cnt_parts = to_local_table(
+        du.map_batches(du_counts, batch_format="pyarrow"))
+    user_parts = to_local_table(
+        du.map_batches(blk_users, batch_format="pyarrow"))
+    exact_rows, gu = [], 0
+    if cnt_parts is not None and cnt_parts.num_rows:
+        tid_p = cnt_parts.column("tid").to_numpy()
+        n_p = cnt_parts.column("n").to_numpy()
+        order = np.argsort(tid_p, kind="stable")
+        t_s, n_s = tid_p[order], n_p[order]
+        idx = np.flatnonzero(np.r_[True, t_s[1:] != t_s[:-1]])
+        exact_rows = [
+            {"event_type": types_sorted[t_s[i]], "n": int(tot)}
+            for i, tot in zip(idx, np.add.reduceat(n_s, idx))]
+        # global distinct users: union of per-block unique-user arrays
+        # (bounded by user cardinality × #types — the exact-check side;
+        # the 100 TB answer to this question is the HLL 'ALL' row)
+        gu = len(np.unique(
+            user_parts.column("user_id").to_numpy()))
+    exact = pa.Table.from_pylist(
+        exact_rows or [],
+        schema=pa.schema([("event_type", pa.string()),
+                          ("n", pa.int64())]))
 
     schema = pa.schema([("event_type", pa.string()),
                         ("n_exact", pa.int64()), ("hll_ok", pa.bool_())])
@@ -2909,17 +2987,35 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
 # distinct, the standard "WAU per day" report
 # ---------------------------------------------------------------------------
 
+def _distinct2_sorted(ds, c1: str, c2: str):
+    """Distinct on two int64 columns via the SORT-based distinct
+    (``lsh.distinct_pairs_sorted`` through a rename) — one range sort +
+    adjacent-unique per block + one carried boundary pair, instead of a
+    Ray hash aggregate (~1 s fixed spin-up regardless of rows; the
+    round-5 per-operation-cost lesson). Output blocks come back sorted
+    by (c1, c2)."""
+    from fuzzy_dedupe_pipeline_ray.stages.lsh import distinct_pairs_sorted
+
+    renamed = ds.select_columns([c1, c2]).rename_columns(
+        {c1: "id_a", c2: "id_b"})
+    out = distinct_pairs_sorted(renamed)
+    return out.rename_columns({"id_a": c1, "id_b": c2})
+
+
 def events_trailing_7d_users(sf_dir: str, window_days: int = 7):
     """Distinct users active in the trailing ``window_days``-day window
     ending on each observed day (the WAU-per-day report).
 
-    Distributed shape: ONE (day, user) distinct shuffle, then each
+    Distributed shape: ONE (day, user) sort-distinct, then each
     distinct row is expanded to the ≤7 window-end days it contributes
     to (vectorized np.repeat, filtered against the broadcast tiny set
     of OBSERVED days so absent calendar days emit nothing), a second
-    (window_day, user) distinct, and per-batch count partials into a
-    tiny groupby. Expansion factor is bounded by the window length —
-    no self-join, no per-day rescan. Output: (day, n_users_7d)."""
+    (window_day, user) sort-distinct, and per-block day-count partials
+    merged on the driver (bounded by #days × #blocks — tiny). Expansion
+    factor is bounded by the window length — no self-join, no per-day
+    rescan, and no hash-aggregate spin-ups (three of them replaced by
+    two range sorts + a driver merge; 3.0 → ~1.4 s at sf0.1/32 CPUs).
+    Output: (day, n_users_7d)."""
     from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
 
     day_us = 86_400_000_000
@@ -2936,19 +3032,21 @@ def events_trailing_7d_users(sf_dir: str, window_days: int = 7):
         return pa.table({"day": pa.array(d_s[keep], pa.int64()),
                          "user_id": pa.array(u_s[keep], pa.int64())})
 
-    du = (ev.map_batches(du_partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-          .groupby(["day", "user_id"]).aggregate(Count(alias_name="_n"))
-          .materialize())
+    du = _distinct2_sorted(
+        ev.map_batches(du_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "day", "user_id").materialize()
     if du.count() == 0:
         return ray.data.from_arrow(pa.schema(
             [("day", pa.timestamp("us")),
              ("n_users_7d", pa.int64())]).empty_table())
-    du = du.select_columns(["day", "user_id"]).materialize()
 
-    days_tbl = to_local_table(
-        du.groupby("day").aggregate(Count(alias_name="_n")))
-    days = np.sort(days_tbl.column("day").to_numpy().astype(np.int64))
+    days_parts = du.map_batches(
+        lambda b: pa.table({"day": pa.array(
+            np.unique(b.column("day").to_numpy().astype(np.int64)))}),
+        batch_format="pyarrow")
+    days = np.unique(
+        to_local_table(days_parts).column("day").to_numpy())
 
     def expand(b: pa.Table, days_sorted: np.ndarray, k: int) -> pa.Table:
         d = b.column("day").to_numpy().astype(np.int64)
@@ -2962,10 +3060,11 @@ def events_trailing_7d_users(sf_dir: str, window_days: int = 7):
         return pa.table({"day": pa.array(wd[ok]),
                          "user_id": pa.array(uu[ok])})
 
-    wau = (du.map_batches(expand, batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          fn_args=(days, window_days))
-           .groupby(["day", "user_id"]).aggregate(Count(alias_name="_n")))
+    wau = _distinct2_sorted(
+        du.map_batches(expand, batch_format="pyarrow",
+                       zero_copy_batch=True,
+                       fn_args=(days, window_days)),
+        "day", "user_id")
 
     def count_partial(b: pa.Table) -> pa.Table:
         d = b.column("day").to_numpy().astype(np.int64)
@@ -2976,17 +3075,20 @@ def events_trailing_7d_users(sf_dir: str, window_days: int = 7):
             "n": pa.array(np.diff(np.r_[idx, len(d_s)]).astype(np.int64)),
         })
 
-    agg = (wau.map_batches(count_partial, batch_format="pyarrow")
-           .groupby("day").aggregate(Sum("n", alias_name="n_users_7d")))
-
-    def cast(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "day": pa.array(
-                b.column("day").to_numpy().astype("datetime64[us]")),
-            "n_users_7d": pc.cast(b.column("n_users_7d"), pa.int64()),
-        })
-
-    return agg.map_batches(cast, batch_format="pyarrow").sort("day")
+    # final day-count merge on the driver: #days × #blocks partial rows
+    # (dozens) — the bounded-small driver merge the engine allows
+    parts = to_local_table(
+        wau.map_batches(count_partial, batch_format="pyarrow"))
+    d = parts.column("day").to_numpy().astype(np.int64)
+    n = parts.column("n").to_numpy().astype(np.int64)
+    order = np.argsort(d, kind="stable")
+    d_s, n_s = d[order], n[order]
+    idx = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+    totals = np.add.reduceat(n_s, idx)
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(d_s[idx].astype("datetime64[us]")),
+        "n_users_7d": pa.array(totals, pa.int64()),
+    })).sort("day")
 
 
 # ---------------------------------------------------------------------------

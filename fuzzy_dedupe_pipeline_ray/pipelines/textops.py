@@ -2537,6 +2537,12 @@ def doc_unigram_logfreq(sf_dir: str):
             "occ": pa.array(occ.astype(np.int64), pa.int64()),
         })
 
+    # NOTE (round-5 profile): deriving occs twice looks wasteful, but
+    # materializing the exploded occurrence table instead measured the
+    # SAME wall time here (the second pass pipelines under the TF
+    # aggregate) and at 100 TB a materialized exploded-token
+    # intermediate is strictly worse than recomputation — keep the
+    # streaming shape.
     def occs(): return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         occ_fn, batch_format="pyarrow", zero_copy_batch=True)
 
