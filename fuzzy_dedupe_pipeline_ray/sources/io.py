@@ -353,6 +353,12 @@ def bloom_semi_filter(left, right, *, on, cfg: PipelineConfig,
 
     def _partial_bitmap(tbl: pa.Table) -> np.ndarray:
         bm = np.zeros(m_bytes, np.uint8)
+        # Ray can propagate an empty SCHEMA-LESS block through a
+        # map_batches chain without invoking the UDF (the same edge
+        # _compact_blocks guards in hash_join) — an empty block
+        # contributes no bits either way
+        if tbl.num_rows == 0 or on not in tbl.schema.names:
+            return bm
         col = tbl.column(on).combine_chunks()
         if len(col) == 0:
             return bm

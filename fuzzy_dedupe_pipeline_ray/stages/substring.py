@@ -643,16 +643,26 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
         wanted = np.unique(np.concatenate(
             [ptbl.column("id_a").to_numpy(), ptbl.column("id_b").to_numpy()]))
     else:
-        ids_ds = pairs.map_batches(
+        ids_raw = pairs.map_batches(
             lambda b: pa.table({"doc_id": pa.concat_arrays(
                 [b.column("id_a").combine_chunks(),
                  b.column("id_b").combine_chunks()])}),
-            batch_format="pyarrow")
-        ids_ds = (ids_ds.groupby("doc_id").aggregate(Count(alias_name="_n"))
-                  .select_columns(["doc_id"]).materialize())
-        if ids_ds.count() <= cfg.broadcast_max_rows:
-            wanted = np.sort(
-                to_local_table(ids_ds).column("doc_id").to_numpy())
+            batch_format="pyarrow").materialize()
+        if ids_raw.count() <= 4 * cfg.broadcast_max_rows:
+            # the distinct ID set may still fit the broadcast gate —
+            # worth one groupby to find out
+            dds = (ids_raw.groupby("doc_id")
+                   .aggregate(Count(alias_name="_n"))
+                   .select_columns(["doc_id"]).materialize())
+            if dds.count() <= cfg.broadcast_max_rows:
+                wanted = np.sort(
+                    to_local_table(dds).column("doc_id").to_numpy())
+            else:
+                ids_ds = dds
+        else:
+            # truly above gate: the Bloom path below needs no distinct
+            # (duplicate ids set the same bits; the count only sizes m)
+            ids_ds = ids_raw
 
     def norm_table(doc_ids: np.ndarray, contents) -> pa.Table:
         # Arrow-native whitespace collapse — the SAME normalization the
@@ -682,7 +692,15 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
         return files_ds.map_batches(gather, batch_format="pyarrow",
                                     zero_copy_batch=True)
 
-    # scale path: derive doc_id per batch, hash semi-join against the ids
+    # scale path (round 5): derive doc_id per batch, BLOOM-semi-filter
+    # the wide content stream against the candidate id set — the filter
+    # is built distributed from the id blocks and broadcasts at sizes
+    # the id table cannot, and the content bytes never enter a shuffle
+    # (the previous hash semi-join moved the whole content stream
+    # through aggregator actors). The ~0.04% false positives only PAD
+    # the gathered content table — by contract extra rows are resident
+    # but never verified (pairs address contents by id; non-candidate
+    # ids match no pair), so no exact join is needed behind the filter.
     def with_ids(batch: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": pa.array(batch_doc_ids(batch, cfg, remap)[0],
@@ -690,10 +708,12 @@ def _candidate_contents(files_ds, pairs, cfg: PipelineConfig, remap=None):
             "content": batch.column("content"),
         })
 
+    from fuzzy_dedupe_pipeline_ray.sources.io import bloom_semi_filter
+
     keyed = files_ds.map_batches(with_ids, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    joined = hash_join(keyed, ids_ds, on="doc_id", cfg=cfg)
-    return joined.map_batches(
+    near = bloom_semi_filter(keyed, ids_ds, on="doc_id", cfg=cfg)
+    return near.map_batches(
         lambda b: norm_table(b.column("doc_id").to_numpy(),
                              b.column("content")),
         batch_format="pyarrow")
