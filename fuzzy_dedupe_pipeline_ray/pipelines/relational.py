@@ -197,13 +197,176 @@ def part_type_distinct(sf_dir: str):
             .sort(["p_brand", "p_type"]))
 
 
+def _sga_key_arrays(b: pa.Table, keys):
+    """Key columns as numpy arrays — native dtypes kept (ints,
+    datetime64), strings as object arrays (comparable, lexsortable)."""
+    out = []
+    for k in keys:
+        a = b.column(k).to_numpy(zero_copy_only=False)
+        if a.dtype.kind in "OUS":
+            a = np.asarray(a, object)
+        out.append(a)
+    return out
+
+
+def _sga_runs(karrs):
+    """Start indices of adjacent-equal key runs over parallel arrays."""
+    n = len(karrs[0])
+    if n == 0:
+        return np.empty(0, np.int64)
+    neq = np.zeros(n - 1, bool)
+    for a in karrs:
+        neq |= np.asarray(a[1:] != a[:-1])
+    return np.flatnonzero(np.r_[True, neq])
+
+
+def _sga_partial(b: pa.Table, keys, sum_cols) -> pa.Table:
+    """Per-batch local group partials: lexsort + run reduceat. Integer
+    sum columns stay exact int64; floats sum as float64."""
+    if b.num_rows == 0:
+        return b.select(list(keys) + list(sum_cols)).append_column(
+            "_n", pa.array([], pa.int64()))
+    karrs = _sga_key_arrays(b, keys)
+    order = np.lexsort(tuple(reversed(karrs)))
+    karrs = [a[order] for a in karrs]
+    starts = _sga_runs(karrs)
+    counts = np.diff(np.r_[starts, len(order)])
+    cols = {k: pa.array(list(a[starts])) for k, a in zip(keys, karrs)}
+    for sc in sum_cols:
+        v = b.column(sc).to_numpy(zero_copy_only=False)[order]
+        acc = np.int64 if v.dtype.kind in "iu" else np.float64
+        cols[sc] = pa.array(np.add.reduceat(v.astype(acc), starts))
+    cols["_n"] = pa.array(counts.astype(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def sorted_group_aggregate(ds, keys, sum_cols):
+    """Grouped Count + Sum over ``keys`` via per-batch partials
+    → ONE range sort → per-block run aggregation → O(#blocks) driver
+    boundary merge — replacing the Ray hash aggregate's fixed
+    aggregator-pool spin-up (~1–1.5 s at 32 CPUs regardless of rows;
+    the round-5 per-operation-cost lesson). ``sum_cols``: the columns
+    to Sum (a str or tuple; int columns stay exact int64). Output:
+    keys + summed columns + ``_n`` (int64 count), KEY-SORTED — callers
+    needing sorted output get it for free."""
+    if isinstance(sum_cols, str):
+        sum_cols = (sum_cols,)
+    sum_cols = tuple(sum_cols)
+    parts = ds.map_batches(
+        lambda b: _sga_partial(b, keys, sum_cols),
+        batch_format="pyarrow", zero_copy_batch=True)
+    s = parts.sort(list(keys)).materialize()
+
+    def summarize(tbl):
+        if tbl.num_rows == 0:
+            return None
+        karrs = _sga_key_arrays(tbl, keys)
+        starts = _sga_runs(karrs)
+        n = tbl.num_rows
+        f_hi = int(starts[1]) if len(starts) > 1 else n
+        l_lo = int(starts[-1])
+        vs = [tbl.column(sc).to_numpy(zero_copy_only=False)
+              for sc in sum_cols]
+        c = tbl.column("_n").to_numpy()
+
+        def agg(lo, hi):
+            return (tuple(v[lo:hi].sum() for v in vs),
+                    int(c[lo:hi].sum()))
+
+        fk = tuple(a[0] for a in karrs)
+        lk = tuple(a[n - 1] for a in karrs)
+        return (fk, agg(0, f_hi), lk, agg(l_lo, n))
+
+    merged_rows = []
+
+    def scan(summaries):
+        args = [{"drop_first": False, "drop_last": False,
+                 "drop_all": False} for _ in summaries]
+
+        def close(p):
+            if p is None or len(p["blocks"]) < 2:
+                return
+            s_tots = tuple(sum(a[0][j] for a in p["aggs"])
+                           for j in range(len(sum_cols)))
+            c_tot = sum(a[1] for a in p["aggs"])
+            merged_rows.append(tuple(p["key"]) + s_tots + (c_tot,))
+            for i, which in p["blocks"]:
+                args[i][f"drop_{which}"] = True
+
+        pending = None
+        for i, sm in enumerate(summaries):
+            if sm is None:
+                continue
+            fk, f_agg, lk, l_agg = sm
+            single = fk == lk
+            if pending is not None and pending["key"] == fk:
+                pending["blocks"].append((i, "all" if single else "first"))
+                pending["aggs"].append(f_agg)
+                if single:
+                    continue
+                close(pending)
+                pending = None
+            elif pending is not None:
+                close(pending)
+                pending = None
+            pending = {"key": lk,
+                       "blocks": [(i, "all" if single else "last")],
+                       "aggs": [l_agg]}
+        close(pending)
+        return [(a["drop_first"], a["drop_last"], a["drop_all"])
+                for a in args]
+
+    def label(tbl, drop_first, drop_last, drop_all):
+        if drop_all:
+            return tbl.slice(0, 0)
+        karrs = _sga_key_arrays(tbl, keys)
+        starts = _sga_runs(karrs)
+        n = tbl.num_rows
+        c = tbl.column("_n").to_numpy()
+        ends = np.r_[starts[1:], n]
+        lo = 1 if drop_first else 0
+        hi = len(starts) - 1 if drop_last else len(starts)
+        if hi <= lo:
+            return tbl.slice(0, 0)
+        sel = np.arange(lo, hi)
+        cols = {k: pa.array(list(a[starts[sel]]))
+                for k, a in zip(keys, karrs)}
+        for sc in sum_cols:
+            v = tbl.column(sc).to_numpy(zero_copy_only=False)
+            cols[sc] = pa.array(
+                [v[starts[j]:ends[j]].sum() for j in sel],
+                pa.int64() if v.dtype.kind in "iu" else pa.float64())
+        cols["_n"] = pa.array(
+            np.array([int(c[starts[j]:ends[j]].sum()) for j in sel],
+                     np.int64), pa.int64())
+        return pa.table(cols)
+
+    out = _sorted_block_scan(s, summarize, (), scan, label,
+                             key_of=lambda sm: (sm[0], sm[2]))
+    if out is None:
+        return s  # empty, key-typed
+    if merged_rows:
+        schema = s.schema().base_schema
+        cols = {k: pa.array([r[j] for r in merged_rows])
+                for j, k in enumerate(keys)}
+        for j, sc in enumerate(sum_cols):
+            cols[sc] = pa.array([r[len(keys) + j] for r in merged_rows])
+        cols["_n"] = pa.array(
+            [r[len(keys) + len(sum_cols)] for r in merged_rows],
+            pa.int64())
+        out = out.union(ray.data.from_arrow(
+            pa.table(cols).cast(schema)))
+    return out
+
+
 def events_hourly_window(sf_dir: str):
     """Tumbling 1-hour window per (user_id, event_type): count + sum(value).
 
     The streaming-shaped pattern (ray_guide: groupby + windowing over the
-    sorted group); here the window key is computed vectorized and the
-    aggregate is a plain grouped sum — exactly what the SQL oracle
-    (GROUP BY date_trunc) expresses."""
+    sorted group); the window key is computed vectorized and the grouped
+    Count+Sum runs through ``sorted_group_aggregate`` (per-batch
+    partials + one range sort + boundary merge) — the final sort the
+    output contract needs then comes free from the sort-based shape."""
     ev = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
 
     def add_window(b: pa.Table) -> pa.Table:
@@ -215,19 +378,18 @@ def events_hourly_window(sf_dir: str):
             "value": b.column("value"),
         })
 
-    agg = (ev.map_batches(add_window, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby(["user_id", "event_type", "window_start"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value")))
+    agg = sorted_group_aggregate(
+        ev.map_batches(add_window, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ("user_id", "event_type", "window_start"), ("value",))
 
     def scale(b: pa.Table) -> pa.Table:
         return pa.table({
             "user_id": b.column("user_id"),
             "event_type": b.column("event_type"),
             "window_start": b.column("window_start"),
-            "n_events": pc.cast(b.column("n_events"), pa.int64()),
-            "sum_value_e2": _e2(b.column("sum_value")),
+            "n_events": pc.cast(b.column("_n"), pa.int64()),
+            "sum_value_e2": _e2(b.column("value")),
         })
 
     return agg.map_batches(scale, batch_format="pyarrow").sort(
