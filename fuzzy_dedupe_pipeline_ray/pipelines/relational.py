@@ -522,6 +522,110 @@ def _sorted_block_scan(sorted_ds, summarize_fn, sum_args, scan_fn, label_fn,
     return ray.data.from_arrow_refs(label_refs)
 
 
+def _sess_key_runs(tbl: pa.Table):
+    u = tbl.column("user_id").to_numpy()
+    sid = tbl.column("session_id").to_numpy()
+    ts = tbl.column("ts").to_numpy()
+    starts = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                  | (sid[1:] != sid[:-1])])
+    return u, sid, ts, starts
+
+
+def _sess_agg_summary(tbl: pa.Table):
+    """((first_u, first_sid), (cnt, min_ts, max_ts), (last_u, last_sid),
+    (cnt, min_ts, max_ts)) for the block's boundary session runs."""
+    if tbl.num_rows == 0:
+        return None
+    u, sid, ts, starts = _sess_key_runs(tbl)
+    n = len(u)
+    f_hi = int(starts[1]) if len(starts) > 1 else n
+    l_lo = int(starts[-1])
+
+    def agg(lo, hi):
+        seg = ts[lo:hi]
+        return (hi - lo, seg.min(), seg.max())
+
+    return ((int(u[0]), int(sid[0])), agg(0, f_hi),
+            (int(u[-1]), int(sid[-1])), agg(l_lo, n))
+
+
+def _sess_agg_scan(summaries):
+    """Boundary-span merge for the session aggregate: count=sum,
+    start=min, end=max; the span's FIRST involved block EMITS the merged
+    row in place of its claimed run (order-preserving), the rest drop
+    theirs."""
+    args = [{"ov_first": None, "ov_last": None, "ov_all": None,
+             "drop_first": False, "drop_last": False, "drop_all": False}
+            for _ in summaries]
+
+    def close(p):
+        if p is None or len(p["blocks"]) < 2:
+            return
+        cnt = sum(a[0] for a in p["aggs"])
+        t0 = min(a[1] for a in p["aggs"])
+        t1 = max(a[2] for a in p["aggs"])
+        first_i, first_which = p["blocks"][0]
+        args[first_i][f"ov_{first_which}"] = (cnt, t0, t1)
+        for i, which in p["blocks"][1:]:
+            args[i][f"drop_{which}"] = True
+
+    pending = None
+    for i, sm in enumerate(summaries):
+        if sm is None:
+            continue
+        fk, f_agg, lk, l_agg = sm
+        single = fk == lk
+        if pending is not None and pending["key"] == fk:
+            pending["blocks"].append((i, "all" if single else "first"))
+            pending["aggs"].append(f_agg)
+            if single:
+                continue
+            close(pending)
+            pending = None
+        elif pending is not None:
+            close(pending)
+            pending = None
+        pending = {"key": lk, "blocks": [(i, "all" if single else "last")],
+                   "aggs": [l_agg]}
+    close(pending)
+    return [(a["ov_first"], a["ov_last"], a["ov_all"], a["drop_first"],
+             a["drop_last"], a["drop_all"]) for a in args]
+
+
+def _sess_agg_label(tbl: pa.Table, ov_first, ov_last, ov_all, drop_first,
+                    drop_last, drop_all) -> pa.Table:
+    u, sid, ts, starts = _sess_key_runs(tbl)
+    n = len(u)
+    ends = np.r_[starts[1:], n]
+    cnt = (ends - starts).astype(np.int64)
+    t0 = np.minimum.reduceat(ts, starts)
+    t1 = np.maximum.reduceat(ts, starts)
+    keep = np.ones(len(starts), bool)
+    if drop_all:
+        keep[:] = False
+    else:
+        if ov_all is not None:
+            cnt[0], t0[0], t1[0] = ov_all
+            if len(starts) > 1:  # single-run block: 0 IS the only run
+                keep[1:] = False
+        if drop_first:
+            keep[0] = False
+        elif ov_first is not None:
+            cnt[0], t0[0], t1[0] = ov_first
+        if drop_last:
+            keep[-1] = False
+        elif ov_last is not None:
+            cnt[-1], t0[-1], t1[-1] = ov_last
+    sel = np.flatnonzero(keep)
+    return pa.table({
+        "user_id": pa.array(u[starts[sel]], pa.int64()),
+        "session_id": pa.array(sid[starts[sel]], pa.int64()),
+        "n_events": pa.array(cnt[sel], pa.int64()),
+        "session_start": pa.array(t0[sel]),
+        "session_end": pa.array(t1[sel]),
+    })
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30 min starts a new session):
     session_id = 0-based index of the session within the user's ordered
@@ -563,22 +667,20 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
             ("session_end", ts_type)]).empty_table()
         return ray.data.from_arrow(empty)
 
-    agg = labeled.groupby(["user_id", "session_id"]).aggregate(
-        Count(alias_name="n_events"),
-        Min("ts", alias_name="session_start"),
-        Max("ts", alias_name="session_end"))
-
-    def cast(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "session_id": b.column("session_id"),
-            "n_events": pc.cast(b.column("n_events"), pa.int64()),
-            "session_start": b.column("session_start"),
-            "session_end": b.column("session_end"),
-        })
-
-    return agg.map_batches(cast, batch_format="pyarrow").sort(
-        ["user_id", "session_id"])
+    # Final per-session Count/Min/Max WITHOUT another shuffle: the
+    # labeled blocks are already (user, ts)-ordered and session_id is
+    # monotone within user, so (user, session) runs are contiguous
+    # across the block sequence — per-block run aggregation with the
+    # span's merged row emitted IN PLACE by the first involved block
+    # keeps global order, making the output sort free too (round-5
+    # per-operation-cost lesson; was a hash aggregate + full sort).
+    out = _sorted_block_scan(
+        labeled.materialize(), _sess_agg_summary, (), _sess_agg_scan,
+        _sess_agg_label,
+        key_of=lambda s: (s[0], s[2]))
+    if out is None:  # unreachable (labeled is non-empty) — typed guard
+        return labeled
+    return out
 
 
 # ---------------------------------------------------------------------------
