@@ -2496,19 +2496,25 @@ def q5_region_supplier_volume(sf_dir: str, region: str = "ASIA"):
                 inv, weights=rv, minlength=len(keys)).astype(np.int64)),
         })
 
-    agg = (j.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-           .groupby("n_nationkey").aggregate(
-               Sum("rev_e4", alias_name="revenue_e4")))
-    out = to_local_table(agg)
-    if out is None or out.num_rows == 0:
+    # per-batch partials are ≤ #nations-in-region rows each, and the
+    # result was collected driver-side anyway — the hash aggregate
+    # between them was pure spin-up (round-5 per-operation-cost
+    # lesson); the driver merge is bounded by #nations × #blocks
+    parts = to_local_table(j.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+    if parts is None or parts.num_rows == 0:
         return pa.schema([("n_name", pa.string()),
                           ("revenue_e4", pa.int64())]).empty_table()
-    pos = pc.index_in(out.column("n_nationkey"),
+    nk_p = parts.column("n_nationkey").to_numpy()
+    rv_p = parts.column("rev_e4").to_numpy()
+    keys, inv = np.unique(nk_p, return_inverse=True)
+    tot = np.zeros(len(keys), np.int64)
+    np.add.at(tot, inv, rv_p)
+    pos = pc.index_in(pa.array(keys.astype(np.int64)),
                       value_set=nation_keys.combine_chunks())
     res = pa.table({
         "n_name": nat.column("n_name").take(pos),
-        "revenue_e4": pc.cast(out.column("revenue_e4"), pa.int64()),
+        "revenue_e4": pa.array(tot, pa.int64()),
     })
     order = pc.sort_indices(res, sort_keys=[("revenue_e4", "descending"),
                                             ("n_name", "ascending")])
@@ -3762,24 +3768,31 @@ def q7_nation_trade_volume(sf_dir: str, nation_a: str = "NATION_1",
              "l_year": b.column("l_year").to_numpy()},
             {"rev_e4": b.column("rev_e4").to_numpy()})
 
-    agg = (j.map_batches(partial, batch_format="pyarrow")
-           .groupby(["supp_nk", "cust_nk", "l_year"])
-           .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
-           .materialize())
     schema = pa.schema([("supp_nation", pa.string()),
                         ("cust_nation", pa.string()),
                         ("l_year", pa.int64()),
                         ("revenue_e4", pa.int64())])
-    out = to_local_table(agg)
-    if out is None or out.num_rows == 0:
+    # per-batch partials are bounded by #nation-pairs × #years each and
+    # the result was collected driver-side anyway — drop the hash
+    # aggregate between (round-5 per-operation-cost lesson) and merge
+    # the packed keys on the driver
+    parts = to_local_table(j.map_batches(partial, batch_format="pyarrow"))
+    if parts is None or parts.num_rows == 0:
         return schema.empty_table()
+    k1 = parts.column("supp_nk").to_numpy().astype(np.int64)
+    k2 = parts.column("cust_nk").to_numpy().astype(np.int64)
+    k3 = parts.column("l_year").to_numpy().astype(np.int64)
+    rv = parts.column("rev_e4").to_numpy().astype(np.int64)
+    pack = (k1 << 40) | (k2 << 20) | k3
+    keys, inv = np.unique(pack, return_inverse=True)
+    tot = np.zeros(len(keys), np.int64)
+    np.add.at(tot, inv, rv)
     res = pa.table({
-        "supp_nation": pa.array([name_of[k] for k in
-                                 out.column("supp_nk").to_pylist()]),
-        "cust_nation": pa.array([name_of[k] for k in
-                                 out.column("cust_nk").to_pylist()]),
-        "l_year": pc.cast(out.column("l_year"), pa.int64()),
-        "revenue_e4": pc.cast(out.column("revenue_e4"), pa.int64())})
+        "supp_nation": pa.array([name_of[int(k)] for k in keys >> 40]),
+        "cust_nation": pa.array([name_of[int(k)]
+                                 for k in (keys >> 20) & 0xFFFFF]),
+        "l_year": pa.array(keys & 0xFFFFF, pa.int64()),
+        "revenue_e4": pa.array(tot, pa.int64())})
     order = pc.sort_indices(res, sort_keys=[("supp_nation", "ascending"),
                                             ("cust_nation", "ascending"),
                                             ("l_year", "ascending")])
