@@ -3508,12 +3508,16 @@ def q4_priority_with_discounted_lines(sf_dir: str,
                         pc.field("l_discount") > min_discount)
 
     def qual_keys(b: pa.Table) -> pa.Table:
-        return pa.table({"o_orderkey": pc.unique(b.column("l_orderkey"))})
+        u = pc.unique(b.column("l_orderkey"))
+        return pa.table({"o_orderkey": u,
+                         "_m": pa.array(np.ones(len(u), np.int64))})
 
-    qual = (li.map_batches(qual_keys, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("o_orderkey").aggregate(Count(alias_name="_m"))
-            .materialize())
+    # distinct qualifying keys via the sort-based distinct (the _m
+    # constant rides as the second key; round-5 per-operation lesson)
+    qual = _distinct2_sorted(
+        li.map_batches(qual_keys, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "o_orderkey", "_m").materialize()
 
     win = _read_filtered(
         sf_dir, "orders",
@@ -3538,14 +3542,24 @@ def q4_priority_with_discounted_lines(sf_dir: str,
             "n": pa.array(np.diff(np.r_[idx, len(p_s)]).astype(np.int64)),
         })
 
-    agg = (j.map_batches(count_partial, batch_format="pyarrow")
-           .groupby("o_orderpriority")
-           .aggregate(Sum("n", alias_name="n_orders")))
-    return agg.map_batches(
-        lambda b: pa.table({
-            "o_orderpriority": b.column("o_orderpriority"),
-            "n_orders": pc.cast(b.column("n_orders"), pa.int64())}),
-        batch_format="pyarrow").sort("o_orderpriority")
+    # ≤5 partial rows per batch, result consumed whole — merge on the
+    # driver instead of spinning a hash aggregate
+    from fuzzy_dedupe_pipeline_ray.sources.io import to_local_table
+
+    parts = to_local_table(
+        j.map_batches(count_partial, batch_format="pyarrow"))
+    if parts is None or parts.num_rows == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    p = np.asarray(parts.column("o_orderpriority").to_numpy(
+        zero_copy_only=False), object)
+    n = parts.column("n").to_numpy()
+    order = np.argsort(p, kind="stable")
+    p_s, n_s = p[order], n[order]
+    idx = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+    return ray.data.from_arrow(pa.table({
+        "o_orderpriority": pa.array(list(p_s[idx]), pa.string()),
+        "n_orders": pa.array(np.add.reduceat(n_s, idx).astype(np.int64),
+                             pa.int64())}))
 
 
 # ---------------------------------------------------------------------------
@@ -3605,13 +3619,18 @@ def q22_idle_rich_customers(sf_dir: str, cutoff: str = "2000-01-01"):
     def recent_keys(b: pa.Table) -> pa.Table:
         return pa.table({"c_custkey": pc.unique(b.column("o_custkey"))})
 
-    ordered = (_read_filtered(
-        sf_dir, "orders", ["o_custkey", "o_orderdate"],
-        pc.field("o_orderdate") >= np.datetime64(cutoff, "us"))
-               .map_batches(recent_keys, batch_format="pyarrow",
-                            zero_copy_batch=True)
-               .groupby("c_custkey").aggregate(Count(alias_name="_m"))
-               .materialize())
+    def recent_keys_m(b: pa.Table) -> pa.Table:
+        t = recent_keys(b)
+        return t.append_column(
+            "_m", pa.array(np.ones(t.num_rows, np.int64)))
+
+    ordered = _distinct2_sorted(
+        _read_filtered(
+            sf_dir, "orders", ["o_custkey", "o_orderdate"],
+            pc.field("o_orderdate") >= np.datetime64(cutoff, "us"))
+        .map_batches(recent_keys_m, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        "c_custkey", "_m").materialize()
     if ordered.count() > 0:
         j = lookup_join(rich_ds, ordered, on="c_custkey",
                         cfg=DEFAULT_CONFIG, join_type="left_outer",
@@ -3645,20 +3664,26 @@ def q22_idle_rich_customers(sf_dir: str, cutoff: str = "2000-01-01"):
             "s": pa.array(cs[bounds[1:]] - cs[bounds[:-1]]),
         })
 
-    agg = (jn.map_batches(partial, batch_format="pyarrow")
-           .groupby("n_name").aggregate(
-               Sum("n", alias_name="n_customers"),
-               Sum("s", alias_name="total_acctbal_e2"))
-           .materialize())
-    if agg.count() == 0:
+    # ≤25 partial rows per batch, result consumed whole — driver merge
+    # instead of a hash aggregate (round-5 per-operation-cost lesson)
+    parts = to_local_table(
+        jn.map_batches(partial, batch_format="pyarrow"))
+    if parts is None or parts.num_rows == 0:
         return ray.data.from_arrow(schema.empty_table())
-    return agg.map_batches(
-        lambda b: pa.table({
-            "n_name": b.column("n_name"),
-            "n_customers": pc.cast(b.column("n_customers"), pa.int64()),
-            "total_acctbal_e2": pc.cast(b.column("total_acctbal_e2"),
-                                        pa.int64())}),
-        batch_format="pyarrow").sort("n_name")
+    nm_p = np.asarray(parts.column("n_name").to_numpy(
+        zero_copy_only=False), object)
+    n_p = parts.column("n").to_numpy()
+    s_p = parts.column("s").to_numpy()
+    order = np.argsort(nm_p, kind="stable")
+    nm_s, n_s, s_s = nm_p[order], n_p[order], s_p[order]
+    idx = np.flatnonzero(np.r_[True, nm_s[1:] != nm_s[:-1]])
+    return ray.data.from_arrow(pa.table({
+        "n_name": pa.array(list(nm_s[idx]), pa.string()),
+        "n_customers": pa.array(
+            np.add.reduceat(n_s, idx).astype(np.int64), pa.int64()),
+        "total_acctbal_e2": pa.array(
+            np.add.reduceat(s_s, idx).astype(np.int64), pa.int64()),
+    }))
 
 
 # ---------------------------------------------------------------------------
