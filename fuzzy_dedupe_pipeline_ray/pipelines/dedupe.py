@@ -200,8 +200,18 @@ class DedupePipeline:
             if not (self.resume and self.manifest.is_complete("edges_fuzzy")):
                 # submit the verify bank build BEFORE candidate generation
                 # so its large-allocation pass overlaps the band shuffle
-                # instead of landing in the post-churn reclaim window
-                bank = prepare_sig_bank(sigs, cfg)
+                # instead of landing in the post-churn reclaim window —
+                # but only when the CLASSIC tier will consume it: the
+                # fused tier never touches the bank, and pinning the
+                # full signature arrays in plasma for nothing competes
+                # with the fused explode's byte-gated sort residency
+                # (review finding, round 5)
+                from fuzzy_dedupe_pipeline_ray.stages.verify import (
+                    fuzzy_impl_for,
+                )
+
+                if fuzzy_impl_for(cfg, sigs.count()) == "classic":
+                    bank = prepare_sig_bank(sigs, cfg)
 
             def run_fuzzy():
                 return self._stage("edges_fuzzy", lambda: fuzzy_edges(

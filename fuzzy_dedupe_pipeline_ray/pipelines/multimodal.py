@@ -354,8 +354,8 @@ class MediaResizeActor:
 
             resized: "list[bytes | None]" = []
             for i, p in enumerate(payloads.to_pylist()):
-                if p[:8] != b"\x89PNG\r\n\x1a\n":
-                    resized.append(None)
+                if p is None or p[:8] != b"\x89PNG\r\n\x1a\n":
+                    resized.append(None)  # null / non-PNG rows pass through
                     continue
                 px = png_decode(p)
                 ow, oh = int(out_w[i]), int(out_h[i])

@@ -224,8 +224,16 @@ def _sga_partial(b: pa.Table, keys, sum_cols) -> pa.Table:
     """Per-batch local group partials: lexsort + run reduceat. Integer
     sum columns stay exact int64; floats sum as float64."""
     if b.num_rows == 0:
-        return b.select(list(keys) + list(sum_cols)).append_column(
-            "_n", pa.array([], pa.int64()))
+        # cast sum columns to the ACCUMULATOR dtypes non-empty partials
+        # emit, so block schemas stay homogeneous (review finding,
+        # round 5: an int32 input column would otherwise yield one
+        # int32 empty block among int64 partials)
+        t = b.select(list(keys))
+        for sc in sum_cols:
+            acc = (pa.int64() if pa.types.is_integer(
+                b.schema.field(sc).type) else pa.float64())
+            t = t.append_column(sc, pa.array([], acc))
+        return t.append_column("_n", pa.array([], pa.int64()))
     karrs = _sga_key_arrays(b, keys)
     order = np.lexsort(tuple(reversed(karrs)))
     karrs = [a[order] for a in karrs]
@@ -247,8 +255,10 @@ def sorted_group_aggregate(ds, keys, sum_cols):
     aggregator-pool spin-up (~1–1.5 s at 32 CPUs regardless of rows;
     the round-5 per-operation-cost lesson). ``sum_cols``: the columns
     to Sum (a str or tuple; int columns stay exact int64). Output:
-    keys + summed columns + ``_n`` (int64 count), KEY-SORTED — callers
-    needing sorted output get it for free."""
+    keys + summed columns + ``_n`` (int64 count). Rows come back
+    MOSTLY key-ordered but NOT globally sorted: groups straddling
+    block boundaries re-emit via a trailing union block — callers
+    needing sorted output must still sort (review finding, round 5)."""
     if isinstance(sum_cols, str):
         sum_cols = (sum_cols,)
     sum_cols = tuple(sum_cols)
@@ -365,8 +375,10 @@ def events_hourly_window(sf_dir: str):
     The streaming-shaped pattern (ray_guide: groupby + windowing over the
     sorted group); the window key is computed vectorized and the grouped
     Count+Sum runs through ``sorted_group_aggregate`` (per-batch
-    partials + one range sort + boundary merge) — the final sort the
-    output contract needs then comes free from the sort-based shape."""
+    partials + one range sort + boundary merge). The explicit output
+    sort below stays — the helper's trailing boundary-merge block means
+    its rows are NOT globally ordered — but it sorts the tiny aggregate,
+    not the events."""
     ev = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
 
     def add_window(b: pa.Table) -> pa.Table:

@@ -479,6 +479,61 @@ def _mj_probe(ltbl, on: str, join_type: str, right_schema, *rtbls):
     return out
 
 
+def _mj_hash_fallback(ls, rs, on, join_type, cfg, l_stats, r_stats,
+                      r_refs, right_schema):
+    """merge_join's over-budget fallback to the streaming hash tier,
+    PRESERVING the merge/broadcast tiers' null-key contract (index_in
+    matches null-to-null; Acero uses SQL semantics and drops them —
+    review finding, round 5). Null handling only matters when BOTH
+    sides carry null keys: null-key left rows then take the (unique
+    right key ⇒ effectively one) null right row's payload directly, and
+    only the non-null rows go through Acero."""
+    import pyarrow.compute as pc
+    import ray
+
+    l_has_null = any(s[3] for s in l_stats if s[0])
+    r_has_null = any(s[3] for s in r_stats if s[0])
+    if not (l_has_null and r_has_null):
+        # Acero already matches the merge tier here: null left keys
+        # match nothing (inner: dropped; left_outer: null payload)
+        return hash_join(ls, rs, on=on, join_type=join_type, cfg=cfg)
+
+    def keep_valid(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column(on)))
+
+    def keep_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b.column(on)))
+
+    main = hash_join(ls.map_batches(keep_valid, batch_format="pyarrow"),
+                     rs, on=on, join_type=join_type, cfg=cfg)
+    # the first null right row in sorted-block order (the broadcast
+    # tier's index_in picks the first null occurrence the same way)
+    null_right = None
+    for j, (rn_, _rlo, _rhi, rnull, _rb) in enumerate(r_stats):
+        if rn_ and rnull:
+            t = ray.get(r_refs[j])
+            t = t.filter(pc.is_null(t.column(on)))
+            if t.num_rows:
+                null_right = t.slice(0, 1)
+                break
+    payload_cols = [c for c in right_schema.names if c != on]
+
+    def tag(b):
+        import pyarrow as pa
+
+        out = b
+        for c in payload_cols:
+            v = null_right.column(c)[0].as_py()
+            out = out.append_column(
+                c, pa.array([v] * b.num_rows,
+                            right_schema.field(c).type))
+        return out
+
+    nulls_part = (ls.map_batches(keep_null, batch_format="pyarrow")
+                  .map_batches(tag, batch_format="pyarrow"))
+    return main.union(nulls_part).materialize()
+
+
 def merge_join(left, right, *, on, cfg: PipelineConfig,
                join_type: str = "inner"):
     """Distributed SORT-MERGE join on one unique-keyed right column — the
@@ -505,11 +560,16 @@ def merge_join(left, right, *, on, cfg: PipelineConfig,
     except AttributeError:  # pragma: no cover — older Schema wrapper
         right_schema = rs.schema()
     if right_schema is None:
-        # schema-less right (empty dataset built from no blocks): there
-        # are no payload columns to append, so the join degenerates —
-        # left unchanged for left_outer, empty for inner (review
-        # finding, round 5)
-        return left if join_type == "left_outer" else left.limit(0)
+        # schema-less right (empty dataset built from no blocks): no
+        # payload columns exist to append — mirror the broadcast tier's
+        # degenerate semantics EXACTLY so the tiers can't diverge on
+        # the same input (review finding, round 5): empty for inner,
+        # loud error for left_outer (nulls of unknown type cannot be
+        # fabricated)
+        if join_type == "inner":
+            return left.limit(0)
+        raise ValueError("left_outer lookup_join against a schemaless "
+                         "empty dataset")
     rng = ray.remote(_mj_block_range)
     r_stats = ray.get([rng.remote(r, on) for r in r_refs])
 
@@ -544,8 +604,9 @@ def merge_join(left, right, *, on, cfg: PipelineConfig,
         # streaming Acero hash tier — both sides are already sorted and
         # materialized, so the fallback re-reads no sources.
         if sum(rb for _, rb in overl) > probe_budget:
-            return hash_join(ls, rs, on=on, join_type=join_type,
-                             cfg=cfg)
+            return _mj_hash_fallback(ls, rs, on, join_type, cfg,
+                                     l_stats, r_stats, r_refs,
+                                     right_schema)
         out_refs.append(probe.remote(lref, on, join_type, right_schema,
                                      *[r for r, _ in overl]))
     if not out_refs:

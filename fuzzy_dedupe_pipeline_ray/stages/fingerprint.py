@@ -142,10 +142,19 @@ class FingerprintActor:
             # tokenize+hash pass over the whole buffer
             # (token_hashes_bytes — bit-identical to the former per-row
             # hash_tokens(norm.split()) loop), one flat n-token window
-            # pass, per-doc pure slices of the token-hash array
-            tok_h, tok_offs = token_hashes_bytes(data, offs)
-            h_tok_all = token_shingle_hashes(tok_h, cfg.shingle_k,
-                                             unique=False)
+            # pass, per-doc pure slices of the token-hash array.
+            # PRECONDITION: the kernel splits on single 0x20 only, which
+            # the normalized bytes guarantee iff whitespace collapsing
+            # ran — with collapse_whitespace=False tabs/newlines would
+            # silently change tokenization vs str.split() (review
+            # finding, round 5), so that configuration keeps the exact
+            # per-row reference path.
+            if not cfg.collapse_whitespace:
+                content = batch.column("content").to_pylist()
+            else:
+                tok_h, tok_offs = token_hashes_bytes(data, offs)
+                h_tok_all = token_shingle_hashes(tok_h, cfg.shingle_k,
+                                                 unique=False)
         h_an_all = (char_shingle_hashes_bytes(data, cfg.anchor_k,
                                               unique=False)
                     if cfg.substring_enabled else None)
@@ -178,6 +187,8 @@ class FingerprintActor:
                     sh = np.unique(h_sh_all[s:e - k_sh + 1])
                 else:  # short doc: whole-text single shingle (or empty)
                     sh = char_shingle_hashes_bytes(data[s:e], k_sh)
+            elif not cfg.collapse_whitespace:
+                sh = shingle_set(content[i], cfg)  # per-row reference
             else:
                 ts, te = tok_offs[i], tok_offs[i + 1]
                 if te - ts >= k_sh:

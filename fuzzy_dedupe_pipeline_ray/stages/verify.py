@@ -333,6 +333,29 @@ def prepare_sig_bank(signatures_ds, cfg: PipelineConfig):
     return narrow_ref, piece_refs, n_sigs
 
 
+def fuzzy_impl_for(cfg: PipelineConfig, n_sigs: int) -> str:
+    """Which fuzzy tier ``fuzzy_edges`` will run for ``n_sigs``
+    signatures — 'fused' or 'classic'. Exposed so the pipeline can skip
+    building the (fused-tier-unused) verify bank up front (review
+    finding, round 5)."""
+    impl = (cfg.extra or {}).get("fuzzy_impl")
+    if impl not in (None, "fused", "classic"):
+        raise ValueError(f"bad fuzzy_impl {impl!r}")
+    if impl is not None:
+        return impl
+    above = (n_sigs > cfg.broadcast_max_rows
+             and n_sigs * cfg.num_bands > cfg.keyed_broadcast_max_rows)
+    # fused-tier residency gate: its explode carries the full signature
+    # per keyed row and the sort pins ~2× the exploded mass — above the
+    # byte budget the classic tier (streaming hash verify, bounded
+    # aggregator blocks) is the one that completes
+    # (see config.fused_fuzzy_max_bytes)
+    row_b = cfg.num_perms * (cfg.sig_bits // 8) + 96
+    fits = (n_sigs * cfg.num_bands * row_b
+            <= getattr(cfg, "fused_fuzzy_max_bytes", 16 << 30))
+    return "fused" if (above and fits) else "classic"
+
+
 def fuzzy_edges(signatures_ds, cfg: PipelineConfig, bank=None):
     """Candidate generation + verification, tier-dispatched — the fuzzy
     stage's single entry point.
@@ -347,22 +370,8 @@ def fuzzy_edges(signatures_ds, cfg: PipelineConfig, bank=None):
 
     ``cfg.extra['fuzzy_impl']`` ∈ {'fused', 'classic'} forces a tier
     (equivalence tests); the two produce bit-identical edge sets."""
-    impl = (cfg.extra or {}).get("fuzzy_impl")
-    if impl not in (None, "fused", "classic"):
-        raise ValueError(f"bad fuzzy_impl {impl!r}")
-    if impl is None:
-        n_sigs = bank[2] if bank is not None else signatures_ds.count()
-        above = (n_sigs > cfg.broadcast_max_rows
-                 and n_sigs * cfg.num_bands > cfg.keyed_broadcast_max_rows)
-        # fused-tier residency gate: its explode carries the full
-        # signature per keyed row and the sort pins ~2× the exploded
-        # mass — above the byte budget the classic tier (streaming hash
-        # verify, bounded aggregator blocks) is the one that completes
-        # (see config.fused_fuzzy_max_bytes)
-        row_b = cfg.num_perms * (cfg.sig_bits // 8) + 96
-        fits = (n_sigs * cfg.num_bands * row_b
-                <= getattr(cfg, "fused_fuzzy_max_bytes", 16 << 30))
-        impl = "fused" if (above and fits) else "classic"
+    impl = fuzzy_impl_for(cfg, bank[2] if bank is not None
+                          else signatures_ds.count())
     if impl == "fused":
         from fuzzy_dedupe_pipeline_ray.stages.fused import (
             fused_scored_edges,

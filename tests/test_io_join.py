@@ -286,9 +286,11 @@ def test_merge_join_probe_budget_falls_back_to_hash(ray_session):
 
 def test_merge_join_schema_less_right(ray_session):
     """merge_join with an empty, schema-less right dataset must not
-    crash (right_schema is None): left unchanged for left_outer, empty
-    for inner (review finding, round 5 — merge_join is a public helper,
-    reachable without lookup_join's gates)."""
+    crash (right_schema is None) and must mirror the broadcast tier's
+    degenerate semantics exactly: empty for inner, ValueError for
+    left_outer (review findings, round 5 — merge_join is a public
+    helper, reachable without lookup_join's gates, and the tiers must
+    not diverge on the same input)."""
     import ray.data
 
     from fuzzy_dedupe_pipeline_ray.sources.io import merge_join
@@ -302,7 +304,42 @@ def test_merge_join_schema_less_right(ray_session):
 
     inner = merge_join(left, right, on="k", cfg=CFG, join_type="inner")
     assert inner.count() == 0
-    outer = merge_join(left, right, on="k", cfg=CFG,
-                       join_type="left_outer")
-    df = outer.to_pandas().sort_values("k").reset_index(drop=True)
-    assert df["v"].tolist() == [10, 20, 30]
+    with pytest.raises(ValueError, match="schemaless"):
+        merge_join(left, right, on="k", cfg=CFG, join_type="left_outer")
+
+
+def test_merge_join_probe_budget_preserves_null_matching(ray_session):
+    """The probe-budget hash fallback must keep the tiers' null-key
+    contract (null matches null) even though Acero would drop those
+    rows — null-key left rows are joined against the null right row
+    out-of-band (review finding, round 5)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fuzzy_dedupe_pipeline_ray.sources.io import lookup_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 2, None, 3, 4], pa.int64()),
+        "v": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+    })).repartition(3)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([None, 1, 2], pa.int64()),
+        "w": pa.array([99, 100, 200], pa.int64()),
+    })).repartition(2)
+
+    def collect(cfg, jt):
+        df = lookup_join(left, right, on="k", cfg=cfg,
+                         join_type=jt).to_pandas()
+        return (df.sort_values(["v"]).reset_index(drop=True)
+                .astype({"w": "float64"}))
+
+    for jt in ("inner", "left_outer"):
+        bc = collect(PipelineConfig(), jt)
+        guarded = collect(PipelineConfig(broadcast_max_rows=0,
+                                         merge_join_probe_max_bytes=1),
+                          jt)
+        pd.testing.assert_frame_equal(
+            guarded[sorted(guarded.columns)], bc[sorted(bc.columns)])
+        # the null-key rows really did match the null right row
+        assert (bc.loc[bc["v"].isin([11, 13]), "w"] == 99.0).all()

@@ -606,3 +606,38 @@ def test_token_mode_flagship_e2e(ray_session, tmp_path):
     groups = df.groupby("content_sha256")["cluster_id"].nunique()
     assert (groups == 1).all()          # sha families share a cluster
     assert df["cluster_id"].nunique() < len(df)  # real merging happened
+
+
+def test_token_mode_without_collapse_matches_reference(ray_session):
+    """collapse_whitespace=False breaks the batched token kernel's
+    single-0x20-separator precondition, so that configuration must run
+    the exact per-row reference path — tabs/newlines tokenization
+    identical to str.split() (round-5 review finding)."""
+    import pyarrow as pa
+
+    from fuzzy_dedupe_pipeline_ray.functions.hashing import (
+        make_minhasher,
+        unpack_signatures,
+    )
+    from fuzzy_dedupe_pipeline_ray.stages.fingerprint import (
+        FingerprintActor,
+        shingle_set,
+    )
+
+    cfg = PipelineConfig(shingle_mode="token", collapse_whitespace=False,
+                         shingle_k=2)
+    texts = ["a\tb c", "x\n\ny z\tw", "one", ""]
+    batch = pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "content": pa.array(texts, pa.string()),
+    })
+    out = FingerprintActor(cfg.to_json())(batch)
+    mh = make_minhasher(cfg)
+    got = unpack_signatures(out.column("minhash"), cfg.num_perms)
+    by_id = {out.column("doc_id")[i].as_py(): i
+             for i in range(out.num_rows)}
+    shift = np.uint64(64 - cfg.sig_bits)
+    for doc_id, text in zip(range(1, len(texts) + 1), texts):
+        expect = (mh.signature(shingle_set(text, cfg)) >> shift).astype(
+            got.dtype)
+        assert np.array_equal(got[by_id[doc_id]], expect), text
