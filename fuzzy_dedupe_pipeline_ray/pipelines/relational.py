@@ -287,42 +287,32 @@ def sorted_group_aggregate(ds, keys, sum_cols):
         lk = tuple(a[n - 1] for a in karrs)
         return (fk, agg(0, f_hi), lk, agg(l_lo, n))
 
+    from fuzzy_dedupe_pipeline_ray.functions.scans import (
+        scan_boundary_spans,
+    )
+
     merged_rows = []
 
     def scan(summaries):
         args = [{"drop_first": False, "drop_last": False,
                  "drop_all": False} for _ in summaries]
 
+        def split(sm):
+            fk, f_agg, lk, l_agg = sm
+            return fk, f_agg, lk, l_agg
+
         def close(p):
-            if p is None or len(p["blocks"]) < 2:
+            if len(p["blocks"]) < 2:
                 return
-            s_tots = tuple(sum(a[0][j] for a in p["aggs"])
+            aggs = p["payloads"]
+            s_tots = tuple(sum(a[0][j] for a in aggs)
                            for j in range(len(sum_cols)))
-            c_tot = sum(a[1] for a in p["aggs"])
+            c_tot = sum(a[1] for a in aggs)
             merged_rows.append(tuple(p["key"]) + s_tots + (c_tot,))
             for i, which in p["blocks"]:
                 args[i][f"drop_{which}"] = True
 
-        pending = None
-        for i, sm in enumerate(summaries):
-            if sm is None:
-                continue
-            fk, f_agg, lk, l_agg = sm
-            single = fk == lk
-            if pending is not None and pending["key"] == fk:
-                pending["blocks"].append((i, "all" if single else "first"))
-                pending["aggs"].append(f_agg)
-                if single:
-                    continue
-                close(pending)
-                pending = None
-            elif pending is not None:
-                close(pending)
-                pending = None
-            pending = {"key": lk,
-                       "blocks": [(i, "all" if single else "last")],
-                       "aggs": [l_agg]}
-        close(pending)
+        scan_boundary_spans(summaries, split, close)
         return [(a["drop_first"], a["drop_last"], a["drop_all"])
                 for a in args]
 
@@ -566,40 +556,31 @@ def _sess_agg_scan(summaries):
     start=min, end=max; the span's FIRST involved block EMITS the merged
     row in place of its claimed run (order-preserving), the rest drop
     theirs."""
+    from fuzzy_dedupe_pipeline_ray.functions.scans import (
+        scan_boundary_spans,
+    )
+
     args = [{"ov_first": None, "ov_last": None, "ov_all": None,
              "drop_first": False, "drop_last": False, "drop_all": False}
             for _ in summaries]
 
+    def split(sm):
+        fk, f_agg, lk, l_agg = sm
+        return fk, f_agg, lk, l_agg
+
     def close(p):
-        if p is None or len(p["blocks"]) < 2:
+        if len(p["blocks"]) < 2:
             return
-        cnt = sum(a[0] for a in p["aggs"])
-        t0 = min(a[1] for a in p["aggs"])
-        t1 = max(a[2] for a in p["aggs"])
+        aggs = p["payloads"]
+        cnt = sum(a[0] for a in aggs)
+        t0 = min(a[1] for a in aggs)
+        t1 = max(a[2] for a in aggs)
         first_i, first_which = p["blocks"][0]
         args[first_i][f"ov_{first_which}"] = (cnt, t0, t1)
         for i, which in p["blocks"][1:]:
             args[i][f"drop_{which}"] = True
 
-    pending = None
-    for i, sm in enumerate(summaries):
-        if sm is None:
-            continue
-        fk, f_agg, lk, l_agg = sm
-        single = fk == lk
-        if pending is not None and pending["key"] == fk:
-            pending["blocks"].append((i, "all" if single else "first"))
-            pending["aggs"].append(f_agg)
-            if single:
-                continue
-            close(pending)
-            pending = None
-        elif pending is not None:
-            close(pending)
-            pending = None
-        pending = {"key": lk, "blocks": [(i, "all" if single else "last")],
-                   "aggs": [l_agg]}
-    close(pending)
+    scan_boundary_spans(summaries, split, close)
     return [(a["ov_first"], a["ov_last"], a["ov_all"], a["drop_first"],
              a["drop_last"], a["drop_all"]) for a in args]
 

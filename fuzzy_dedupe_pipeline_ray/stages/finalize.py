@@ -260,43 +260,28 @@ def _fin_label_scan(summaries):
     attaining the global max) and hand each block its boundary-run
     overrides ``(ov_first, ov_last, ov_all)``. Verifies sorted-block
     key order in-path (raises on violation — round-5 review item)."""
+    from fuzzy_dedupe_pipeline_ray.functions.scans import (
+        scan_boundary_spans,
+    )
+
     args = [{"ov_first": None, "ov_last": None, "ov_all": None}
             for _ in summaries]
 
+    def split(sm):
+        fk, f_agg, lk, l_agg = sm
+        return fk, f_agg, lk, l_agg
+
     def close(p):
-        if p is None or len(p["blocks"]) < 2:
+        if len(p["blocks"]) < 2:
             return
-        cnt = sum(a[0] for a in p["aggs"])
-        mx = max(a[1] for a in p["aggs"])
-        rep = min(a[2] for a in p["aggs"] if a[1] == mx)
+        aggs = p["payloads"]
+        cnt = sum(a[0] for a in aggs)
+        mx = max(a[1] for a in aggs)
+        rep = min(a[2] for a in aggs if a[1] == mx)
         for i, which in p["blocks"]:
             args[i][f"ov_{which}"] = (cnt, mx, rep)
 
-    pending = None
-    prev_last = None
-    for i, sm in enumerate(summaries):
-        if sm is None:
-            continue
-        fk, f_agg, lk, l_agg = sm
-        if prev_last is not None and fk < prev_last:
-            raise RuntimeError(
-                "sorted-block order violation in finalize label scan: "
-                f"first_label {fk} < previous last_label {prev_last}")
-        prev_last = lk
-        single = fk == lk
-        if pending is not None and pending["key"] == fk:
-            pending["blocks"].append((i, "all" if single else "first"))
-            pending["aggs"].append(f_agg)
-            if single:
-                continue
-            close(pending)
-            pending = None
-        elif pending is not None:
-            close(pending)
-            pending = None
-        pending = {"key": lk, "blocks": [(i, "all" if single else "last")],
-                   "aggs": [l_agg]}
-    close(pending)
+    scan_boundary_spans(summaries, split, close)
     return [(a["ov_first"], a["ov_last"], a["ov_all"]) for a in args]
 
 

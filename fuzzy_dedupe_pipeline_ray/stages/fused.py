@@ -147,68 +147,46 @@ def _scan_boundary_spans_sig(summaries, cap: int):
     a Ray upgrade that stopped emitting range-ordered sorted blocks
     would silently mis-stitch, so it raises instead (review item,
     round 5)."""
+    from fuzzy_dedupe_pipeline_ray.functions.scans import (
+        scan_boundary_spans,
+    )
+
     args = [{"drop_first": False, "drop_last": False, "star_first": None,
              "star_last": None, "drop_all": False, "star_all": None}
             for _ in summaries]
     small_spans: list = []
 
+    def split(sm):
+        (fk, f_len, fu_ids, f_nu, fu_m, fu_h, fu_s,
+         lk, l_len, lu_ids, l_nu, lu_m, lu_h, lu_s) = sm
+        return (fk, (fu_ids, f_nu, fu_m, fu_h, fu_s),
+                lk, (lu_ids, l_nu, lu_m, lu_h, lu_s))
+
     def close(p):
-        if p is None or len(p["blocks"]) < 2:
+        if len(p["blocks"]) < 2:
             return
-        truncated = any(nu > cap + 1 for nu in p["n_uniq"])
+        runs = p["payloads"]
+        truncated = any(r[1] > cap + 1 for r in runs)
         members = upos = None
         if not truncated:
-            ids = np.concatenate([r[0] for r in p["runs"]])
+            ids = np.concatenate([r[0] for r in runs])
             members, upos = np.unique(ids, return_index=True)
         if truncated or len(members) > cap:
-            r0 = p["runs"][0]  # runs are in block order ⇒ doc-sorted ⇒
+            r0 = runs[0]  # runs are in block order ⇒ doc-sorted ⇒
             piv = (int(r0[0][0]), r0[2][0].copy(),  # run 0 row 0 IS the
                    r0[3][0], r0[4][0])              # span's global min
             for i, which in p["blocks"]:
                 args[i][f"drop_{which}"] = True
                 args[i][f"star_{which}"] = piv
         else:
-            mh = np.concatenate([r[2] for r in p["runs"]])[upos]
-            sh = np.concatenate([r[3] for r in p["runs"]])[upos]
-            sa = np.concatenate([r[4] for r in p["runs"]])[upos]
+            mh = np.concatenate([r[2] for r in runs])[upos]
+            sh = np.concatenate([r[3] for r in runs])[upos]
+            sa = np.concatenate([r[4] for r in runs])[upos]
             for i, which in p["blocks"]:
                 args[i][f"drop_{which}"] = True
             small_spans.append((members, mh, sh, sa))
 
-    pending = None
-    prev_last_key = None
-    for i, sm in enumerate(summaries):
-        if sm is None:
-            continue
-        (fk, f_len, fu_ids, f_nu, fu_m, fu_h, fu_s,
-         lk, l_len, lu_ids, l_nu, lu_m, lu_h, lu_s) = sm
-        if prev_last_key is not None and fk < prev_last_key:
-            raise RuntimeError(
-                "sorted-block order violation: block first_key "
-                f"{fk} < previous block last_key {prev_last_key}; "
-                "Dataset.sort no longer emits range-ordered blocks — "
-                "the fused boundary stitch cannot run (see module "
-                "docstring partitioning assumption)")
-        prev_last_key = lk
-        single = fk == lk
-        first_run = (fu_ids, f_nu, fu_m, fu_h, fu_s)
-        last_run = (lu_ids, l_nu, lu_m, lu_h, lu_s)
-        if pending is not None and pending["key"] == fk:
-            pending["blocks"].append((i, "all" if single else "first"))
-            pending["runs"].append(first_run)
-            pending["n_uniq"].append(f_nu)
-            if single:
-                continue  # span may keep going into the next block
-            close(pending)
-            pending = None
-        elif pending is not None:
-            close(pending)
-            pending = None
-        pending = {"key": lk,
-                   "blocks": [(i, "all" if single else "last")],
-                   "runs": [last_run],
-                   "n_uniq": [l_nu]}
-    close(pending)
+    scan_boundary_spans(summaries, split, close)
     return args, small_spans
 
 

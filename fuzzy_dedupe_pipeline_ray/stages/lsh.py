@@ -757,26 +757,41 @@ def _scan_boundary_spans(summaries, cap: int):
     boundaries, decide star-vs-all-pairs from their TRUE UNIQUE-member
     count, and return (per-block label kwargs, small-span member lists).
 
+    Control flow lives in the shared ``functions.scans
+    .scan_boundary_spans`` (one copy of the pending/close state machine
+    + the sorted-block order assertion across all five sorted tiers —
+    round-5 review consolidation); only the star/small decision is
+    tier-specific here.
+
     Exactness of the unique count: each run ships its unique members
     truncated at cap+1 plus the exact per-run unique count. If any run's
     count exceeds cap+1 the span has > cap members (star — members not
     needed); otherwise every run's list is complete, so the union IS the
     span's exact member set (runs in different blocks may repeat a
     member — duplicates collapse in the union)."""
+    from fuzzy_dedupe_pipeline_ray.functions.scans import (
+        scan_boundary_spans,
+    )
+
     args = [{"drop_first": False, "drop_last": False, "star_first": None,
              "star_last": None, "drop_all": False, "star_all": None}
             for _ in summaries]
     small_spans: "list[np.ndarray]" = []
 
+    def split(sm):
+        fk, f_len, f_uniq, f_nu, lk, l_len, l_uniq, l_nu = sm
+        return fk, (f_uniq, f_nu), lk, (l_uniq, l_nu)
+
     def close(p):
-        if p is None or len(p["blocks"]) < 2:
+        if len(p["blocks"]) < 2:
             return
-        truncated = any(nu > cap + 1 for nu in p["n_uniq"])
+        truncated = any(nu > cap + 1 for _, nu in p["payloads"])
         members = None
         if not truncated:
-            members = np.unique(np.concatenate(p["docs"]))
+            members = np.unique(np.concatenate(
+                [u for u, _ in p["payloads"]]))
         if truncated or len(members) > cap:
-            gmin = int(p["docs"][0][0])
+            gmin = int(p["payloads"][0][0][0])
             for i, which in p["blocks"]:
                 args[i][f"drop_{which}"] = True
                 args[i][f"star_{which}"] = gmin
@@ -785,36 +800,7 @@ def _scan_boundary_spans(summaries, cap: int):
                 args[i][f"drop_{which}"] = True
             small_spans.append(members)
 
-    pending = None
-    prev_last_key = None
-    for i, sm in enumerate(summaries):
-        if sm is None:
-            continue
-        fk, f_len, f_uniq, f_nu, lk, l_len, l_uniq, l_nu = sm
-        if prev_last_key is not None and fk < prev_last_key:
-            raise RuntimeError(
-                "sorted-block order violation: block first_key "
-                f"{fk} < previous block last_key {prev_last_key} — "
-                "Dataset.sort no longer emits range-ordered blocks; "
-                "the boundary span scan cannot run (review, round 5)")
-        prev_last_key = lk
-        single = fk == lk
-        if pending is not None and pending["key"] == fk:
-            pending["blocks"].append((i, "all" if single else "first"))
-            pending["docs"].append(f_uniq)
-            pending["n_uniq"].append(f_nu)
-            if single:
-                continue  # span may keep going into the next block
-            close(pending)
-            pending = None
-        elif pending is not None:
-            close(pending)  # no-op unless it already has ≥2 blocks
-            pending = None
-        pending = {"key": lk,
-                   "blocks": [(i, "all" if single else "last")],
-                   "docs": [l_uniq],
-                   "n_uniq": [l_nu]}
-    close(pending)
+    scan_boundary_spans(summaries, split, close)
     return args, small_spans
 
 
