@@ -417,3 +417,40 @@ def test_boundary_scans_reject_unsorted_blocks(ray_session):
         _sorted_block_scan(bad, summarize, (),
                            lambda sums: [() for _ in sums],
                            lambda tbl: tbl, key_of=lambda s: s)
+
+
+def test_scan_boundary_spans_shapes():
+    """Direct unit coverage of the shared span scanner: single-block
+    groups close as 1-block candidates (tiers no-op them), multi-block
+    spans collect every run in block order, an all-one-key middle block
+    joins its neighbors into one span, and empty summaries are
+    skipped."""
+    from fuzzy_dedupe_pipeline_ray.functions.scans import (
+        scan_boundary_spans,
+    )
+
+    def sm(fk, fp, lk, lp):
+        return (fk, fp, lk, lp)
+
+    spans = []
+
+    def close(p):
+        spans.append((p["key"], list(p["blocks"]), list(p["payloads"])))
+
+    # blocks: [5..7], None, [7..7] (all), [7..9], [10..11]
+    summaries = [sm(5, "a", 7, "b"), None, sm(7, "c", 7, "c"),
+                 sm(7, "d", 9, "e"), sm(10, "f", 11, "g")]
+    scan_boundary_spans(summaries, lambda s: s, close)
+    # key 7 spans blocks 0(last) + 2(all) + 3(first)
+    assert (7, [(0, "last"), (2, "all"), (3, "first")],
+            ["b", "c", "d"]) in spans
+    # trailing single-block candidates also close (1-block, tiers no-op)
+    assert any(k == 11 and len(b) == 1 for k, b, _ in spans)
+    # key 9 closes as a 1-block candidate when key 10 opens
+    assert any(k == 9 and b == [(3, "last")] for k, b, _ in spans)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="order violation"):
+        scan_boundary_spans([sm(5, "a", 9, "b"), sm(3, "c", 4, "d")],
+                            lambda s: s, close)
